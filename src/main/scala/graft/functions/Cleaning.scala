@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** String-normalization kit reproducing the reference's `limpiarNombres`
+  * semantics (reference: src/Command/EtlHisTurnosCommand.php:339-349) as
+  * pure Catalyst column expressions — whole-stage-codegen friendly, no UDFs.
+  *
+  * Null propagation is native: every built-in here returns null on null
+  * input, which matches the reference's explicit null guard
+  * (EtlHisTurnosCommand.php:341-343, SURVEY OP-08).
+  */
+object Cleaning {
+
+  /** trim → collapse internal whitespace runs → Unicode uppercase.
+    * Reference: EtlHisTurnosCommand.php:345-348 (SURVEY OP-23/24/25/26).
+    * Spark's `upper` is Unicode-aware (ñ→Ñ, á→Á) like PHP mb_strtoupper.
+    */
+  def limpiarNombres(c: Column): Column =
+    upper(regexp_replace(trim(c), "\\s+", " "))
+
+  /** First space-delimited token — the reference's given-name extraction
+    * for gender inference (EtlHisTurnosCommand.php:137, SURVEY OP-27). */
+  def firstToken(c: Column): Column = element_at(split(c, " "), 1)
+
+  /** Non-empty predicate gating unpivoted values
+    * (EtlHisTurnosCommand.php:175, SURVEY OP-07). Deliberate divergence
+    * recorded in SURVEY §7.4: PHP `empty("0")` is true; we treat "0" as a
+    * valid value. */
+  def nonEmpty(c: Column): Column = c.isNotNull && trim(c) =!= ""
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Key-based deduplication and surrogate-key assignment.
+  *
+  * Reproduces the reference's first-wins dedup caches (reference:
+  * src/Command/EtlHisTurnosCommand.php:113,125-151 — SURVEY OP-15) and
+  * SERIAL surrogate keys (PostgresSchemaBuilder.php:62,75,96,105 — SURVEY
+  * OP-19) as deterministic, distributed operators.
+  *
+  * Determinism note (SURVEY §7.4): the reference's "first" row depends on
+  * `ORDER BY FechaAlta DESC` with unspecified tie order; here the caller
+  * MUST pass a total order (tiebreakers included). `dropDuplicates` is
+  * deliberately not used — it is non-deterministic under shuffle.
+  */
+object Dedup {
+
+  /** Keep exactly one row per key: the first under `order` (which must be
+    * a total order within each key group for determinism).
+    *
+    * Scale: one hash-shuffle on `keys`; the per-key sort is local to each
+    * partition after shuffle — no global sort. Skewed keys are handled by
+    * AQE; for pathological single-key skew pre-aggregate with max_by-style
+    * struct ordering instead.
+    */
+  def firstWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Dense sequential ids 1..N in the given total order — matches the
+    * reference's SERIAL 1..N semantics needed for oracle hash-matching.
+    *
+    * SCALE HAZARD (documented, SURVEY §4.3/§7.4): `row_number` over an
+    * empty-partition window is a single-partition sort — fine for
+    * dimension tables (the only place the reference needs dense keys),
+    * wrong for fact-scale data. Use [[denseIdScalable]] there.
+    */
+  def denseId(df: DataFrame, order: Seq[Column], name: String): DataFrame =
+    df.withColumn(name, row_number().over(Window.orderBy(order: _*)).cast(LongType))
+
+  /** Dense sequential ids 1..N without a single-partition sort: range-
+    * repartition by the order columns (so partition p holds a contiguous
+    * key range), sort within partitions, then zipWithIndex (one extra
+    * count job to learn partition offsets — O(partitions) driver work).
+    * Produces the same ids as [[denseId]] for a total order; safe at
+    * 100 TB. */
+  def denseIdScalable(df: DataFrame, order: Seq[Column], name: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = StructType(sorted.schema.fields :+ StructField(name, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Order-insensitive distinct of a single (trimmed) column — the
+    * reference's prestacion catalog build (EtlHisTurnosCommand.php:114,
+    * 179-193, SURVEY OP-16). Map-side partial aggregation makes this one
+    * shuffle of pre-deduped partitions. */
+  def distinctTrimmed(df: DataFrame, column: String, as: String): DataFrame =
+    df.select(trim(col(column)).as(as)).where(col(as).isNotNull).distinct()
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Cleaning
+
+/** Wide↔long reshaping.
+  *
+  * The reference stores up to 11 "prestaciones" denormalized across 11
+  * columns and re-normalizes them with a PHP loop (reference:
+  * src/Command/EtlHisTurnosCommand.php:173-201 — SURVEY OP-20). Here the
+  * same reshape is Spark's native `unpivot` (a single Generate node, no
+  * shuffle) plus the non-empty gate.
+  */
+object Reshape {
+
+  /** Unpivot `valueCols` into (slot, value) rows, keeping `idCols`;
+    * drops null/blank values and trims — exactly the reference's
+    * per-column gate + trim (EtlHisTurnosCommand.php:175-176).
+    * The slot index is retained because the reference's insert order
+    * (and hence pivot-table ids) depends on column position. */
+  def unpivotNonEmpty(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+                      slotName: String, valueName: String): DataFrame = {
+    val long = df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray, slotName, valueName)
+    long
+      .filter(Cleaning.nonEmpty(col(valueName)))
+      .withColumn(valueName, trim(col(valueName)))
+      // slot arrives as the source column NAME; keep a sortable ordinal.
+      .withColumn(slotName, regexp_extract(col(slotName), "(\\d+)$", 1).cast("int"))
+  }
+
+  /** Pivot the first `n` rows per group (ranked by `order`, a total order
+    * within the group) into `n` slot columns `prefix0..prefix{n-1}` —
+    * the inverse reshape, used to synthesize the reference's wide-extract
+    * shape from long fact data. One shuffle (the groupBy). */
+  def pivotSlots(df: DataFrame, groupCol: String, valueCol: Column, order: Seq[Column],
+                 n: Int, prefix: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    val ranked = df.withColumn("__slot_rn", row_number().over(w)).filter(col("__slot_rn") <= n)
+    val aggs = (0 until n).map { k =>
+      max(when(col("__slot_rn") === k + 1, valueCol)).as(s"$prefix$k")
+    }
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

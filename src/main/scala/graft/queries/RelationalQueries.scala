@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Cleaning, Gender}
+import graft.operators.Dedup
+
+/** Standalone per-operator queries over the star schema, one per SURVEY
+  * §2 relational operator (OP-05..29). Each has an exact DuckDB oracle.
+  *
+  * Numeric discipline for oracle hash-parity: every aggregated double is
+  * cast to DECIMAL before summation (exact, order-independent) and every
+  * count / row_number to BIGINT, so Spark and DuckDB produce bit-equal
+  * values and matching schemas.
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // OP-05: projection with aliasing (reference 33-col SELECT list,
+    // EtlHisTurnosCommand.php:255-291).
+    Q("op05_project_alias",
+      (s, d) => Tables.lineitem(s, d).select(
+        col("l_orderkey").as("orden_id"),
+        col("l_linenumber").as("linea"),
+        col("l_partkey").as("prestacion_ref"),
+        col("l_quantity").cast("decimal(18,2)").as("cantidad"),
+        col("l_returnflag").as("bandera")),
+      Some("""SELECT l_orderkey AS orden_id, l_linenumber AS linea,
+               l_partkey AS prestacion_ref,
+               CAST(l_quantity AS DECIMAL(18,2)) AS cantidad,
+               l_returnflag AS bandera FROM lineitem""")),
+
+    // OP-06: null-propagating string concat (T-SQL `+` semantics,
+    // EtlHisTurnosCommand.php:278). Spark concat == DuckDB `||`.
+    Q("op06_concat_null",
+      (s, d) => Tables.customer(s, d).select(
+        col("c_custkey"),
+        concat(col("c_name"), lit(" "),
+               when(col("c_mktsegment") === "BUILDING", lit(null))
+                 .otherwise(col("c_mktsegment"))).as("nombre_completo")),
+      Some("""SELECT c_custkey,
+               c_name || ' ' || nullif(c_mktsegment, 'BUILDING') AS nombre_completo
+              FROM customer""")),
+
+    // OP-07: non-empty gate (PHP !empty, EtlHisTurnosCommand.php:175).
+    Q("op07_filter_nonempty",
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("flag",
+          when(col("l_returnflag") === "N", lit("  ")).otherwise(col("l_returnflag")))
+        .filter(Cleaning.nonEmpty(col("flag")))
+        .groupBy(col("flag")).agg(count(lit(1)).as("n")),
+      Some("""SELECT flag, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT CASE WHEN l_returnflag = 'N' THEN '  ' ELSE l_returnflag END AS flag
+                FROM lineitem) t
+              WHERE flag IS NOT NULL AND trim(flag) <> '' GROUP BY flag""")),
+
+    // OP-09: inner equi-joins fact→dim with aggregation; decimal-exact
+    // revenue. Catalyst broadcasts the dims via AQE.
+    Q("op09_join_inner_agg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d); val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+                (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("decimal(38,4)").as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT c_mktsegment,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DECIMAL(38,4)) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment""")),
+
+    // OP-10: snowflake dim→dim chain (customer→nation→region).
+    Q("op10_snowflake_join",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n_customers")),
+      Some("""SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name""")),
+
+    // OP-11: self-join — nation in two roles (customer's vs supplier's),
+    // the reference's Personas-as-patient/Personas-as-user pattern.
+    Q("op11_selfjoin_roles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d);  val sup = Tables.supplier(s, d)
+        val n1 = Tables.nation(s, d).select(
+          col("n_nationkey").as("cn_key"), col("n_name").as("nacion_cliente"))
+        val n2 = Tables.nation(s, d).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("nacion_proveedor"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup, li("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+          .groupBy(col("nacion_cliente"), col("nacion_proveedor"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_qty"))
+      },
+      Some("""SELECT n1.n_name AS nacion_cliente, n2.n_name AS nacion_proveedor,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              GROUP BY n1.n_name, n2.n_name""")),
+
+    // OP-12: left outer join preserving unmatched left rows (RIS chain,
+    // EtlHisTurnosCommand.php:304-307): customers vs their 'F' orders.
+    Q("op12_left_outer",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        c.join(f, c("c_custkey") === f("o_custkey"), "left_outer")
+          .groupBy(c("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_f_orders"))
+      },
+      Some("""SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_f_orders
+              FROM customer
+              LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') f
+                ON c_custkey = f.o_custkey
+              GROUP BY c_custkey""")),
+
+    // OP-14: global counts (EtlHisTurnosCommand.php:93,117).
+    Q("op14_counts",
+      (s, d) => {
+        val t = Seq("lineitem", "orders", "customer", "part").map { name =>
+          Tables.load(s, d, name).agg(count(lit(1)).as("n")).select(lit(name).as("tabla"), col("n"))
+        }
+        t.reduce(_.unionAll(_))
+      },
+      Some("""SELECT 'lineitem' AS tabla, CAST(count(*) AS BIGINT) AS n FROM lineitem
+              UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+              UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT) FROM customer
+              UNION ALL SELECT 'part', CAST(count(*) AS BIGINT) FROM part""")),
+
+    // OP-15: ordered first-wins dedup (the pacientesCache semantics):
+    // latest order per customer, ties broken by orderkey.
+    Q("op15_firstwins_dedup",
+      (s, d) => Dedup.firstWins(Tables.orders(s, d), Seq("o_custkey"),
+          Seq(col("o_orderdate").desc, col("o_orderkey").asc))
+        .select(col("o_custkey"), col("o_orderkey").as("ultimo_pedido"), col("o_orderdate")),
+      Some("""SELECT o_custkey, o_orderkey AS ultimo_pedido, o_orderdate FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+                FROM orders) t WHERE rn = 1""")),
+
+    // OP-16: order-insensitive distinct of trimmed names
+    // (prestacionesCache, EtlHisTurnosCommand.php:179-193).
+    Q("op16_distinct_catalog",
+      (s, d) => Dedup.distinctTrimmed(
+        Tables.part(s, d).withColumn("padded", concat(lit("  "), col("p_type"), lit(" "))),
+        "padded", "tipo"),
+      Some("SELECT DISTINCT trim('  ' || p_type || ' ') AS tipo FROM part WHERE p_type IS NOT NULL")),
+
+    // OP-18+OP-19: global sort determinism made observable through dense
+    // surrogate ids (ORDER BY FechaAlta DESC with pinned tiebreaker).
+    Q("op18_19_sorted_dense_ids",
+      (s, d) => Dedup.denseId(Tables.orders(s, d),
+          Seq(col("o_orderdate").desc, col("o_orderkey").asc), "id")
+        .select(col("id"), col("o_orderkey"), col("o_orderdate")),
+      Some("""SELECT CAST(row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey ASC) AS BIGINT) AS id,
+               o_orderkey, o_orderdate FROM orders""")),
+
+    // OP-22: find-or-insert degenerates to anti-join in batch — parts
+    // never ordered in quantity > 45.
+    Q("op22_anti_join",
+      (s, d) => Tables.part(s, d).join(
+          Tables.lineitem(s, d).filter(col("l_quantity") > 45),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name")),
+      Some("""SELECT p_partkey, p_name FROM part p
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                WHERE l_quantity > 45 AND l_partkey = p.p_partkey)""")),
+
+    // OP-23..26: limpiarNombres composite (trim → collapse → upper).
+    Q("op23_26_limpiar_nombres",
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey"),
+        Cleaning.limpiarNombres(concat(lit("  "), col("p_name"), lit("   de  prueba "))).as("limpio")),
+      Some("""SELECT p_partkey,
+               upper(regexp_replace(trim('  ' || p_name || '   de  prueba '), '\s+', ' ', 'g')) AS limpio
+              FROM part""")),
+
+    // OP-27: first-token split (given-name extraction).
+    Q("op27_first_token",
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey"), Cleaning.firstToken(col("p_name")).as("primera")),
+      Some("SELECT p_partkey, split_part(p_name, ' ', 1) AS primera FROM part")),
+
+    // OP-29: inferirSexo dictionary lookup with unknown→null.
+    Q("op29_inferir_sexo",
+      (s, d) => {
+        val names = graft.his.TurnosPipeline.givenNames
+        val withName = Tables.customer(s, d).select(
+          col("c_custkey"),
+          element_at(typedLit(names), (col("c_custkey") % names.size).cast("int") + 1).as("nombre"))
+        withName.withColumn("sexo", Gender.inferirSexo(col("nombre")))
+      },
+      Some {
+        val names = graft.his.TurnosPipeline.givenNames
+        val whens = names.zipWithIndex.map { case (nm, i) => s"WHEN $i THEN '$nm'" }.mkString(" ")
+        s"""SELECT c_custkey, nombre, ${Gender.oracleCase("nombre")} AS sexo FROM (
+              SELECT c_custkey, (CASE (c_custkey % ${names.size}) $whens END) AS nombre
+              FROM customer) t"""
+      }),
+  )
+}
