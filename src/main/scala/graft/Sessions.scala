@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession configuration so the driver mains (Verify/Bench)
+  * and tests agree on semantics-critical settings. */
+object Sessions {
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // The `events` fixture stores ts as parquet TIMESTAMP(NANOS), which
+      // Spark cannot represent natively (TimestampType is µs). Read the
+      // raw int64 and convert in Tables.events via integer division.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+}

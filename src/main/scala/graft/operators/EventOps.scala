@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics in batch form (SURVEY EX-01..04, EX-08).
+  * Streaming variants (same semantics under a watermark) live in
+  * [[graft.streaming.StreamingOps]].
+  *
+  * Scale: every aggregation here is a single hash shuffle with map-side
+  * partial aggregation; the session-window groupBy shuffles once on the
+  * session key. At 100 TB, partition the source by event date so the
+  * time-window groupBy reads pruned partitions.
+  */
+object EventOps {
+
+  /** EX-01: epoch-aligned tumbling window aggregation. Uses Spark's
+    * native `window()` (struct of start/end); we project the start. */
+  def tumblingAgg(events: DataFrame, minutes: Int): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), s"$minutes minutes").getField("start").as("bucket_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+
+  /** EX-02: session windows with a fixed inactivity gap — Spark's
+    * `session_window` (start = first event, end = last event + gap). */
+  def sessionAgg(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window").getField("start").as("session_start"),
+        col("session_window").getField("end").as("session_end"),
+        col("n_events"))
+
+  /** EX-03: keyed dedup — first event per key in event-time order
+    * (batch analog of dropDuplicatesWithinWatermark; deterministic
+    * tiebreak on event_id). */
+  def dedupKeyed(events: DataFrame, keys: Seq[String]): DataFrame =
+    Dedup.firstWins(events, keys, Seq(col("ts").asc, col("event_id").asc))
+
+  /** EX-04: exact distinct per group. */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  /** EX-04b: approximate distinct (HyperLogLog++) — the 100 TB path:
+    * constant memory per group vs a full shuffle of distinct pairs.
+    * Not oracle-checkable (estimator-specific); driver rows-only. */
+  def approxDistinctUsers(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+
+  /** EX-08: JSON field extraction from a string column. `get_json_object`
+    * is codegen'd; for fixed wide schemas prefer `from_json` once. */
+  def jsonExtractAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k_val")).as("sum_k"),
+        count(col("k_val")).as("n_with_k"))
+}

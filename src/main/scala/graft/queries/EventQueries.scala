@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.EventOps
+
+/** SURVEY EX-01..04 + EX-08 over the `events` fixture, with DuckDB
+  * oracles. Window alignment note: Spark `window()` and the oracle's
+  * `make_timestamp(epoch_us // N * N)` are both epoch-aligned, so the
+  * buckets coincide exactly. */
+object EventQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("ex01_tumbling_window",
+      (s, d) => EventOps.tumblingAgg(Tables.events(s, d), 5),
+      Some("""SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS bucket_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+              FROM events GROUP BY 1, 2""")),
+
+    Q("ex02_session_window",
+      (s, d) => EventOps.sessionAgg(Tables.events(s, d), 10),
+      Some("""WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+              )
+              SELECT user_id, min(ts) AS session_start,
+                     max(ts) + INTERVAL 10 MINUTE AS session_end,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM sess GROUP BY user_id, sid""")),
+
+    Q("ex03_dedup_keyed",
+      (s, d) => EventOps.dedupKeyed(Tables.events(s, d), Seq("user_id", "event_type"))
+        .select("user_id", "event_type", "event_id", "ts"),
+      Some("""SELECT user_id, event_type, event_id, ts FROM (
+                SELECT user_id, event_type, event_id, ts,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts ASC, event_id ASC) AS rn
+                FROM events) t WHERE rn = 1""")),
+
+    Q("ex04_distinct_exact",
+      (s, d) => EventOps.distinctUsers(Tables.events(s, d)),
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM events GROUP BY event_type""")),
+
+    // HLL estimate — estimator-specific, driver records rows-only.
+    Q("ex04_distinct_approx",
+      (s, d) => EventOps.approxDistinctUsers(Tables.events(s, d)),
+      None),
+
+    Q("ex08_json_extract",
+      (s, d) => EventOps.jsonExtractAgg(Tables.events(s, d)),
+      Some("""SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+              FROM events GROUP BY event_type""")),
+  )
+}
