@@ -9,7 +9,8 @@ import graft.queries._
 object SparkEntry {
 
   private val registered: Seq[Q] =
-    RelationalQueries.all ++ HisQueries.all ++ EventQueries.all
+    RelationalQueries.all ++ HisQueries.all ++ EventQueries.all ++
+      TextQueries.all ++ VectorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's full wide extraction (6-table join tree + slot pivot). */

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kit for training-data pipelines: tokenization, language
+  * ID (stopword heuristic), quality scoring, fingerprinting. All pure
+  * Catalyst column expressions over arrays — no UDFs, no shuffles; each
+  * scales linearly with the scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (null-safe, empty→empty array). */
+  def tokens(c: Column): Column =
+    split(regexp_replace(trim(c), "\\s+", " "), " ")
+
+  /** BPE-ish token count: words plus standalone non-word symbols —
+    * the usual cheap proxy for subword token counts. */
+  def tokenCountBpeIsh(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Stopword sets for the n-gram language-ID heuristic (tiny,
+    * deterministic samples of public stopword lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "mit", "von"),
+  )
+
+  /** Count of tokens that belong to `set`. */
+  def stopwordHits(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(set), t)))
+
+  /** Language ID: argmax of stopword hit counts with deterministic
+    * priority en > es > de; "und" (unknown) when no set matches. */
+  def langIdHeuristic(c: Column): Column = {
+    val t = tokens(c)
+    val en = stopwordHits(t, stopwords("en"))
+    val es = stopwordHits(t, stopwords("es"))
+    val de = stopwordHits(t, stopwords("de"))
+    when(en >= es && en >= de && en > 0, lit("en"))
+      .when(es >= de && es > 0, lit("es"))
+      .when(de > 0, lit("de"))
+      .otherwise(lit("und"))
+  }
+
+  /** Quality metrics: token count, distinct-token count, type-token
+    * ratio (lexical diversity), mean token length. Ratios rounded to 6
+    * decimals for cross-engine float stability. */
+  def qualityMetrics(c: Column): Seq[Column] = {
+    val t = tokens(c)
+    val n = size(t)
+    val uniq = size(array_distinct(t))
+    val charSum = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    Seq(
+      n.cast("int").as("n_tokens"),
+      uniq.cast("int").as("n_uniq_tokens"),
+      round(uniq.cast("double") / n, 6).as("ttr"),
+      round(charSum.cast("double") / n, 6).as("mean_token_len"),
+    )
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text,
+    * truncated to 16 hex chars — the exact-dedup key. */
+  def fingerprint(c: Column): Column =
+    substring(md5(lower(regexp_replace(trim(c), "\\s+", " "))), 1, 16)
+
+  /** Word n-gram shingles (0-based Spark array indexing), for MinHash /
+    * Jaccard. Documents shorter than n yield an empty array. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+    .otherwise(typedLit(Seq.empty[String]))
+}

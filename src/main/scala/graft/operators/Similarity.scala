@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (ArrayType(FloatType)): brute-force cosine top-k as the exact
+  * baseline, and sign-random-projection (hyperplane) LSH bucketing as
+  * the 100 TB path — candidates are restricted to the query's bucket,
+  * turning O(n·q) into O(q · bucket_size).
+  *
+  * All arithmetic is double-precision column expressions (zip_with +
+  * aggregate) inside codegen; similarities are rounded to 6 decimals and
+  * ranked with a vec_id tiebreak so results are deterministic across
+  * engines and summation orders.
+  */
+object Similarity {
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Σ aᵢ·bᵢ over two equal-length arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for each query vector (brute force — the
+    * correctness baseline; broadcast the small query set, one pass over
+    * the corpus, per-query top-k via window). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component (p,d) derived
+    * from md5("<p>_<d>") — reproducible in any engine with md5, which is
+    * what makes the LSH bucketing oracle-checkable. Range ≈ [-1, 1]. */
+  def planeWeight(p: Int, d: Int): Double = {
+    val mdigest = java.security.MessageDigest.getInstance("MD5")
+    val hex = mdigest.digest(s"${p}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000).toDouble / 1000.0
+  }
+
+  /** Sign-random-projection bucket id: bit p = (v · plane_p >= 0);
+    * bucket = Σ bit_p << p. Pure projection — no shuffle. */
+  def lshBucket(emb: Column, numPlanes: Int, dim: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val plane = typedLit((0 until dim).map(d => planeWeight(p, d)))
+      when(dot(emb, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).cast("long")
+  }
+
+  /** Bucketed approximate top-k: queries only scored against corpus
+    * vectors in the same hyperplane bucket. Recall < 1 by construction;
+    * the 100 TB path (bucket column becomes the partition/bucketing key
+    * of the stored corpus, so a query touches one bucket's files). */
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
+    val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", lshBucket(col("q_emb"), numPlanes, dim))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine above `threshold` within a
+    * candidate id range (all-pairs is O(n²) — production callers pass
+    * LSH buckets or a blocking key instead of maxId). */
+  def embeddingNearDup(corpus: DataFrame, threshold: Double, maxId: Long): DataFrame = {
+    val sub = corpus.filter(col("vec_id") < maxId)
+    val a = sub.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = sub.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") > threshold)
+  }
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.operators.NearDup
+
+/** Text-analysis + document-dedup queries over `documents` (SURVEY
+  * EX-05/EX-07 and the training-data-pipeline dedup family), each with a
+  * DuckDB oracle generated from the same constants. */
+object TextQueries {
+
+  /** DuckDB tokenization identical to [[TextAnalysis.tokens]]. */
+  private val toksSql =
+    "regexp_split_to_array(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+
+  /** DuckDB 3-gram shingles identical to [[TextAnalysis.shingles]]. */
+  private val shinglesSql =
+    "list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+
+  private val fingerprintSql =
+    "substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16)"
+
+  private val NumHashes = 16
+  private val RowsPerBand = 2
+
+  /** Shared minhash CTE chain: tokens → shingles → long form → 16 mins. */
+  private val minhashCtes: String = {
+    val mins = (0 until NumHashes)
+      .map(s => s"min(substr(md5('$s:' || shingle), 1, 16)) AS mh$s").mkString(", ")
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM t),
+m AS (SELECT d.doc_id, ${(0 until NumHashes).map(i => s"mm.mh$i").mkString(", ")}
+      FROM documents d LEFT JOIN
+        (SELECT doc_id, $mins FROM sh GROUP BY doc_id) mm ON d.doc_id = mm.doc_id)"""
+  }
+
+  private val bandsCte: String = {
+    val branches = (0 until NumHashes / RowsPerBand).map { b =>
+      val key = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => s"mh$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM m"
+    }.mkString("\n  UNION ALL ")
+    s"""bands AS (
+  $branches
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // EX-07: token counts, lexical diversity, mean token length, BPE-ish
+    // token count — the quality-scoring feature set.
+    Q("tx01_token_stats",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(
+          (col("doc_id") +: TextAnalysis.qualityMetrics(col("text")) :+
+            TextAnalysis.tokenCountBpeIsh(col("text")).cast("int").as("n_bpe")): _*)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks, text FROM documents)
+              SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_tokens,
+                round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+                round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_token_len,
+                CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_bpe
+              FROM t""")),
+
+    // EX-07: global term frequency (explode + count).
+    Q("tx02_term_freq",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n")),
+      Some(s"""SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT unnest($toksSql) AS term FROM documents) t GROUP BY term""")),
+
+    // Language-ID heuristic (stopword argmax) vs the declared lang.
+    Q("tx03_lang_id",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("lang_declared"),
+        TextAnalysis.langIdHeuristic(col("text")).as("lang_guess")),
+      Some {
+        def hits(lang: String): String = {
+          val set = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(toks, x -> x IN ($set)))"
+        }
+        s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+             h AS (SELECT doc_id, lang, ${hits("en")} AS en, ${hits("es")} AS es, ${hits("de")} AS de FROM t)
+            SELECT doc_id, lang AS lang_declared,
+              CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                   WHEN es >= de AND es > 0 THEN 'es'
+                   WHEN de > 0 THEN 'de'
+                   ELSE 'und' END AS lang_guess
+            FROM h"""
+      }),
+
+    // Document fingerprinting (normalized md5 prefix).
+    Q("tx04_fingerprint",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint")),
+      Some(s"SELECT doc_id, $fingerprintSql AS fingerprint FROM documents")),
+
+    // Exact dedup: hash-groupBy on the fingerprint.
+    Q("dd01_exact_dedup",
+      (s, d) => NearDup.exactDedup(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""SELECT $fingerprintSql AS fingerprint,
+                 min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1""")),
+
+    // MinHash signatures (16 seeded hashes over 3-gram shingles).
+    Q("dd02_minhash_signature",
+      (s, d) => NearDup.minhashSignature(Tables.documents(s, d), "doc_id", "text",
+        NumHashes, 3),
+      Some(s"WITH $minhashCtes SELECT * FROM m")),
+
+    // MinHash LSH candidate pairs (8 bands × 2 rows).
+    Q("dd03_minhash_candidates",
+      (s, d) => NearDup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+        NumHashes, 3, RowsPerBand),
+      Some(s"WITH $minhashCtes,\n$bandsCte SELECT id_a, id_b FROM cand")),
+
+    // Exact 3-gram Jaccard on the LSH candidates (verify stage).
+    Q("dd04_jaccard_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        NearDup.jaccardOnPairs(docs,
+          NearDup.minhashCandidates(docs, "doc_id", "text", NumHashes, 3, RowsPerBand),
+          "doc_id", "text", 3)
+          .select("id_a", "id_b", "jaccard")
+      },
+      Some(s"""WITH $minhashCtes,
+$bandsCte,
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS ns FROM shd GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+          FROM cand c
+          JOIN shd sa ON sa.doc_id = c.id_a
+          JOIN shd sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+          GROUP BY c.id_a, c.id_b)
+SELECT c.id_a, c.id_b,
+       round(CAST(coalesce(i.ni, 0) AS DOUBLE) / (za.ns + zb.ns - coalesce(i.ni, 0)), 6) AS jaccard
+FROM cand c
+JOIN sizes za ON za.doc_id = c.id_a
+JOIN sizes zb ON zb.doc_id = c.id_b
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b""")),
+
+    // SimHash (32-bit, per-bit majority of token hashes).
+    Q("dd05_simhash",
+      (s, d) => NearDup.simhash(Tables.documents(s, d), "doc_id", "text"),
+      Some {
+        val sums = (0 until 32)
+          .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(", ")
+        val bits = (0 until 32)
+          .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+             tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+             hh AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+             sums AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id)
+            SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums"""
+      }),
+  )
+}

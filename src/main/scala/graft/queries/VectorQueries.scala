@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Multimodal, Similarity}
+
+/** Similarity-search (EX-06) and multimodal-column queries, with DuckDB
+  * oracles built on the parallel-unnest flattening of the embedding
+  * lists. Similarities are rounded to 6 decimals on both sides so the
+  * (sub-1e-12) summation-order differences between engines cannot flip
+  * the comparison. */
+object VectorQueries {
+
+  /** Flatten embeddings to (vec_id, i, v) — DuckDB parallel unnest. */
+  private def flatCte(filter: String = ""): String =
+    s"""flat AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+                       unnest(embedding)::DOUBLE AS v
+                FROM embeddings $filter),
+norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY vec_id)"""
+
+  private val planesSql: String =
+    """planes AS (
+  SELECT p, d,
+         ((CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(generate_series(0, 7)) AS p) pp,
+       (SELECT unnest(generate_series(0, 63)) AS d) dd
+)"""
+
+  val all: Seq[Q] = Seq(
+
+    // EX-06 baseline: exact brute-force cosine top-10 for 5 query vectors.
+    Q("ann01_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      },
+      Some(s"""WITH ${flatCte()},
+dots AS (SELECT f1.vec_id AS query_id, f2.vec_id AS vec_id, sum(f1.v * f2.v) AS dp
+         FROM flat f1 JOIN flat f2 ON f1.i = f2.i
+         WHERE f1.vec_id < 5
+         GROUP BY 1, 2),
+scored AS (SELECT d.query_id, d.vec_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+           FROM dots d
+           JOIN norms n1 ON n1.vec_id = d.query_id
+           JOIN norms n2 ON n2.vec_id = d.vec_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 10""")),
+
+    // EX-06 scale path, stage 1: deterministic hyperplane LSH buckets.
+    Q("ann02_lsh_buckets",
+      (s, d) => Tables.embeddings(s, d).select(
+        col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 8, 64).as("bucket")),
+      Some(s"""WITH $planesSql,
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM fl JOIN planes USING (d) GROUP BY vec_id, p)
+SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id""")),
+
+    // EX-06 scale path, stage 2: approximate top-k restricted to the
+    // query's bucket. Approximate by construction → rows-only check.
+    Q("ann03_bucketed_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 50), 10)
+      },
+      None),
+
+    // Embedding-cosine near-dup pairs (blocked to vec_id < 300; the
+    // fixture vectors are i.i.d. random, so the threshold is set at 0.35
+    // to exercise a non-empty result).
+    Q("dd06_embed_neardup",
+      (s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.35, 300),
+      Some(s"""WITH ${flatCte("WHERE vec_id < 300")},
+dots AS (SELECT f1.vec_id AS id_a, f2.vec_id AS id_b, sum(f1.v * f2.v) AS dp
+         FROM flat f1 JOIN flat f2 ON f1.i = f2.i AND f1.vec_id < f2.vec_id
+         GROUP BY 1, 2)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT d.id_a, d.id_b, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+  FROM dots d
+  JOIN norms n1 ON n1.vec_id = d.id_a
+  JOIN norms n2 ON n2.vec_id = d.id_b) t
+WHERE cos_sim > 0.35""")),
+
+    // Multimodal: binary payload + metadata decode (dims are the STUB
+    // decoder's deterministic fake — see Multimodal.scala).
+    Q("mm01_decode_meta",
+      (s, d) => Multimodal.decodeMetaExpr(Multimodal.asBinary(Tables.documents(s, d))),
+      Some("""SELECT doc_id AS media_id,
+               'image/fake' AS media_type,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS checksum,
+               CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1856 + 64 AS width,
+               CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 1016 + 64 AS height
+              FROM documents""")),
+
+    // Multimodal: frame/window sampling over the payload bytes.
+    Q("mm02_frame_sample",
+      (s, d) => Multimodal.sampleFrames(Multimodal.asBinary(Tables.documents(s, d)), 256),
+      Some("""SELECT media_id, frame_no, CAST(frame_no * 256 AS BIGINT) AS byte_offset
+              FROM (SELECT doc_id AS media_id,
+                           unnest(generate_series(0, CAST(strlen(text) AS BIGINT) // 256)) AS frame_no
+                    FROM documents) t""")),
+  )
+}
