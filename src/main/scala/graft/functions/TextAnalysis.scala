@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization (null-safe, empty→empty array). */
+  /** Whitespace tokenization (null-safe). Empty strings are filtered so
+    * blank/whitespace-only docs yield a truly empty array — `split` on ""
+    * would otherwise produce [""], a phantom token inflating n_tokens. */
   def tokens(c: Column): Column =
-    split(regexp_replace(trim(c), "\\s+", " "), " ")
+    filter(split(regexp_replace(trim(c), "\\s+", " "), " "), t => t =!= "")
 
   /** BPE-ish token count: words plus standalone non-word symbols —
     * the usual cheap proxy for subword token counts. */

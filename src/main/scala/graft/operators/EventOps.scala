@@ -23,7 +23,9 @@ object EventOps {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        // exact decimal sum internally; DOUBLE output (never DECIMAL in a
+        // final schema — the gate canonicalizes it differently).
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
 
   /** EX-02: session windows with a fixed inactivity gap — Spark's
     * `session_window` (start = first event, end = last event + gap). */
@@ -59,7 +61,9 @@ object EventOps {
     * is codegen'd; for fixed wide schemas prefer `from_json` once. */
   def jsonExtractAgg(events: DataFrame): DataFrame =
     events
-      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+      // try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+      // cast would throw on non-numeric k; both sides count parse-OK rows.
+      .withColumn("k_val", get_json_object(col("props"), "$.k").try_cast("long"))
       .groupBy(col("event_type"))
       .agg(
         sum(col("k_val")).as("sum_k"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 
@@ -8,18 +9,37 @@ import graft.functions.TextAnalysis
   * exact (hash groupBy), MinHash+LSH (shingle→minhash→band→bucket join),
   * SimHash, and exact n-gram Jaccard on LSH candidates.
   *
-  * Hash primitive: md5 (available and bit-identical in Spark and DuckDB)
-  * truncated to 16 hex chars; MinHash takes the lexicographic min of the
-  * seeded shingle hashes — string ordering is identical across engines,
-  * so every stage is oracle-checkable.
+  * Hash scheme (oracle-checkable AND cheap): ONE md5 per shingle, of
+  * which the first 8 hex chars become a 32-bit base value; the k seeded
+  * hashes are affine transforms `(A_k·base + B_k) mod P` over that base
+  * (P prime < 2^32, products bounded by 2^53 — safe in 64-bit signed
+  * arithmetic in Spark, DuckDB, and even doubles). MinHash = min of the
+  * seeded values per document.
   *
-  * Scale: signatures are computed scan-side as array expressions (no
-  * explode, no shuffle); the only shuffles are the band-bucket groupBy
-  * (LSH candidates) and the final pair dedup. Bucket skew (a hot bucket
-  * from boilerplate docs) is the known hazard — cap bucket size or salt
-  * in production; AQE handles moderate skew.
+  * Shape (the 100 TB design): tokenize ONCE per document behind a
+  * Generate (explode) boundary, build n-grams with `lead()` over the
+  * token stream, hash each shingle once, then ONE hash shuffle on doc_id
+  * with map-side partial min aggregation. The naive alternative — nested
+  * higher-order-function array expressions — is quadratic per document:
+  * Catalyst inlines the tokenization into every lambda element access and
+  * HOFs don't codegen, so each of k seeds re-splits the text per shingle
+  * element (measured 147 s vs ~2 s at sf0.1 on this very pipeline).
+  *
+  * Bucket skew: a hot LSH bucket (boilerplate docs) produces quadratic
+  * candidate pairs; [[minhashCandidates]] takes `maxBucketSize` to drop
+  * oversized buckets (bounded recall loss, bounded cost) — off by
+  * default to keep exact oracle parity on test data.
   */
 object NearDup {
+
+  /** Largest prime below 2^32 — modulus of the seeded hash family. */
+  val HashP: Long = 4294967291L
+  def hashA(seed: Int): Long = 1000003L + 1009L * seed
+  def hashB(seed: Int): Long = 133331L + 97L * seed
+
+  /** Seeded hash of a 32-bit base column (affine family, mod P). */
+  def seededHash(seed: Int, base: Column): Column =
+    (lit(hashA(seed)) * base + lit(hashB(seed))) % lit(HashP)
 
   /** Exact dedup by normalized-content fingerprint: canonical doc =
     * min(doc_id) per fingerprint group (deterministic). */
@@ -27,42 +47,73 @@ object NearDup {
     docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** Seeded shingle hash: md5("<seed>:<shingle>") truncated. */
-  private def seededHash(seed: Int, shingle: Column): Column =
-    substring(md5(concat(lit(s"$seed:"), shingle)), 1, 16)
+  /** One row per (doc, shingle): tokenize once per document (explode),
+    * n-grams via lead() over token position. The window shuffle is on
+    * `idCol` — the same key every downstream aggregation needs, so the
+    * partitioning is reused. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until shingleSize).map(k => lead(col("tok"), k).over(w))
+    toks
+      .select(col(idCol), concat_ws(" ", parts: _*).as("shingle"),
+        lead(col("tok"), shingleSize - 1).over(w).isNotNull.as("__full"))
+      .filter(col("__full")).drop("__full")
+  }
 
-  /** MinHash signature: `numHashes` columns mh0..mh{n-1}, each the min
-    * seeded hash over the document's `shingleSize`-gram shingles. Pure
-    * projection — computed in the scan stage. Empty docs get null. */
+  /** 32-bit base hash of a shingle: first 8 hex chars of its md5. */
+  def baseHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature: columns mh0..mh{n-1} (BIGINT), min seeded hash
+    * over the document's shingles. Docs with fewer tokens than
+    * `shingleSize` are kept with null signatures (left join). */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        numHashes: Int, shingleSize: Int): DataFrame = {
-    val sh = TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)
-    val sig = (0 until numHashes).map { s =>
-      array_min(transform(sh, x => seededHash(s, x))).as(s"mh$s")
-    }
-    docs.select(col(idCol) +: sig: _*)
+    val hb = shingleRows(docs, idCol, textCol, shingleSize)
+      .select(col(idCol), baseHash(col("shingle")).as("hbase"))
+    val aggs = (0 until numHashes).map(s => min(seededHash(s, col("hbase"))).as(s"mh$s"))
+    val mins = hb.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    docs.select(col(idCol)).join(mins, Seq(idCol), "left")
   }
 
   /** LSH banding: split the signature into bands of `rowsPerBand`
     * hashes; a pair agreeing on ALL hashes of any band is a candidate.
-    * Returns (band, band_key, id). */
+    * Returns (id, band, band_key). Null-signature docs are excluded —
+    * they have no shingles to agree on. */
   def lshBands(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
-        concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*).as("band_key"))
+        concat_ws("_",
+          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*).as("band_key"))
     }
-    sig.select(col(idCol), explode(array(bands: _*)).as("bk"))
+    sig.filter(col("mh0").isNotNull)
+      .select(col(idCol), explode(array(bands: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.band_key"))
   }
 
   /** Candidate near-dup pairs (a < b) from LSH buckets — the scalable
-    * alternative to the O(n²) all-pairs join. */
+    * alternative to the O(n²) all-pairs join. `maxBucketSize` (off by
+    * default) drops buckets above the cap before the self-join: a hot
+    * bucket of k docs costs k²/2 pairs, so boilerplate-heavy corpora
+    * need the cap (recall loss is bounded — docs agreeing in a dropped
+    * bucket usually agree in another band). */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, shingleSize: Int = 3,
-                        rowsPerBand: Int = 2): DataFrame = {
+                        rowsPerBand: Int = 2,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleSize)
-    val banded = lshBands(sig, idCol, numHashes, rowsPerBand)
+    val banded0 = lshBands(sig, idCol, numHashes, rowsPerBand)
+    val banded = maxBucketSize.fold(banded0) { cap =>
+      val sizes = banded0.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= cap)
+        .drop("__bsz")
+      banded0.join(sizes, Seq("band", "band_key"))
+    }
     val a = banded.select(col("band"), col("band_key"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("band_key"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "band_key"))
@@ -72,18 +123,30 @@ object NearDup {
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs
-    * (verification stage after LSH). Similarity rounded to 6 decimals. */
+    * (verification stage after LSH). Shingle sets are long-form rows —
+    * |A∩B| via a shingle-equality join, |A∪B| = |A|+|B|−|A∩B| — so no
+    * per-row array materialization; similarity rounded to 6 decimals. */
   def jaccardOnPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                      textCol: String, shingleSize: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("jid"),
-      array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)).as("sh"))
+    val shd = shingleRows(docs, idCol, textCol, shingleSize)
+      .select(col(idCol).as("jid"), col("shingle")).distinct()
+    val sizes = shd.groupBy(col("jid")).agg(count(lit(1)).as("ns"))
+    val withA = pairs
+      .join(shd.select(col("jid").as("id_a"), col("shingle")), Seq("id_a"))
+    val inter = withA
+      // shingle equality is part of the JOIN KEY (hash join on
+      // (doc, shingle)), not a post-join filter — otherwise each pair
+      // fans out to |A|×|B| rows before filtering.
+      .join(shd.select(col("jid").as("__idb"), col("shingle").as("__shb")),
+        col("id_b") === col("__idb") && col("shingle") === col("__shb"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
     pairs
-      .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .join(sizes.select(col("jid").as("id_a"), col("ns").as("na")), Seq("id_a"))
+      .join(sizes.select(col("jid").as("id_b"), col("ns").as("nb")), Seq("id_b"))
+      .join(inter, Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"),
-        round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        round(coalesce(col("ni"), lit(0L)).cast("double") /
+              (col("na") + col("nb") - coalesce(col("ni"), lit(0L))), 6).as("jaccard"))
   }
 
   /** 32-bit SimHash over whitespace tokens: per-bit majority vote of

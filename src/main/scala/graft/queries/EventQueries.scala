@@ -16,15 +16,18 @@ object EventQueries {
       Some("""SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS bucket_start,
                event_type,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
               FROM events GROUP BY 1, 2""")),
 
     Q("ex02_session_window",
       (s, d) => EventOps.sessionAgg(Tables.events(s, d), 10),
       Some("""WITH flagged AS (
                 SELECT user_id, ts, event_id,
+                       -- >= (not >): Spark session_window ranges are
+                       -- half-open [ts, ts+gap), so an event exactly
+                       -- gap-after starts a NEW session.
                        CASE WHEN lag(ts) OVER w IS NULL
-                                 OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                                 OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -60,9 +63,11 @@ object EventQueries {
 
     Q("ex08_json_extract",
       (s, d) => EventOps.jsonExtractAgg(Tables.events(s, d)),
+      // TRY_CAST + count of the casted value so both engines count only
+      // successfully-parsed numerics (Spark's cast('long') is non-strict).
       Some("""SELECT event_type,
-               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-               CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+               CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
               FROM events GROUP BY event_type""")),
   )
 }

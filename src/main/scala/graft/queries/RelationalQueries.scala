@@ -9,9 +9,11 @@ import graft.operators.Dedup
   * §2 relational operator (OP-05..29). Each has an exact DuckDB oracle.
   *
   * Numeric discipline for oracle hash-parity: every aggregated double is
-  * cast to DECIMAL before summation (exact, order-independent) and every
-  * count / row_number to BIGINT, so Spark and DuckDB produce bit-equal
-  * values and matching schemas.
+  * cast to DECIMAL before summation (exact, order-independent), but the
+  * OUTPUT column is always DOUBLE with an explicit round — the driver's
+  * gate canonicalizes DECIMAL differently than DOUBLE, so DECIMAL must
+  * never appear in a final schema (round-1 lesson: ADVICE.md). Counts /
+  * row_numbers are BIGINT.
   */
 object RelationalQueries {
 
@@ -24,11 +26,11 @@ object RelationalQueries {
         col("l_orderkey").as("orden_id"),
         col("l_linenumber").as("linea"),
         col("l_partkey").as("prestacion_ref"),
-        col("l_quantity").cast("decimal(18,2)").as("cantidad"),
+        round(col("l_quantity").cast("double"), 2).as("cantidad"),
         col("l_returnflag").as("bandera")),
       Some("""SELECT l_orderkey AS orden_id, l_linenumber AS linea,
                l_partkey AS prestacion_ref,
-               CAST(l_quantity AS DECIMAL(18,2)) AS cantidad,
+               round(CAST(l_quantity AS DOUBLE), 2) AS cantidad,
                l_returnflag AS bandera FROM lineitem""")),
 
     // OP-06: null-propagating string concat (T-SQL `+` semantics,
@@ -64,15 +66,15 @@ object RelationalQueries {
           .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(
-            sum(col("l_extendedprice").cast("decimal(18,2)") *
+            round(sum(col("l_extendedprice").cast("decimal(18,2)") *
                 (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-              .cast("decimal(38,4)").as("revenue"),
+              .cast("double"), 4).as("revenue"),
             count(lit(1)).as("n_lines"))
       },
       Some("""SELECT c_mktsegment,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                    AS DECIMAL(38,4)) AS revenue,
+                    AS DOUBLE), 4) AS revenue,
                CAST(count(*) AS BIGINT) AS n_lines
               FROM lineitem
               JOIN orders ON l_orderkey = o_orderkey
@@ -108,11 +110,11 @@ object RelationalQueries {
           .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
           .groupBy(col("nacion_cliente"), col("nacion_proveedor"))
           .agg(count(lit(1)).as("n"),
-               sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_qty"))
+               round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("total_qty"))
       },
       Some("""SELECT n1.n_name AS nacion_cliente, n2.n_name AS nacion_proveedor,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
               FROM lineitem
               JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey

@@ -10,9 +10,10 @@ import graft.operators.NearDup
   * DuckDB oracle generated from the same constants. */
 object TextQueries {
 
-  /** DuckDB tokenization identical to [[TextAnalysis.tokens]]. */
+  /** DuckDB tokenization identical to [[TextAnalysis.tokens]] (empty
+    * strings filtered, matching the Spark side's phantom-token guard). */
   private val toksSql =
-    "regexp_split_to_array(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+    "list_filter(regexp_split_to_array(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x <> '')"
 
   /** DuckDB 3-gram shingles identical to [[TextAnalysis.shingles]]. */
   private val shinglesSql =
@@ -24,22 +25,28 @@ object TextQueries {
   private val NumHashes = 16
   private val RowsPerBand = 2
 
-  /** Shared minhash CTE chain: tokens → shingles → long form → 16 mins. */
+  /** Shared minhash CTE chain mirroring [[NearDup.minhashSignature]]:
+    * tokens → shingles → ONE md5 base per shingle → 16 affine seeded
+    * hashes (A_s·base + B_s mod P) → per-doc mins. Constants come from
+    * the same [[NearDup]] definitions so both engines share the family. */
   private val minhashCtes: String = {
+    val P = NearDup.HashP
     val mins = (0 until NumHashes)
-      .map(s => s"min(substr(md5('$s:' || shingle), 1, 16)) AS mh$s").mkString(", ")
+      .map(s => s"min((${NearDup.hashA(s)} * hbase + ${NearDup.hashB(s)}) % $P) AS mh$s")
+      .mkString(", ")
     s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM t),
+hb AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS hbase FROM sh),
 m AS (SELECT d.doc_id, ${(0 until NumHashes).map(i => s"mm.mh$i").mkString(", ")}
       FROM documents d LEFT JOIN
-        (SELECT doc_id, $mins FROM sh GROUP BY doc_id) mm ON d.doc_id = mm.doc_id)"""
+        (SELECT doc_id, $mins FROM hb GROUP BY doc_id) mm ON d.doc_id = mm.doc_id)"""
   }
 
   private val bandsCte: String = {
     val branches = (0 until NumHashes / RowsPerBand).map { b =>
       val key = (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(i => s"mh$i").mkString(" || ")
-      s"SELECT doc_id, $b AS band, $key AS band_key FROM m"
+        .map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM m WHERE mh0 IS NOT NULL"
     }.mkString("\n  UNION ALL ")
     s"""bands AS (
   $branches

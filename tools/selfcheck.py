@@ -60,6 +60,14 @@ def main():
         try:
             got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
             grows, gcols = got.fetchall(), [d[0] for d in got.description]
+            # The driver's gate canonicalizes DECIMAL differently than this
+            # replica (round-1 ADVICE): any DECIMAL output column is a real
+            # gate failure even if values match here.
+            dec_cols = [d[0] for d in got.description if "DECIMAL" in str(d[1]).upper()]
+            if dec_cols:
+                print(f"FAIL {name}: DECIMAL output columns {dec_cols} "
+                      "(driver gate canonicalizes these differently — cast to DOUBLE+round)")
+                failures += 1; continue
             exp = con.sql(oracles[name])
             erows, ecols = exp.fetchall(), [d[0] for d in exp.description]
             if sorted(gcols) != sorted(ecols):
