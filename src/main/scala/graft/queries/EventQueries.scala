@@ -23,11 +23,11 @@ object EventQueries {
       (s, d) => EventOps.sessionAgg(Tables.events(s, d), 10),
       Some("""WITH flagged AS (
                 SELECT user_id, ts, event_id,
-                       -- >= (not >): Spark session_window ranges are
-                       -- half-open [ts, ts+gap), so an event exactly
-                       -- gap-after starts a NEW session.
+                       -- strict >: Spark session_window MERGES an event
+                       -- exactly gap-after the previous one (closed
+                       -- boundary — pinned empirically in EventOpsSpec).
                        CASE WHEN lag(ts) OVER w IS NULL
-                                 OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                                 OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

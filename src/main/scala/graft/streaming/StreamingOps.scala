@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming variants of the batch event operators
+  * ([[graft.operators.EventOps]]) — same semantics under a watermark
+  * (SURVEY EX-01..03 streaming forms), plus a custom stateful
+  * sessionizer built on `flatMapGroupsWithState` for semantics the
+  * built-in `session_window` can't express (per-session event counts
+  * with custom merge state, emitted exactly once on watermark close).
+  *
+  * Scale: state is per-key and bounded (open sessions only); watermark
+  * eviction keeps the state store from growing with stream length. All
+  * aggregations are incremental — no batch re-scan.
+  */
+object StreamingOps {
+
+  /** Typed event row for the stateful operators. */
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  /** A closed session (emitted once, append-mode). */
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long)
+
+  /** Open-session state: epoch-ms bounds + event count. */
+  private[streaming] case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** EX-01 streaming: tumbling window aggregation under a watermark.
+    * Same output shape as the batch [[graft.operators.EventOps.tumblingAgg]];
+    * append-mode emission happens when the watermark passes window end. */
+  def tumblingAgg(events: DataFrame, minutes: Int, watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), s"$minutes minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** EX-02 streaming: built-in session windows under a watermark. */
+  def sessionAgg(events: DataFrame, gapMinutes: Int, watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window").getField("start").as("session_start"),
+        col("session_window").getField("end").as("session_end"),
+        col("n_events"))
+
+  /** EX-03 streaming: keyed dedup with bounded state — duplicates are
+    * dropped as long as they arrive within the watermark delay of the
+    * first occurrence; state for older keys is evicted. */
+  def dedupEvents(events: DataFrame, watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom stateful sessionization: per-user open sessions merged with
+    * the same closed-boundary gap rule as `session_window` (an event
+    * exactly gap-after the previous one merges — pinned in
+    * EventOpsSpec), emitted exactly once when the watermark passes
+    * session end. State per key = open sessions only. */
+  def statefulSessions(events: Dataset[Ev], gapMinutes: Int,
+                       watermarkDelay: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[OpenSession], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[List[OpenSession]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val existing = state.getOption.getOrElse(Nil)
+          val merged = mergeAll(existing, it.map(_.ts.getTime).toList, gapMs)
+          // A session is closed once the watermark is strictly past its
+          // end: a new event at exactly session end would still merge.
+          val (closed, open) = merged.partition(s => s.last + gapMs < wm)
+          if (open.nonEmpty) {
+            state.update(open)
+            state.setTimeoutTimestamp(math.max(open.map(_.last + gapMs).min, wm + 1))
+          } else state.remove()
+          closed.iterator.map(s =>
+            Session(uid, new Timestamp(s.start), new Timestamp(s.last + gapMs), s.n))
+      }
+  }
+
+  /** Merge sorted-by-start open sessions with a batch of event times
+    * under the closed-boundary gap rule (`next <= last + gap` merges). */
+  private[streaming] def mergeAll(sessions: List[OpenSession], eventTs: List[Long],
+                                  gapMs: Long): List[OpenSession] = {
+    val units = sessions ++ eventTs.map(t => OpenSession(t, t, 1L))
+    units.sortBy(_.start)
+      .foldLeft(List.empty[OpenSession]) { (acc, u) =>
+        acc match {
+          case prev :: rest if u.start <= prev.last + gapMs =>
+            OpenSession(prev.start, math.max(prev.last, u.last), prev.n + u.n) :: rest
+          case _ => u :: acc
+        }
+      }.reverse
+  }
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(s: String): Seq[String] =
+    Seq(s).toDF("t").select(TextAnalysis.tokens(col("t")).as("r"))
+      .as[Seq[String]].collect().head
+
+  test("tokens: whitespace runs collapse; blank input yields EMPTY array") {
+    assert(toks("  a   b\tc ") == Seq("a", "b", "c"))
+    assert(toks("") == Seq.empty)
+    assert(toks("   \t ") == Seq.empty)
+    assert(toks("solo") == Seq("solo"))
+  }
+
+  test("shingles: n-grams in order; short docs yield empty") {
+    def sh(s: String, n: Int): Seq[String] =
+      Seq(s).toDF("t")
+        .select(TextAnalysis.shingles(TextAnalysis.tokens(col("t")), n).as("r"))
+        .as[Seq[String]].collect().head
+    assert(sh("a b c d", 3) == Seq("a b c", "b c d"))
+    assert(sh("a b", 3) == Seq.empty)
+    assert(sh("a b", 2) == Seq("a b"))
+  }
+
+  test("langIdHeuristic detects stopword-dominant language, und otherwise") {
+    val df = Seq(
+      "the cat sat on the mat and the dog",
+      "el perro y la casa de los gatos",
+      "der Hund und die Katze mit der Maus",
+      "zzz qqq xxx").toDF("t")
+      .select(TextAnalysis.langIdHeuristic(col("t")).as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive, content-sensitive") {
+    val fp = Seq(("  Hello   World ", 1), ("hello world", 2), ("hello worlds", 3))
+      .toDF("t", "i")
+      .select(TextAnalysis.fingerprint(col("t")).as("f")).as[String].collect()
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2))
+    assert(fp(0).length == 16)
+  }
+
+  test("qualityMetrics: counts, ttr, mean token length") {
+    val row = Seq("aa bb aa cccc").toDF("text")
+      .select(TextAnalysis.qualityMetrics(col("text")): _*).collect().head
+    assert(row.getInt(0) == 4)            // n_tokens
+    assert(row.getInt(1) == 3)            // n_uniq_tokens
+    assert(row.getDouble(2) == 0.75)      // ttr
+    assert(row.getDouble(3) == 2.5)       // mean_token_len
+  }
+}

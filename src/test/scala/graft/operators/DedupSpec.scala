@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    ("d1", "2026-01-03", 7L, "newest"),
+    ("d1", "2026-01-01", 3L, "oldest"),
+    ("d1", "2026-01-03", 5L, "tie-lower-id"),
+    ("d2", "2026-01-02", 9L, "only"),
+  ).toDF("documento", "fecha", "turno_id", "tag")
+
+  test("firstWins: pinned total order decides the winner deterministically") {
+    val out = Dedup.firstWins(rows, Seq("documento"),
+      Seq(col("fecha").desc, col("turno_id").asc))
+      .select("documento", "tag").as[(String, String)].collect().toMap
+    assert(out == Map("d1" -> "tie-lower-id", "d2" -> "only"))
+  }
+
+  test("firstWins is idempotent") {
+    val order = Seq(col("fecha").desc, col("turno_id").asc)
+    val once = Dedup.firstWins(rows, Seq("documento"), order)
+    val twice = Dedup.firstWins(once, Seq("documento"), order)
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("denseId assigns 1..N in order") {
+    val out = Dedup.denseId(rows, Seq(col("turno_id").asc), "id")
+      .select("id", "turno_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((1L, 3L), (2L, 5L), (3L, 7L), (4L, 9L)))
+  }
+
+  test("denseIdScalable produces identical ids to denseId on a total order") {
+    val big = (1L to 1000L).map(i => ((i * 7919) % 1000, i)).toDF("k", "v")
+    val order = Seq(col("k").asc, col("v").asc)
+    val a = Dedup.denseId(big, order, "id").select("id", "v")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val b = Dedup.denseIdScalable(big, order, "id").select("id", "v")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("distinctTrimmed dedups on trimmed value and drops nulls") {
+    val df = Seq("  x ", "x", "y", null).toDF("c")
+    val out = Dedup.distinctTrimmed(df, "c", "v").as[String].collect().sorted.toSeq
+    assert(out == Seq("x", "y"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    (1L, ts("2026-01-01 10:00:00"), 100L, "click", 1.0, """{"k": 7}"""),
+    (2L, ts("2026-01-01 10:02:00"), 100L, "click", 2.0, """{"k": "oops"}"""),
+    (3L, ts("2026-01-01 10:07:30"), 100L, "view", 4.0, """{"x": 1}"""),
+    (4L, ts("2026-01-01 10:00:00"), 200L, "click", 8.0, null),
+    (5L, ts("2026-01-01 10:02:00"), 100L, "click", 16.0, """{"k": 3}"""),
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("tumblingAgg: epoch-aligned buckets, exact double totals") {
+    val out = EventOps.tumblingAgg(events, 5)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(("2026-01-01 10:00:00.0", "click")) == (4L, 27.0))
+    assert(out(("2026-01-01 10:05:00.0", "view")) == (1L, 4.0))
+  }
+
+  test("sessionAgg: exact-gap event MERGES (closed boundary), 1s over splits") {
+    // Pins Spark session_window boundary semantics (the ex02 oracle's
+    // strict `>` depends on this): an event exactly gap-after the
+    // previous one belongs to the SAME session; one second more splits.
+    val boundary = Seq(
+      (1L, ts("2026-01-01 09:00:00"), 1L, "a", 0.0, null.asInstanceOf[String]),
+      (2L, ts("2026-01-01 09:10:00"), 1L, "a", 0.0, null.asInstanceOf[String]), // exact gap
+      (3L, ts("2026-01-01 09:20:01"), 1L, "a", 0.0, null.asInstanceOf[String]), // gap + 1s
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.sessionAgg(boundary, 10).orderBy("session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(3) == 2L) // events 1,2 merge on the exact boundary
+    assert(out(0).getTimestamp(2) == ts("2026-01-01 09:20:00")) // end = last + gap
+    assert(out(1).getLong(3) == 1L) // event 3 starts a new session
+  }
+
+  test("dedupKeyed keeps earliest event per key with event_id tiebreak") {
+    val out = EventOps.dedupKeyed(events, Seq("user_id", "event_type"))
+      .select("event_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 4L)) // events 2,5 are later clicks of user 100
+  }
+
+  test("distinct exact vs approx: approx within rsd of exact") {
+    val exact = EventOps.distinctUsers(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("click" -> 2L, "view" -> 1L))
+    val approx = EventOps.approxDistinctUsers(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, v) => assert(math.abs(v - exact(k)) <= 1) }
+  }
+
+  test("jsonExtractAgg: non-numeric and absent k excluded from count and sum") {
+    val out = EventOps.jsonExtractAgg(events)
+      .collect().map(r => (r.getString(0), r.get(1), r.getLong(2))).toSet
+    assert(out.contains(("click", 10L, 2L))) // 7 + 3; "oops" and null props excluded
+    assert(out.contains(("view", null, 0L)))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),   // near dup of 1
+    (4L, "completely different content about spark engines here"),
+    (5L, "ab"),                                            // < shingleSize tokens
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical normalized content") {
+    val out = NearDup.exactDedup(docs, "doc_id", "text")
+      .orderBy("canonical_id").collect()
+    assert(out.length == 4)
+    val dup = out.find(_.getLong(1) == 1L).get
+    assert(dup.getLong(2) == 2L) // docs 1 and 2 share a fingerprint
+  }
+
+  test("minhashSignature: identical docs share signatures; short docs null") {
+    val sig = NearDup.minhashSignature(docs, "doc_id", "text", 8, 3)
+    assert(sig.count() == 5) // every doc kept, even the shingle-less one
+    val rows = sig.collect().map(r => r.getLong(0) -> r).toMap
+    (1 to 8).foreach { i =>
+      assert(rows(1L).get(i) == rows(2L).get(i), s"mh${i - 1} differs for exact dups")
+    }
+    assert(rows(5L).isNullAt(1), "short doc must have null signature")
+  }
+
+  test("shingleRows matches the array-based shingle definition") {
+    val rows = NearDup.shingleRows(docs.filter(col("doc_id") === 1L), "doc_id", "text", 3)
+      .select("shingle").as[String].collect().toSeq
+    assert(rows.take(2) == Seq("the quick brown", "quick brown fox"))
+    assert(rows.length == 7) // 9 tokens -> 7 shingles
+  }
+
+  test("minhashCandidates finds exact and near dups, not unrelated docs") {
+    val cand = NearDup.minhashCandidates(docs, "doc_id", "text", 16, 3, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccardOnPairs: exact dup = 1.0; disjoint = 0.0; known overlap") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = NearDup.jaccardOnPairs(docs, pairs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 4L)) == 0.0)
+    // 1 vs 3: 9 tokens, 7 shingles each, 4 shared ("jumps"->"leaps"
+    // breaks 3 shingles): J = 4 / (7+7-4) = 0.4
+    assert(j((1L, 3L)) == 0.4)
+  }
+
+  test("bucket cap drops oversized buckets") {
+    val many = (1L to 20L).map(i => (i, "same boilerplate text repeated here every time"))
+      .toDF("doc_id", "text")
+    val uncapped = NearDup.minhashCandidates(many, "doc_id", "text", 16, 3, 2)
+    assert(uncapped.count() == 20L * 19 / 2)
+    val capped = NearDup.minhashCandidates(many, "doc_id", "text", 16, 3, 2,
+      maxBucketSize = Some(10))
+    assert(capped.count() == 0)
+  }
+
+  test("simhash: identical docs equal; near dups within small hamming distance") {
+    val sh = NearDup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f)),
+    (2L, Array(1.0f, 1.0f, 0.0f)),
+    (3L, Array(2.0f, 0.0f, 0.0f)),
+  ).toDF("vec_id", "embedding")
+
+  test("dot / norm / cosine on known vectors") {
+    val r = vecs.filter(col("vec_id") === 2L)
+      .select(
+        Similarity.dot(col("embedding"), col("embedding")).as("d"),
+        Similarity.norm(col("embedding")).as("n"))
+      .collect().head
+    assert(r.getDouble(0) == 2.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(2)) < 1e-12)
+  }
+
+  test("cosine: orthogonal = 0, parallel = 1") {
+    val a = vecs.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = vecs.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val cos = a.crossJoin(b)
+      .select(col("ia"), col("ib"),
+        round(Similarity.cosine(col("ea"), col("eb")), 9).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cos((0L, 1L)) == 0.0)
+    assert(cos((0L, 3L)) == 1.0) // same direction, different magnitude
+    assert(cos((0L, 0L)) == 1.0)
+  }
+
+  test("bruteForceTopK is deterministic, self-ranked first, k-bounded") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L), 2)
+      .orderBy("rk").collect()
+    assert(out.length == 2)
+    // rank 1 ties (self cos=1 with vec 3); vec_id ASC tiebreak -> 0 first
+    assert(out(0).getLong(1) == 0L && out(1).getLong(1) == 3L)
+  }
+
+  test("lshBucket is deterministic and within [0, 2^planes)") {
+    val b1 = vecs.select(Similarity.lshBucket(col("embedding"), 4, 3).as("b"))
+      .as[Long].collect().toSeq
+    val b2 = vecs.select(Similarity.lshBucket(col("embedding"), 4, 3).as("b"))
+      .as[Long].collect().toSeq
+    assert(b1 == b2)
+    assert(b1.forall(b => b >= 0 && b < 16))
+  }
+
+  test("embeddingNearDup finds parallel vectors above threshold") {
+    val out = Similarity.embeddingNearDup(vecs, 0.99, 100)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.map(p => (p._1, p._2)) == Set((0L, 3L)))
+  }
+}

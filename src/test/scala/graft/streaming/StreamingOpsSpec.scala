@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import StreamingOps.Ev
+
+/** MemoryStream-driven specs: each op runs as a real streaming query
+  * with watermarks; a far-future sentinel event advances the watermark
+  * so append-mode results flush deterministically. */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private val farFuture = Ev(999L, ts("2026-06-01 00:00:00"), 999L, "sentinel", 0.0)
+
+  private def runStream[T](name: String)(build: MemoryStream[Ev] => org.apache.spark.sql.DataFrame)
+                          (batches: Seq[Seq[Ev]]): Array[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = build(input).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("streaming tumblingAgg matches batch semantics after watermark close") {
+    val events = Seq(
+      Ev(1L, ts("2026-01-01 10:00:00"), 1L, "click", 1.5),
+      Ev(2L, ts("2026-01-01 10:02:00"), 1L, "click", 2.5),
+      Ev(3L, ts("2026-01-01 10:07:00"), 2L, "view", 4.0))
+    val rows = runStream("t_tumble")(in =>
+      StreamingOps.tumblingAgg(in.toDF(), 5, "1 minute"))(
+      Seq(events, Seq(farFuture)))
+    val got = rows.map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.contains(("2026-01-01 10:00:00.0", "click", 2L, 4.0)))
+    assert(got.contains(("2026-01-01 10:05:00.0", "view", 1L, 4.0)))
+  }
+
+  test("streaming sessionAgg emits closed sessions with batch-equal bounds") {
+    val events = Seq(
+      Ev(1L, ts("2026-01-01 10:00:00"), 1L, "a", 0.0),
+      Ev(2L, ts("2026-01-01 10:10:00"), 1L, "a", 0.0), // exact gap: merges
+      Ev(3L, ts("2026-01-01 11:00:00"), 1L, "a", 0.0)) // separate session
+    val rows = runStream("t_sess")(in =>
+      StreamingOps.sessionAgg(in.toDF(), 10, "1 minute"))(
+      Seq(events, Seq(farFuture)))
+    val got = rows.filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3))).toSet
+    assert(got.contains(("2026-01-01 10:00:00.0", "2026-01-01 10:20:00.0", 2L)))
+    assert(got.contains(("2026-01-01 11:00:00.0", "2026-01-01 11:10:00.0", 1L)))
+  }
+
+  test("dedupEvents drops within-watermark duplicate event_ids") {
+    val events = Seq(
+      Ev(1L, ts("2026-01-01 10:00:00"), 1L, "a", 1.0),
+      Ev(1L, ts("2026-01-01 10:00:30"), 1L, "a", 1.0), // dup id
+      Ev(2L, ts("2026-01-01 10:01:00"), 1L, "a", 2.0))
+    val rows = runStream("t_dedup")(in =>
+      StreamingOps.dedupEvents(in.toDF(), "10 minutes"))(
+      Seq(events, Seq(farFuture)))
+    val ids = rows.map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 2L, 999L))
+  }
+
+  test("statefulSessions: closed-boundary merge, exactly-once emission on close") {
+    val events = Seq(
+      Ev(1L, ts("2026-01-01 10:00:00"), 1L, "a", 0.0),
+      Ev(2L, ts("2026-01-01 10:10:00"), 1L, "a", 0.0), // exact gap: merges
+      Ev(3L, ts("2026-01-01 10:25:00"), 1L, "a", 0.0), // > gap: new session
+      Ev(4L, ts("2026-01-01 10:05:00"), 2L, "b", 0.0))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.statefulSessions(input.toDS(), 10, "1 minute")
+      .writeStream.format("memory").queryName("t_state").outputMode("append").start()
+    try {
+      input.addData(events); q.processAllAvailable()
+      input.addData(Seq(farFuture)); q.processAllAvailable()
+      // one more batch so timeouts fired by the advanced watermark emit
+      input.addData(Seq(farFuture.copy(event_id = 1000L,
+        ts = ts("2026-06-01 01:00:00")))); q.processAllAvailable()
+      val got = spark.table("t_state").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+        .toSet
+      assert(got.contains((1L, "2026-01-01 10:00:00.0", "2026-01-01 10:20:00.0", 2L)))
+      assert(got.contains((1L, "2026-01-01 10:25:00.0", "2026-01-01 10:35:00.0", 1L)))
+      assert(got.contains((2L, "2026-01-01 10:05:00.0", "2026-01-01 10:15:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("mergeAll unit: merge rules and counts") {
+    import StreamingOps.{mergeAll, OpenSession}
+    val gap = 600000L // 10 min
+    val t0 = 0L
+    // exact-gap merges; gap+1ms splits
+    assert(mergeAll(Nil, List(t0, t0 + gap), gap) == List(OpenSession(t0, t0 + gap, 2)))
+    assert(mergeAll(Nil, List(t0, t0 + gap + 1), gap) ==
+      List(OpenSession(t0, t0, 1), OpenSession(t0 + gap + 1, t0 + gap + 1, 1)))
+    // out-of-order events + existing state bridge-merge
+    assert(mergeAll(List(OpenSession(t0 + gap * 2, t0 + gap * 2, 1)),
+      List(t0 + gap, t0), gap) == List(OpenSession(t0, t0 + gap * 2, 3)))
+  }
+}
