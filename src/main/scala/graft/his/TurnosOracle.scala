@@ -126,6 +126,24 @@ paciente AS (
 )"""
 
   val wideSql: String = s"WITH $wideCte SELECT * FROM wide"
+
+  /** OP-20: the unpivot stage alone (long-form prestaciones). */
+  val unpivotSql: String = s"WITH $wideCte,\n$longCte SELECT * FROM prest_long"
+
+  /** OP-13: the reference's repeated-dimension join — prestacion catalog
+    * LEFT-joined once per denormalized slot column. */
+  val repeatedDimJoinSql: String = {
+    val joins = (0 until n)
+      .map(k => s"LEFT JOIN prestacion p$k ON trim(w.prestacion$k) = p$k.nombre")
+      .mkString("\n")
+    val outs = (0 until n).map(k => s"p$k.id AS p$k").mkString(", ")
+    s"""WITH $wideCte,
+$longCte,
+$prestacionCte
+SELECT w.turno_id, $outs
+FROM wide w
+$joins"""
+  }
   val pacienteSql: String = s"WITH $wideCte,\n$pacienteCte SELECT * FROM paciente"
   val turnoSql: String =
     s"WITH $wideCte,\n$pacienteCte,\n$turnoCte SELECT * FROM turno"

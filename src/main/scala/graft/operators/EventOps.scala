@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics in batch form (SURVEY EX-01..04, EX-08).
@@ -56,6 +57,54 @@ object EventOps {
   def approxDistinctUsers(events: DataFrame, rsd: Double = 0.05): DataFrame =
     events.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+
+  /** EX-01b: sliding window aggregation — each event lands in
+    * windowLen/slide buckets (Spark's `window()` with a slide emits one
+    * row per covering window; still a single hash shuffle). */
+  def slidingAgg(events: DataFrame, windowMinutes: Int, slideMinutes: Int): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), s"$windowMinutes minutes", s"$slideMinutes minutes")
+          .getField("start").as("bucket_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
+
+  /** As-of join: for each left row, the LATEST right row with
+    * right.ts <= left.ts for the same key (null when none).
+    *
+    * Implemented as union + last-non-null carry-forward window — ONE
+    * shuffle on the key, no range-join row explosion: the classic
+    * scalable as-of shape (a range join is O(|L|·|R|) per key; this is
+    * O((|L|+|R|) log) via the window sort). Right rows sort BEFORE left
+    * rows at equal ts, so an exactly-simultaneous right row matches
+    * (<= semantics, like an ASOF JOIN's ts >= condition).
+    *
+    * `payloadCols` of the right side are exposed as `<prefix><col>`;
+    * right side should be unique per (key, ts) for a deterministic
+    * result — pre-aggregate if not. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               payloadCols: Seq[String], prefix: String = "r_"): DataFrame = {
+    val rPrep = right.select(
+      col(key), col(tsCol), lit(1).as("__r"),
+      struct(col(tsCol).as("__pts") +: payloadCols.map(col): _*).as("__payload"))
+    val pType = rPrep.schema("__payload").dataType
+    val lPrep = left
+      .withColumn("__r", lit(0))
+      .withColumn("__payload", lit(null).cast(pType))
+    val unioned = lPrep.unionByName(rPrep, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__asof",
+      last(col("__payload"), ignoreNulls = true).over(w))
+    val expanded = carried.filter(col("__r") === 0)
+      .withColumn(s"$prefix$tsCol", col("__asof.__pts"))
+    payloadCols.foldLeft(expanded) { (df, c) =>
+      df.withColumn(s"$prefix$c", col(s"__asof.$c"))
+    }.drop("__r", "__payload", "__asof")
+  }
 
   /** EX-08: JSON field extraction from a string column. `get_json_object`
     * is codegen'd; for fixed wide schemas prefer `from_json` once. */

@@ -149,6 +149,22 @@ object NearDup {
               (col("na") + col("nb") - coalesce(col("ni"), lit(0L))), 6).as("jaccard"))
   }
 
+  /** One-step canonical assignment from verified near-dup pairs: each
+    * doc's canonical id = min over itself and its neighbors with
+    * similarity ≥ threshold. (One label-propagation step — the common
+    * dedup policy when clusters are shallow; iterate to a fixpoint for
+    * full connected components.) */
+  def neardupGroups(docs: DataFrame, jaccardPairs: DataFrame, idCol: String,
+                    threshold: Double): DataFrame = {
+    val strong = jaccardPairs.filter(col("jaccard") >= threshold)
+    val nbr = strong.select(col("id_a").as(idCol), col("id_b").as("nbr"))
+      .unionAll(strong.select(col("id_b").as(idCol), col("id_a").as("nbr")))
+    docs.select(col(idCol)).join(nbr, Seq(idCol), "left")
+      .groupBy(col(idCol)).agg(min(col("nbr")).as("__mn"))
+      .select(col(idCol),
+        least(col(idCol), coalesce(col("__mn"), col(idCol))).as("canonical_id"))
+  }
+
   /** 32-bit SimHash over whitespace tokens: per-bit majority vote of
     * token hashes (bit set when strictly more weighted-ones than zeros).
     * Computed via explode + 32 conditional sums — one shuffle. */

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.EventOps
 
@@ -60,6 +61,34 @@ object EventQueries {
     Q("ex04_distinct_approx",
       (s, d) => EventOps.approxDistinctUsers(Tables.events(s, d)),
       None),
+
+    // EX-01b: sliding windows (10 min window, 5 min slide — each event
+    // lands in exactly two buckets).
+    Q("ex06_sliding_window",
+      (s, d) => EventOps.slidingAgg(Tables.events(s, d), 10, 5),
+      Some("""SELECT make_timestamp(((epoch_us(ts) // 300000000) - k) * 300000000) AS bucket_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+              FROM events, (SELECT unnest(generate_series(0, 1)) AS k) ks
+              GROUP BY 1, 2""")),
+
+    // As-of join: each view matched to the user's latest click at-or-
+    // before it (union + carry-forward window vs DuckDB's native ASOF).
+    Q("ex05_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "value")
+        EventOps.asofJoin(views, clicks, "user_id", "ts", Seq("value"), "click_")
+      },
+      Some("""WITH clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+                   views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+              SELECT v.event_id, v.user_id, v.ts, c.ts AS click_ts, c.value AS click_value
+              FROM views v ASOF LEFT JOIN clicks c
+                ON v.user_id = c.user_id AND v.ts >= c.ts""")),
 
     Q("ex08_json_extract",
       (s, d) => EventOps.jsonExtractAgg(Tables.events(s, d)),

@@ -1,6 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.his.{TurnosOracle, TurnosPipeline}
+import graft.operators.Reshape
 
 /** The full reference pipeline, staged as oracle-checked queries:
   * wide extract (OP-05..13, OP-18) → paciente (OP-15/19/26/29) →
@@ -25,6 +27,24 @@ object HisQueries {
       (s, d) => TurnosPipeline.prestacion(
         TurnosPipeline.prestacionLong(TurnosPipeline.wideExtract(s, d))),
       Some(TurnosOracle.prestacionSql)),
+    // OP-20: the unpivot/melt stage in isolation (wide slots → long).
+    Q("op20_unpivot",
+      (s, d) => TurnosPipeline.prestacionLong(TurnosPipeline.wideExtract(s, d)),
+      Some(TurnosOracle.unpivotSql)),
+
+    // OP-13: same dim joined once per denormalized FK column (11×),
+    // broadcast once + reused; ≡ unpivot-then-join (ReshapeSpec).
+    Q("op13_repeated_dim_join",
+      (s, d) => {
+        val wide = TurnosPipeline.wideExtract(s, d)
+        val dim = TurnosPipeline.prestacion(TurnosPipeline.prestacionLong(wide))
+        val slots = (0 until TurnosPipeline.nSlots).map(k => s"prestacion$k")
+        Reshape.repeatedDimJoin(wide, dim, "nombre", "id", slots, "p")
+          .select(col("turno_id") +:
+            (0 until TurnosPipeline.nSlots).map(k => col(s"p$k")): _*)
+      },
+      Some(TurnosOracle.repeatedDimJoinSql)),
+
     Q("his_prestacion_x_turno",
       (s, d) => {
         val wide = TurnosPipeline.wideExtract(s, d)

@@ -42,6 +42,24 @@ m AS (SELECT d.doc_id, ${(0 until NumHashes).map(i => s"mm.mh$i").mkString(", ")
         (SELECT doc_id, $mins FROM hb GROUP BY doc_id) mm ON d.doc_id = mm.doc_id)"""
   }
 
+  /** Exact-Jaccard verification CTEs over the LSH candidates (shared by
+    * dd04 and dd07): long-form shingle sets, |A∩B| via equality join,
+    * |A∪B| = |A|+|B|−|A∩B|. */
+  private val jaccardCtes: String =
+    """shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS ns FROM shd GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+          FROM cand c
+          JOIN shd sa ON sa.doc_id = c.id_a
+          JOIN shd sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+          GROUP BY c.id_a, c.id_b),
+jac AS (SELECT c.id_a, c.id_b,
+               round(CAST(coalesce(i.ni, 0) AS DOUBLE) / (za.ns + zb.ns - coalesce(i.ni, 0)), 6) AS jaccard
+        FROM cand c
+        JOIN sizes za ON za.doc_id = c.id_a
+        JOIN sizes zb ON zb.doc_id = c.id_b
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b)"""
+
   private val bandsCte: String = {
     val branches = (0 until NumHashes / RowsPerBand).map { b =>
       val key = (b * RowsPerBand until (b + 1) * RowsPerBand)
@@ -142,19 +160,42 @@ cand AS (
       },
       Some(s"""WITH $minhashCtes,
 $bandsCte,
-shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
-sizes AS (SELECT doc_id, count(*) AS ns FROM shd GROUP BY doc_id),
-inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
-          FROM cand c
-          JOIN shd sa ON sa.doc_id = c.id_a
-          JOIN shd sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
-          GROUP BY c.id_a, c.id_b)
-SELECT c.id_a, c.id_b,
-       round(CAST(coalesce(i.ni, 0) AS DOUBLE) / (za.ns + zb.ns - coalesce(i.ni, 0)), 6) AS jaccard
-FROM cand c
-JOIN sizes za ON za.doc_id = c.id_a
-JOIN sizes zb ON zb.doc_id = c.id_b
-LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b""")),
+$jaccardCtes
+SELECT id_a, id_b, jaccard FROM jac""")),
+
+    // Canonical near-dup group assignment: min over self + strong
+    // neighbors (jaccard ≥ 0.5) — one label-propagation step.
+    Q("dd07_neardup_groups",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val jac = NearDup.jaccardOnPairs(docs,
+          NearDup.minhashCandidates(docs, "doc_id", "text", NumHashes, 3, RowsPerBand),
+          "doc_id", "text", 3)
+        NearDup.neardupGroups(docs, jac, "doc_id", 0.5)
+      },
+      Some(s"""WITH $minhashCtes,
+$bandsCte,
+$jaccardCtes,
+nbr AS (
+  SELECT id_a AS doc_id, id_b AS nbr FROM jac WHERE jaccard >= 0.5
+  UNION ALL
+  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(n.nbr), d.doc_id)) AS canonical_id
+FROM documents d LEFT JOIN nbr n ON d.doc_id = n.doc_id
+GROUP BY d.doc_id""")),
+
+    // Bigram (2-gram shingle) frequency — n-gram analysis over the
+    // corpus via the shared shingle pipeline.
+    Q("tx05_bigram_freq",
+      (s, d) => NearDup.shingleRows(Tables.documents(s, d), "doc_id", "text", 2)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+        .withColumnRenamed("shingle", "bigram"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+b AS (SELECT unnest(list_transform(generate_series(1, len(toks)-1),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bigram""")),
 
     // SimHash (32-bit, per-bit majority of token hashes).
     Q("dd05_simhash",

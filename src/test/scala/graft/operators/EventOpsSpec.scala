@@ -58,6 +58,42 @@ class EventOpsSpec extends SparkSpec {
     approx.foreach { case (k, v) => assert(math.abs(v - exact(k)) <= 1) }
   }
 
+  test("slidingAgg: each event lands in exactly windowLen/slide buckets") {
+    val out = EventOps.slidingAgg(events, 10, 5)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // clicks at 10:00, 10:02, 10:02 fall in [09:55,10:05) and [10:00,10:10)
+    assert(out(("2026-01-01 09:55:00.0", "click")) == (4L, 27.0))
+    assert(out(("2026-01-01 10:00:00.0", "click")) == (4L, 27.0))
+    // view at 10:07:30 falls in [10:00,10:10) and [10:05,10:15)
+    assert(out(("2026-01-01 10:00:00.0", "view")) == (1L, 4.0))
+    assert(out(("2026-01-01 10:05:00.0", "view")) == (1L, 4.0))
+    assert(out.size == 4)
+  }
+
+  test("asofJoin: latest right at-or-before left ts; null when none") {
+    val left = Seq(
+      (10L, 1L, ts("2026-01-01 10:05:00")),
+      (11L, 1L, ts("2026-01-01 10:00:00")), // exactly simultaneous right
+      (12L, 1L, ts("2026-01-01 09:00:00")), // before any right
+      (13L, 2L, ts("2026-01-01 12:00:00")), // other key, no rights
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2026-01-01 09:30:00"), 1.0),
+      (1L, ts("2026-01-01 10:00:00"), 2.0),
+      (1L, ts("2026-01-01 10:30:00"), 3.0), // after every left
+    ).toDF("user_id", "ts", "value")
+    val out = EventOps.asofJoin(left, right, "user_id", "ts", Seq("value"), "click_")
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)).map(_.toString), Option(r.get(4))))
+      .toMap
+    assert(out(10L) == (Some("2026-01-01 10:00:00.0"), Some(2.0)))
+    assert(out(11L) == (Some("2026-01-01 10:00:00.0"), Some(2.0))) // <= matches
+    assert(out(12L) == (None, None))
+    assert(out(13L) == (None, None))
+  }
+
   test("jsonExtractAgg: non-numeric and absent k excluded from count and sum") {
     val out = EventOps.jsonExtractAgg(events)
       .collect().map(r => (r.getString(0), r.get(1), r.getLong(2))).toSet

@@ -67,6 +67,13 @@ class NearDupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("neardupGroups: strong pairs share canonical min id; others self") {
+    val jac = Seq((1L, 2L, 1.0), (1L, 3L, 0.4)).toDF("id_a", "id_b", "jaccard")
+    val out = NearDup.neardupGroups(docs, jac, "doc_id", 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
   test("simhash: identical docs equal; near dups within small hamming distance") {
     val sh = NearDup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

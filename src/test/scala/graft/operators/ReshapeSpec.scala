@@ -27,6 +27,25 @@ class ReshapeSpec extends SparkSpec {
     assert(out(1).getString(1) == "x" && out(1).isNullAt(2))
   }
 
+  test("repeatedDimJoin ≡ unpivot → single join → pivot (OP-13)") {
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "nombre")
+    val direct = Reshape.repeatedDimJoin(wide, dim, "nombre", "id",
+      Seq("prestacion0", "prestacion1", "prestacion2"), "p")
+      .select("id", "p0", "p1", "p2")
+    // equivalent path: unpivot, join once, pivot back by slot
+    val long = Reshape.unpivotNonEmpty(wide, Seq("id"),
+      Seq("prestacion0", "prestacion1", "prestacion2"), "slot", "v")
+      .join(dim.withColumnRenamed("id", "did"), col("v") === col("nombre"), "left")
+    val pivoted = long.groupBy(col("id"))
+      .agg(
+        max(when(col("slot") === 0, col("did"))).as("p0"),
+        max(when(col("slot") === 1, col("did"))).as("p1"),
+        max(when(col("slot") === 2, col("did"))).as("p2"))
+    val viaUnpivot = wide.select("id").join(pivoted, Seq("id"), "left")
+    assert(direct.orderBy("id").collect().map(_.toSeq).toSeq ==
+      viaUnpivot.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
   test("unpivot→pivot round-trip preserves non-empty slot contents") {
     val clean = Seq((1L, "a", "b", "c"), (2L, "x", "y", "z"))
       .toDF("id", "prestacion0", "prestacion1", "prestacion2")
