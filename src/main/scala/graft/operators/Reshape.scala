@@ -32,20 +32,28 @@ object Reshape {
 
   /** N-way repeated dimension join (SURVEY OP-13): the same dimension
     * joined once per FK-ish column — the reference's 11 `Prestaciones`
-    * left joins on 11 denormalized columns. Each join is a broadcast of
-    * the SAME dim, so Catalyst reuses one broadcast exchange across all
-    * N joins (verify: a single BroadcastExchange + N ReusedExchange in
-    * the plan). Semantically equivalent to unpivot→single-join→pivot;
-    * ReshapeSpec asserts the equivalence. Keys are trimmed before the
-    * lookup (the reference trims on unpivot). */
+    * left joins on 11 denormalized columns. Semantically equivalent to
+    * unpivot→single-join→pivot; ReshapeSpec asserts the equivalence.
+    * Keys are trimmed before the lookup (the reference trims on
+    * unpivot).
+    *
+    * Scale note: the dim is CACHED here before the joins. AQE does NOT
+    * reuse one broadcast across the N joins when the dim is itself a
+    * multi-stage pipeline (measured: 11 independently materialized
+    * BroadcastQueryStages, each recomputing the dim), so the cache
+    * pins the dim computation to once; the N broadcasts then each read
+    * the in-memory copy — cheap, since a broadcastable dim is small by
+    * definition. Callers may `dim.unpersist()` afterwards. */
   def repeatedDimJoin(df: DataFrame, dim: DataFrame, dimKey: String, dimVal: String,
-                      fkCols: Seq[String], outPrefix: String): DataFrame =
+                      fkCols: Seq[String], outPrefix: String): DataFrame = {
+    val cachedDim = dim.persist()
     fkCols.zipWithIndex.foldLeft(df) { case (acc, (fk, i)) =>
       acc.join(
-        broadcast(dim.select(col(dimKey).as(s"__k$i"), col(dimVal).as(s"$outPrefix$i"))),
+        broadcast(cachedDim.select(col(dimKey).as(s"__k$i"), col(dimVal).as(s"$outPrefix$i"))),
         trim(col(fk)) === col(s"__k$i"), "left_outer")
         .drop(s"__k$i")
     }
+  }
 
   /** Pivot the first `n` rows per group (ranked by `order`, a total order
     * within the group) into `n` slot columns `prefix0..prefix{n-1}` —

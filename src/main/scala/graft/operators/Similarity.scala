@@ -19,8 +19,17 @@ object Similarity {
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Σ aᵢ·bᵢ over two equal-length arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ over two equal-length arrays — the native codegen
+    * [[graft.plans.ArrayDot]] expression (registered by
+    * [[graft.plans.GraftExtensions]]). Bit-identical to [[dotHof]],
+    * which it replaces in the hot loops: higher-order functions are
+    * interpreted per element, a custom expression stays inside
+    * whole-stage codegen. */
+  def dot(a: Column, b: Column): Column = call_function("graft_array_dot", a, b)
+
+  /** The HOF formulation of [[dot]] — kept as the executable spec of
+    * the expression's semantics (SimilaritySpec asserts equality). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 

@@ -1,0 +1,71 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table atomic publish — the engine-level replacement for the
+  * reference's all-or-nothing load transaction (reference:
+  * src/Command/EtlHisTurnosCommand.php:104,208,211-221 — SURVEY OP-31).
+  *
+  * Spark writes are atomic per table at best, so cross-table atomicity
+  * is done stage-and-swap: every table of a version is written under
+  * `<root>/v-<version>/<table>` first, and only after ALL writes
+  * succeed is the `_CURRENT` manifest flipped to the new version with
+  * ONE atomic rename (FileContext.rename OVERWRITE — atomic on HDFS
+  * and POSIX; object stores need their own conditional-put primitive).
+  * Readers resolve through the manifest, so they observe either the
+  * complete old version or the complete new one — never a mix, and a
+  * failed publish leaves the previous version current (the reference's
+  * "never destroy the target on a failed load" invariant, OP-33/34).
+  */
+object Publish {
+
+  private def fc(spark: SparkSession): FileContext =
+    FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
+
+  /** Stage all tables under v-<version>, then atomically flip _CURRENT.
+    * Throws (leaving the previous version current and intact) if any
+    * table write fails; the partial staging dir is removed. */
+  def publishTables(spark: SparkSession, tables: Map[String, DataFrame],
+                    root: String, version: String): Unit = {
+    val ctx = fc(spark)
+    val vdir = new Path(root, s"v-$version")
+    try {
+      tables.foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(new Path(vdir, name).toString)
+      }
+    } catch {
+      case e: Throwable =>
+        try ctx.delete(vdir, true) catch { case _: Throwable => () }
+        throw e
+    }
+    val tmp = new Path(root, s"_CURRENT.$version.tmp")
+    val out = ctx.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    try out.write(s"v-$version".getBytes("UTF-8")) finally out.close()
+    ctx.rename(tmp, new Path(root, "_CURRENT"), Options.Rename.OVERWRITE)
+  }
+
+  /** The currently-published version directory name, if any. */
+  def currentVersion(spark: SparkSession, root: String): Option[String] = {
+    val ctx = fc(spark)
+    val cur = new Path(root, "_CURRENT")
+    if (!ctx.util.exists(cur)) None
+    else {
+      val in = ctx.open(cur)
+      try {
+        val bytes = new Array[Byte](256)
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, math.max(n, 0), "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** Read a table of the currently-published version. */
+  def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
+    val v = currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no published version under $root"))
+    spark.read.parquet(new Path(new Path(root, v), table).toString)
+  }
+}

@@ -23,6 +23,24 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - math.sqrt(2)) < 1e-12)
   }
 
+  test("native ArrayDot expression is bit-identical to the HOF formulation") {
+    val a = vecs.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = vecs.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val both = a.crossJoin(b).select(
+      Similarity.dot(col("ea"), col("eb")).as("native"),
+      Similarity.dotHof(col("ea"), col("eb")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // double-element arrays (literal planes) work too
+    val plane = typedLit(Seq(0.5, -1.0, 2.0))
+    val r = vecs.filter(col("vec_id") === 2L)
+      .select(Similarity.dot(col("embedding"), plane).as("d")).collect().head
+    assert(r.getDouble(0) == -0.5)
+    // null array and length mismatch give null, like zip_with+aggregate
+    val nulls = Seq((Array(1.0f), Option.empty[Array[Float]])).toDF("x", "y")
+      .select(Similarity.dot(col("x"), col("y")).as("d")).collect().head
+    assert(nulls.isNullAt(0))
+  }
+
   test("cosine: orthogonal = 0, parallel = 1") {
     val a = vecs.select(col("vec_id").as("ia"), col("embedding").as("ea"))
     val b = vecs.select(col("vec_id").as("ib"), col("embedding").as("eb"))

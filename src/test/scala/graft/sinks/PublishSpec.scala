@@ -1,0 +1,45 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PublishSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_publish").toFile
+    dir.deleteOnExit(); dir.getAbsolutePath
+  }
+
+  test("publish then read: all tables visible under the new version") {
+    val root = freshRoot()
+    Publish.publishTables(spark, Map(
+      "a" -> Seq(1, 2, 3).toDF("x"),
+      "b" -> Seq("p", "q").toDF("s")), root, "001")
+    assert(Publish.currentVersion(spark, root).contains("v-001"))
+    assert(Publish.readTable(spark, root, "a").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(Publish.readTable(spark, root, "b").count() == 2)
+  }
+
+  test("failed publish leaves the previous version current and readable") {
+    val root = freshRoot()
+    Publish.publishTables(spark, Map("a" -> Seq(1).toDF("x")), root, "001")
+    val boom = udf { (_: Int) =>
+      if (true) throw new RuntimeException("boom"); 0
+    }
+    intercept[Exception] {
+      Publish.publishTables(spark, Map(
+        "a" -> Seq(9).toDF("x").withColumn("x", boom(col("x")))), root, "002")
+    }
+    assert(Publish.currentVersion(spark, root).contains("v-001"))
+    assert(Publish.readTable(spark, root, "a").as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("republish flips versions atomically via the manifest") {
+    val root = freshRoot()
+    Publish.publishTables(spark, Map("a" -> Seq(1).toDF("x")), root, "001")
+    Publish.publishTables(spark, Map("a" -> Seq(2).toDF("x")), root, "002")
+    assert(Publish.currentVersion(spark, root).contains("v-002"))
+    assert(Publish.readTable(spark, root, "a").as[Int].collect().toSeq == Seq(2))
+  }
+}
