@@ -13,12 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object Cleaning {
 
-  /** trim → collapse internal whitespace runs → Unicode uppercase.
+  /** Collapse whitespace runs → trim → Unicode uppercase.
     * Reference: EtlHisTurnosCommand.php:345-348 (SURVEY OP-23/24/25/26).
     * Spark's `upper` is Unicode-aware (ñ→Ñ, á→Á) like PHP mb_strtoupper.
-    */
+    *
+    * Order matters: SQL `trim` strips only ASCII spaces, while PHP's
+    * trim strips tabs/newlines too — collapsing `\s+` to a single space
+    * FIRST turns any edge whitespace into plain spaces that trim then
+    * removes (found by PropertySpec: trim-first left a leading space
+    * for tab-prefixed input). */
   def limpiarNombres(c: Column): Column =
-    upper(regexp_replace(trim(c), "\\s+", " "))
+    upper(trim(regexp_replace(c, "\\s+", " ")))
 
   /** First space-delimited token — the reference's given-name extraction
     * for gender inference (EtlHisTurnosCommand.php:137, SURVEY OP-27). */

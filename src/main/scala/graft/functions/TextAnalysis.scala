@@ -63,9 +63,10 @@ object TextAnalysis {
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
-    * truncated to 16 hex chars — the exact-dedup key. */
+    * truncated to 16 hex chars — the exact-dedup key. Collapse-then-trim
+    * so edge tabs/newlines normalize away (SQL trim strips spaces only). */
   def fingerprint(c: Column): Column =
-    substring(md5(lower(regexp_replace(trim(c), "\\s+", " "))), 1, 16)
+    substring(md5(lower(trim(regexp_replace(c, "\\s+", " ")))), 1, 16)
 
   /** Word n-gram shingles (0-based Spark array indexing), for MinHash /
     * Jaccard. Documents shorter than n yield an empty array. */

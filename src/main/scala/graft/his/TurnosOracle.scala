@@ -23,8 +23,10 @@ object TurnosOracle {
     s"(CASE ($custkey % ${TurnosPipeline.givenNames.size}) $whens END)"
   }
 
+  // collapse-then-trim, mirroring Cleaning.limpiarNombres (SQL trim only
+  // strips spaces; collapsing first normalizes tabs/newlines at the edges)
   private def limpiar(expr: String): String =
-    s"upper(regexp_replace(trim($expr), '\\s+', ' ', 'g'))"
+    s"upper(trim(regexp_replace($expr, '\\s+', ' ', 'g')))"
 
   /** Shared WITH-clause prologue: ranked lineitems → slots → wide. */
   val wideCte: String = {

@@ -198,7 +198,7 @@ object RelationalQueries {
         col("p_partkey"),
         Cleaning.limpiarNombres(concat(lit("  "), col("p_name"), lit("   de  prueba "))).as("limpio")),
       Some("""SELECT p_partkey,
-               upper(regexp_replace(trim('  ' || p_name || '   de  prueba '), '\s+', ' ', 'g')) AS limpio
+               upper(trim(regexp_replace('  ' || p_name || '   de  prueba ', '\s+', ' ', 'g'))) AS limpio
               FROM part""")),
 
     // OP-27: first-token split (given-name extraction).

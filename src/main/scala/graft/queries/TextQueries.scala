@@ -20,7 +20,7 @@ object TextQueries {
     "list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
 
   private val fingerprintSql =
-    "substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16)"
+    "substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16)"
 
   private val NumHashes = 16
   private val RowsPerBand = 2
@@ -153,9 +153,11 @@ cand AS (
     Q("dd04_jaccard_pairs",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        NearDup.jaccardOnPairs(docs,
-          NearDup.minhashCandidates(docs, "doc_id", "text", NumHashes, 3, RowsPerBand),
-          "doc_id", "text", 3)
+        // pairs feed three joins in the jaccard stage — persist so the
+        // LSH pipeline runs once, not once per join branch.
+        val pairs = NearDup.minhashCandidates(docs, "doc_id", "text",
+          NumHashes, 3, RowsPerBand).persist()
+        NearDup.jaccardOnPairs(docs, pairs, "doc_id", "text", 3)
           .select("id_a", "id_b", "jaccard")
       },
       Some(s"""WITH $minhashCtes,
@@ -168,9 +170,9 @@ SELECT id_a, id_b, jaccard FROM jac""")),
     Q("dd07_neardup_groups",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val jac = NearDup.jaccardOnPairs(docs,
-          NearDup.minhashCandidates(docs, "doc_id", "text", NumHashes, 3, RowsPerBand),
-          "doc_id", "text", 3)
+        val pairs = NearDup.minhashCandidates(docs, "doc_id", "text",
+          NumHashes, 3, RowsPerBand).persist()
+        val jac = NearDup.jaccardOnPairs(docs, pairs, "doc_id", "text", 3)
         NearDup.neardupGroups(docs, jac, "doc_id", 0.5)
       },
       Some(s"""WITH $minhashCtes,

@@ -27,7 +27,7 @@ object StreamingOps {
                      session_end: Timestamp, n_events: Long)
 
   /** Open-session state: epoch-ms bounds + event count. */
-  private[streaming] case class OpenSession(start: Long, last: Long, n: Long)
+  private[graft] case class OpenSession(start: Long, last: Long, n: Long)
 
   /** EX-01 streaming: tumbling window aggregation under a watermark.
     * Same output shape as the batch [[graft.operators.EventOps.tumblingAgg]];
@@ -90,8 +90,8 @@ object StreamingOps {
 
   /** Merge sorted-by-start open sessions with a batch of event times
     * under the closed-boundary gap rule (`next <= last + gap` merges). */
-  private[streaming] def mergeAll(sessions: List[OpenSession], eventTs: List[Long],
-                                  gapMs: Long): List[OpenSession] = {
+  private[graft] def mergeAll(sessions: List[OpenSession], eventTs: List[Long],
+                              gapMs: Long): List[OpenSession] = {
     val units = sessions ++ eventTs.map(t => OpenSession(t, t, 1L))
     units.sortBy(_.start)
       .foldLeft(List.empty[OpenSession]) { (acc, u) =>

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.functions.{Cleaning, TextAnalysis}
+import graft.streaming.StreamingOps
+
+/** Property-based invariants (SURVEY §5.2): scalacheck generators,
+  * Spark evaluated in bulk where a cluster op is under test, pure JVM
+  * where the logic is host-side (session merge). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val messyString: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(6)), Gen.const("  "), Gen.const("\t"),
+    Gen.const("ñá"), Gen.const("X"))).map(_.mkString(" "))
+
+  test("limpiarNombres is idempotent and produces no double spaces (bulk)") {
+    val samples = Gen.listOfN(300, messyString).sample.get
+    val out = samples.toDF("v")
+      .select(
+        Cleaning.limpiarNombres(col("v")).as("once"),
+        Cleaning.limpiarNombres(Cleaning.limpiarNombres(col("v"))).as("twice"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+      assert(!r.getString(0).contains("  "))
+      assert(r.getString(0) == r.getString(0).trim)
+    }
+  }
+
+  test("tokens never yields empty tokens; shingle count = max(0, n-k+1)") {
+    val samples = Gen.listOfN(300, messyString).sample.get
+    val out = samples.toDF("v")
+      .select(
+        TextAnalysis.tokens(col("v")).as("toks"),
+        TextAnalysis.shingles(TextAnalysis.tokens(col("v")), 3).as("sh"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (toks, sh) =>
+      assert(!toks.contains(""))
+      assert(sh.length == math.max(0, toks.length - 2))
+    }
+  }
+
+  test("stateful session merge is invariant under micro-batch partitioning") {
+    // The streaming sessionizer must produce the same sessions no matter
+    // how the event stream is sliced into batches — this is the property
+    // that makes its streaming output equal the batch session_window.
+    val gapMs = 600000L
+    val eventTimes: Gen[List[Long]] =
+      Gen.listOfN(40, Gen.chooseNum(0L, 50L * 60000L)).map(_.map(_ / 1000 * 1000))
+    val splits: Gen[List[Int]] = Gen.listOfN(40, Gen.chooseNum(0, 3))
+    for (_ <- 1 to 100) {
+      val ts = eventTimes.sample.get
+      val cut = splits.sample.get
+      val allAtOnce = StreamingOps.mergeAll(Nil, ts, gapMs)
+      // partition ts into up to 4 batches by the cut labels, in order
+      val batches = ts.zip(cut.padTo(ts.length, 0)).groupBy(_._2)
+        .toList.sortBy(_._1).map(_._2.map(_._1))
+      val incremental = batches.foldLeft(List.empty[StreamingOps.OpenSession]) {
+        (state, batch) => StreamingOps.mergeAll(state, batch, gapMs)
+      }
+      assert(incremental == allAtOnce)
+      // counts conserve events
+      assert(allAtOnce.map(_.n).sum == ts.length)
+      // sessions are disjoint and gap-separated
+      allAtOnce.sliding(2).foreach {
+        case List(a, b) => assert(b.start > a.last + gapMs)
+        case _ => ()
+      }
+    }
+  }
+
+  test("firstWins is idempotent and keeps exactly one row per key (bulk)") {
+    val rows = Gen.listOfN(500,
+      Gen.zip(Gen.chooseNum(0, 40), Gen.chooseNum(0L, 1000L))).sample.get
+    val df = rows.toDF("k", "v")
+    val order = Seq(col("v").desc, col("k").asc)
+    val once = operators.Dedup.firstWins(df, Seq("k"), order)
+    val twice = operators.Dedup.firstWins(once, Seq("k"), order)
+    assert(once.collect().toSet == twice.collect().toSet)
+    assert(once.select("k").distinct().count() == once.count())
+    assert(once.count() == rows.map(_._1).distinct.length)
+  }
+}
