@@ -61,6 +61,32 @@ object Dedup {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Incremental find-or-insert (SURVEY OP-22, incremental mode): keep
+    * every existing dim row with its id; append incoming keys not yet
+    * present, assigning ids above the current maximum in `order` of
+    * their key. One left-anti join + one dim-sized max lookup — the
+    * batch equivalent of the reference's per-row SELECT-then-INSERT
+    * (EtlHisTurnosCommand.php:130-147) without the N round trips.
+    *
+    * Scale: the anti-join shuffles on the natural key (or broadcasts
+    * when the dim is small); the max(id) is a single scalar agg. New-id
+    * assignment uses a window over the NEW keys only (new-arrival-sized,
+    * not dim-sized). */
+  def findOrInsert(existing: DataFrame, incoming: DataFrame, key: String,
+                   idCol: String): DataFrame = {
+    val maxId = existing.agg(max(col(idCol))).head().get(0) match {
+      case null => 0L
+      case v: Number => v.longValue()
+    }
+    val newKeys = incoming.select(trim(col(key)).as(key))
+      .where(col(key).isNotNull && col(key) =!= "")
+      .distinct()
+      .join(existing.select(col(key)), Seq(key), "left_anti")
+    val withIds = newKeys.withColumn(idCol,
+      row_number().over(Window.orderBy(col(key))).cast(LongType) + lit(maxId))
+    existing.unionByName(withIds.select(existing.columns.map(col): _*))
+  }
+
   /** Order-insensitive distinct of a single (trimmed) column — the
     * reference's prestacion catalog build (EtlHisTurnosCommand.php:114,
     * 179-193, SURVEY OP-16). Map-side partial aggregation makes this one

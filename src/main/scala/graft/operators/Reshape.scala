@@ -37,19 +37,26 @@ object Reshape {
     * Keys are trimmed before the lookup (the reference trims on
     * unpivot).
     *
-    * Scale note: the dim is CACHED here before the joins. AQE does NOT
-    * reuse one broadcast across the N joins when the dim is itself a
-    * multi-stage pipeline (measured: 11 independently materialized
-    * BroadcastQueryStages, each recomputing the dim), so the cache
-    * pins the dim computation to once; the N broadcasts then each read
-    * the in-memory copy — cheap, since a broadcastable dim is small by
-    * definition. Callers may `dim.unpersist()` afterwards. */
+    * Scale note: the dim is materialized ONCE to a driver-local
+    * relation before the joins — the reference's own in-memory-cache
+    * design (EtlHisTurnosCommand.php:114). A dim being broadcast N ways
+    * must fit in driver/executor memory by definition, so collecting it
+    * is always safe here. The alternatives measured worse: without it,
+    * AQE materializes N independent BroadcastQueryStages each
+    * recomputing a derived dim's whole pipeline (11× recompute); with
+    * `dim.persist()`, the N parallel broadcast stages race to fill the
+    * cache and it's slower still (68.6s → 112.4s bench total at sf0.1).
+    * A LocalRelation costs one computation and makes each broadcast a
+    * trivial in-memory copy. */
   def repeatedDimJoin(df: DataFrame, dim: DataFrame, dimKey: String, dimVal: String,
                       fkCols: Seq[String], outPrefix: String): DataFrame = {
-    val cachedDim = dim.persist()
+    val spark = df.sparkSession
+    val kv = dim.select(col(dimKey), col(dimVal))
+    val localDim = spark.createDataFrame(
+      java.util.Arrays.asList(kv.collect(): _*), kv.schema)
     fkCols.zipWithIndex.foldLeft(df) { case (acc, (fk, i)) =>
       acc.join(
-        broadcast(cachedDim.select(col(dimKey).as(s"__k$i"), col(dimVal).as(s"$outPrefix$i"))),
+        broadcast(localDim.select(col(dimKey).as(s"__k$i"), col(dimVal).as(s"$outPrefix$i"))),
         trim(col(fk)) === col(s"__k$i"), "left_outer")
         .drop(s"__k$i")
     }

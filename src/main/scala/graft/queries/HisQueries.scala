@@ -17,15 +17,15 @@ object HisQueries {
     Q("his_paciente",
       (s, d) => TurnosPipeline.paciente(TurnosPipeline.wideExtract(s, d)),
       Some(TurnosOracle.pacienteSql)),
-    // wideExtract is persisted in the multi-branch queries below: it
-    // appears in several DAG branches (fact side + dims derived from
-    // it), and AQE only reuses leaf-adjacent exchanges, not the whole
-    // multi-stage subtree — the cache pins the 6-table join tree to one
-    // computation. (A wide row set this queries' dims derive from is
-    // dim-scale, so caching it is safe at any SF.)
+    // NOTE on caching: wideExtract appears in several DAG branches of
+    // the queries below. persist() was tried and MEASURED SLOWER at
+    // sf0.1 (68.6s -> 112.4s total): parallel downstream stages race to
+    // fill the cache and the columnar materialization of every column
+    // defeats pruning. AQE's exchange reuse already dedups the leaf
+    // joins; recompute of the cheap projections is the better trade.
     Q("his_turno",
       (s, d) => {
-        val wide = TurnosPipeline.wideExtract(s, d).persist()
+        val wide = TurnosPipeline.wideExtract(s, d)
         TurnosPipeline.turno(wide, TurnosPipeline.paciente(wide))
       },
       Some(TurnosOracle.turnoSql)),
@@ -42,7 +42,7 @@ object HisQueries {
     // broadcast once + reused; ≡ unpivot-then-join (ReshapeSpec).
     Q("op13_repeated_dim_join",
       (s, d) => {
-        val wide = TurnosPipeline.wideExtract(s, d).persist()
+        val wide = TurnosPipeline.wideExtract(s, d)
         val dim = TurnosPipeline.prestacion(TurnosPipeline.prestacionLong(wide))
         val slots = (0 until TurnosPipeline.nSlots).map(k => s"prestacion$k")
         Reshape.repeatedDimJoin(wide, dim, "nombre", "id", slots, "p")
@@ -53,7 +53,7 @@ object HisQueries {
 
     Q("his_prestacion_x_turno",
       (s, d) => {
-        val wide = TurnosPipeline.wideExtract(s, d).persist()
+        val wide = TurnosPipeline.wideExtract(s, d)
         val long = TurnosPipeline.prestacionLong(wide)
         val turnoDim = TurnosPipeline.turno(wide, TurnosPipeline.paciente(wide))
         TurnosPipeline.prestacionXTurno(long, turnoDim, TurnosPipeline.prestacion(long))

@@ -153,10 +153,11 @@ cand AS (
     Q("dd04_jaccard_pairs",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // pairs feed three joins in the jaccard stage — persist so the
-        // LSH pipeline runs once, not once per join branch.
+        // NOT persisted: AQE exchange reuse covers the shared LSH
+        // subtree; persist() measured slower (cache-fill races across
+        // the three parallel join branches).
         val pairs = NearDup.minhashCandidates(docs, "doc_id", "text",
-          NumHashes, 3, RowsPerBand).persist()
+          NumHashes, 3, RowsPerBand)
         NearDup.jaccardOnPairs(docs, pairs, "doc_id", "text", 3)
           .select("id_a", "id_b", "jaccard")
       },
@@ -171,7 +172,7 @@ SELECT id_a, id_b, jaccard FROM jac""")),
       (s, d) => {
         val docs = Tables.documents(s, d)
         val pairs = NearDup.minhashCandidates(docs, "doc_id", "text",
-          NumHashes, 3, RowsPerBand).persist()
+          NumHashes, 3, RowsPerBand)
         val jac = NearDup.jaccardOnPairs(docs, pairs, "doc_id", "text", 3)
         NearDup.neardupGroups(docs, jac, "doc_id", 0.5)
       },

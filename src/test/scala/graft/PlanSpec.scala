@@ -40,22 +40,38 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
-  test("repeated dim join: dim pipeline computed once (cached), then broadcast") {
+  test("repeated dim join: dim materialized once, broadcasts are local") {
+    // other suites cache overlapping subplans (CacheManager substitutes
+    // by plan match, globally) — clear so the asserted plan is its own.
+    spark.catalog.clearCache()
     val df = q("op13_repeated_dim_join")
     // collect() (not a write) so THIS dataset's QueryExecution runs and
     // its adaptive plan finalizes.
     df.collect()
     val plan = formatted(df)
     assert(plan.contains("isFinalPlan=true"))
-    // The dim feeding the 11 broadcasts must come from the cache — its
-    // multi-stage build pipeline must not be re-planned per join (AQE
-    // does not reuse broadcast stages of multi-stage subtrees; the
-    // cache pins the computation to once).
-    // (explain re-prints the cached subtree under every scan, so node
-    // counting over the string is meaningless — the InMemoryTableScan
-    // presence is the guarantee: persist computes the dim once.)
-    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
-      s"dim must be cached:\n${plan.take(2000)}")
+    // The derived dim is collected to a LocalRelation before the joins,
+    // so the final plan must contain NO dim pipeline at all: every
+    // broadcast build side is a LocalTableScan, the only Window op is
+    // the fact side's slots pivot, and the only parquet scans are the
+    // fact side's 6 tables.
+    // formatted output repeats operators under "== Initial Plan ==" —
+    // count only within the final-plan tree.
+    val finalTree = plan.substring(
+      plan.indexOf("== Final Plan =="),
+      math.max(plan.indexOf("== Initial Plan =="), plan.indexOf("== Final Plan ==") + 16))
+    assert(finalTree.contains("LocalTableScan"))
+    val windows = finalTree.linesIterator.count(_.contains("Window ")) // excludes WindowGroupLimit
+    assert(windows <= 1, s"dim pipeline must not appear in the plan, saw $windows Window ops")
+    val scans = finalTree.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 6, s"only the fact side may scan parquet, saw $scans scans")
+    // With identical LocalRelations AQE reuses ONE broadcast stage
+    // across the 11 joins (ReusedExchange) — assert every build side is
+    // either the local scan or a reuse of it.
+    val locals = finalTree.linesIterator.count(_.contains("LocalTableScan"))
+    val reused = finalTree.linesIterator.count(_.contains("ReusedExchange"))
+    assert(locals + reused >= 11,
+      s"11 broadcast builds must be local-or-reused, saw locals=$locals reused=$reused")
   }
 
   test("whole-stage codegen covers the cleaning pipeline") {

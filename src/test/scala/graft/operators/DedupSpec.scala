@@ -43,6 +43,23 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("findOrInsert keeps existing ids, appends new keys above max id") {
+    val existing = Seq((1L, "ana"), (2L, "luis")).toDF("id", "documento")
+      .select(col("documento"), col("id")) // column order differs on purpose
+    val incoming = Seq(" ana ", "zoe", "bob", "zoe", null, " ").toDF("documento")
+    val out = Dedup.findOrInsert(existing, incoming, "documento", "id")
+      .select("documento", "id").as[(String, Long)].collect().toMap
+    assert(out == Map("ana" -> 1L, "luis" -> 2L, "bob" -> 3L, "zoe" -> 4L))
+  }
+
+  test("findOrInsert is idempotent (re-running adds nothing)") {
+    val existing = Seq((1L, "a")).toDF("id", "k")
+    val incoming = Seq("b", "c").toDF("k")
+    val once = Dedup.findOrInsert(existing, incoming, "k", "id")
+    val twice = Dedup.findOrInsert(once, incoming, "k", "id")
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
   test("distinctTrimmed dedups on trimmed value and drops nulls") {
     val df = Seq("  x ", "x", "y", null).toDF("c")
     val out = Dedup.distinctTrimmed(df, "c", "v").as[String].collect().sorted.toSeq
