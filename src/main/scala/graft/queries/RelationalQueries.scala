@@ -192,6 +192,65 @@ object RelationalQueries {
               WHERE NOT EXISTS (SELECT 1 FROM lineitem
                 WHERE l_quantity > 45 AND l_partkey = p.p_partkey)""")),
 
+    // OP-22 incremental mode: dim built from a key subset, then
+    // find-or-insert of the full key stream — existing ids stable, new
+    // keys appended above max id.
+    Q("op22b_find_or_insert",
+      (s, d) => {
+        val part = Tables.part(s, d)
+        val existing = Dedup.denseId(
+          part.filter(col("p_partkey") <= 1000)
+            .select(trim(col("p_name")).as("nombre")).distinct(),
+          Seq(col("nombre").asc), "id")
+        Dedup.findOrInsert(existing, part.select(col("p_name").as("nombre")),
+          "nombre", "id")
+      },
+      Some("""WITH existing AS (
+                SELECT CAST(row_number() OVER (ORDER BY nombre) AS BIGINT) AS id, nombre
+                FROM (SELECT DISTINCT trim(p_name) AS nombre FROM part WHERE p_partkey <= 1000) t
+              ),
+              mx AS (SELECT coalesce(max(id), 0) AS m FROM existing),
+              newk AS (
+                SELECT DISTINCT trim(p_name) AS nombre FROM part
+                WHERE p_name IS NOT NULL AND trim(p_name) <> ''
+                  AND trim(p_name) NOT IN (SELECT nombre FROM existing)
+              ),
+              added AS (
+                SELECT CAST(row_number() OVER (ORDER BY nombre) AS BIGINT)
+                         + (SELECT m FROM mx) AS id, nombre
+                FROM newk
+              )
+              SELECT nombre, id FROM existing
+              UNION ALL SELECT nombre, id FROM added""")),
+
+    // Skew-salted join ≡ plain join — the oracle IS the plain join, so
+    // the gate proves the salting is semantics-preserving. 80% of rows
+    // share one hot key.
+    Q("skew01_salted_join",
+      (s, d) => {
+        val sk = Tables.lineitem(s, d)
+          .withColumn("k",
+            when(col("l_orderkey") % 10 < 8, lit(0L))
+              .otherwise(col("l_partkey") % 50 + 1))
+          .withColumn("uniq",
+            concat_ws("_", col("l_orderkey"), col("l_linenumber")))
+        val dim = sk.select(col("k")).distinct()
+          .withColumn("label", concat(lit("g"), col("k")))
+        graft.operators.Skew.saltedJoin(sk, dim, "k", "uniq", 16)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("qty"))
+      },
+      Some("""WITH sk AS (
+                SELECT *, CASE WHEN l_orderkey % 10 < 8 THEN 0
+                               ELSE l_partkey % 50 + 1 END AS k
+                FROM lineitem
+              ),
+              dim AS (SELECT DISTINCT k, 'g' || CAST(k AS VARCHAR) AS label FROM sk)
+              SELECT label, CAST(count(*) AS BIGINT) AS n,
+                     round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
+              FROM sk JOIN dim USING (k) GROUP BY label""")),
+
     // OP-23..26: limpiarNombres composite (trim → collapse → upper).
     Q("op23_26_limpiar_nombres",
       (s, d) => Tables.part(s, d).select(
