@@ -33,17 +33,47 @@ object TextAnalysis {
   def stopwordHits(toks: Column, set: Seq[String]): Column =
     size(filter(toks, t => array_contains(typedLit(set), t)))
 
-  /** Language ID: argmax of stopword hit counts with deterministic
-    * priority en > es > de; "und" (unknown) when no set matches. */
-  def langIdHeuristic(c: Column): Column = {
-    val t = tokens(c)
-    val en = stopwordHits(t, stopwords("en"))
-    val es = stopwordHits(t, stopwords("es"))
-    val de = stopwordHits(t, stopwords("de"))
+  /** Argmax-with-priority decision rule shared by both lang-id forms. */
+  private[graft] def langDecision(en: Column, es: Column, de: Column): Column =
     when(en >= es && en >= de && en > 0, lit("en"))
       .when(es >= de && es > 0, lit("es"))
       .when(de > 0, lit("de"))
       .otherwise(lit("und"))
+
+  /** Language ID: argmax of stopword hit counts with deterministic
+    * priority en > es > de; "und" (unknown) when no set matches.
+    *
+    * Array-expression form — convenient for single-column use, but the
+    * three `stopwordHits` each re-evaluate `tokens(c)` (Catalyst
+    * inlines the alias) and HOFs are interpreted. For corpus-scale
+    * scans use [[langIdAgg]]. */
+  def langIdHeuristic(c: Column): Column = {
+    val t = tokens(c)
+    langDecision(
+      stopwordHits(t, stopwords("en")),
+      stopwordHits(t, stopwords("es")),
+      stopwordHits(t, stopwords("de")))
+  }
+
+  /** Corpus-scale language ID: explode tokens once, count stopword hits
+    * per language with codegen'd conditional sums (one hash shuffle on
+    * the doc id, map-side partial aggregation), decide with the same
+    * rule. Keeps token-less docs via the left join ("und"). Identical
+    * output to [[langIdHeuristic]] (TextAnalysisSpec asserts it). */
+  def langIdAgg(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String): org.apache.spark.sql.DataFrame = {
+    def hit(lang: String): Column =
+      sum(when(col("tok").isInCollection(stopwords(lang)), 1).otherwise(0))
+    val counts = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol))
+      .agg(hit("en").as("__en"), hit("es").as("__es"), hit("de").as("__de"))
+    docs.join(counts, Seq(idCol), "left")
+      .withColumn("lang_guess", langDecision(
+        coalesce(col("__en"), lit(0)),
+        coalesce(col("__es"), lit(0)),
+        coalesce(col("__de"), lit(0))))
+      .drop("__en", "__es", "__de")
   }
 
   /** Quality metrics: token count, distinct-token count, type-token

@@ -89,6 +89,44 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
   }
 
+  /** IVF assignment: each vector to its nearest centroid by cosine
+    * (rounded to 6 decimals, centroid-id tiebreak — deterministic).
+    * Centroids are broadcast; the argmax is a per-vector window. Carries
+    * the embedding through for the probe join. */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        round(cosine(col("embedding"), col("c_emb")), 6).as("__sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__sim").desc, col("centroid_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+  }
+
+  /** IVF-style ANN top-k: the corpus is partitioned into inverted lists
+    * by nearest centroid and each query probes only its own centroid's
+    * list (nprobe=1). Centroid "training" is a deterministic stub — the
+    * first `numCentroids` corpus vectors; a real deployment plugs
+    * k-means centroids into the same partition/probe machinery, which
+    * is the part that matters at scale: the inverted-list id becomes
+    * the storage partition key, so a query touches one partition. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCentroids: Int = 16): DataFrame = {
+    val cents = corpus.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val ca = ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
+    val qa = ivfAssign(queries.select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id").as("query_id"), col("centroid_id"),
+        col("embedding").as("q_emb"))
+    val scored = ca.join(broadcast(qa), Seq("centroid_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+  }
+
   /** Embedding near-duplicate pairs: cosine above `threshold` within a
     * candidate id range (all-pairs is O(n²) — production callers pass
     * LSH buckets or a blocking key instead of maxId). */

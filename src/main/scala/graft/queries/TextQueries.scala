@@ -104,11 +104,11 @@ cand AS (
       Some(s"""SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
                 SELECT unnest($toksSql) AS term FROM documents) t GROUP BY term""")),
 
-    // Language-ID heuristic (stopword argmax) vs the declared lang.
+    // Language-ID heuristic (stopword argmax) vs the declared lang —
+    // corpus-scale explode/aggregate form (langIdAgg).
     Q("tx03_lang_id",
-      (s, d) => Tables.documents(s, d).select(
-        col("doc_id"), col("lang").as("lang_declared"),
-        TextAnalysis.langIdHeuristic(col("text")).as("lang_guess")),
+      (s, d) => TextAnalysis.langIdAgg(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("lang").as("lang_declared"), col("lang_guess")),
       Some {
         def hits(lang: String): String = {
           val set = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")

@@ -100,6 +100,45 @@ SELECT * FROM (
   FROM scored) t
 WHERE rk <= 10""")),
 
+    // EX-06 scale path, IVF variant: inverted lists by nearest centroid
+    // (deterministic stub centroids = first 16 vectors), nprobe=1.
+    Q("ann04_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 30), 10, 16)
+      },
+      Some(s"""WITH ${flatCte()},
+cdots AS (SELECT f1.vec_id, f2.vec_id AS centroid_id, sum(f1.v * f2.v) AS dp
+          FROM flat f1 JOIN flat f2 ON f1.i = f2.i
+          WHERE f2.vec_id < 16
+          GROUP BY 1, 2),
+asgn AS (SELECT vec_id, centroid_id FROM (
+           SELECT d.vec_id, d.centroid_id,
+                  row_number() OVER (PARTITION BY d.vec_id
+                    ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.centroid_id ASC) AS rn
+           FROM cdots d
+           JOIN norms n1 ON n1.vec_id = d.vec_id
+           JOIN norms n2 ON n2.vec_id = d.centroid_id) t
+         WHERE rn = 1),
+prs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+        FROM asgn q JOIN asgn c ON q.centroid_id = c.centroid_id
+        WHERE q.vec_id < 30),
+dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+         FROM prs p
+         JOIN flat f1 ON f1.vec_id = p.query_id
+         JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+         GROUP BY 1, 2),
+scored AS (SELECT d.query_id, d.vec_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+           FROM dots d
+           JOIN norms n1 ON n1.vec_id = d.query_id
+           JOIN norms n2 ON n2.vec_id = d.vec_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 10""")),
+
     // Embedding-cosine near-dup pairs (blocked to vec_id < 300; the
     // fixture vectors are i.i.d. random, so the threshold is set at 0.35
     // to exercise a non-empty result).

@@ -37,6 +37,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "es", "de", "und"))
   }
 
+  test("langIdAgg (explode form) equals langIdHeuristic (array form)") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog"),
+      (2L, "el perro y la casa de los gatos"),
+      (3L, "der Hund und die Katze mit der Maus"),
+      (4L, "zzz qqq xxx"),
+      (5L, ""), // token-less doc must survive as "und"
+      (6L, "the el der the el der"), // cross-language tie -> en priority
+    ).toDF("doc_id", "text")
+    val viaAgg = TextAnalysis.langIdAgg(docs, "doc_id", "text")
+      .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
+    val viaExpr = docs
+      .select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("g"))
+      .as[(Long, String)].collect().toMap
+    assert(viaAgg == viaExpr)
+    assert(viaAgg(5L) == "und" && viaAgg(6L) == "en")
+  }
+
   test("fingerprint is whitespace/case-insensitive, content-sensitive") {
     val fp = Seq(("  Hello   World ", 1), ("hello world", 2), ("hello worlds", 3))
       .toDF("t", "i")

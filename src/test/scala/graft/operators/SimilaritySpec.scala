@@ -70,6 +70,20 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.forall(b => b >= 0 && b < 16))
   }
 
+  test("ivfTopK: queries probe their own centroid's list; self ranks first") {
+    val corpus = (0L to 19L).map { i =>
+      // two clear clusters around e1 and e2
+      if (i % 2 == 0) (i, Array(1.0f, 0.1f * (i % 5), 0.0f))
+      else (i, Array(0.0f, 0.1f * (i % 5), 1.0f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") === 4L), 5, 2)
+      .orderBy("rk").collect()
+    assert(out.nonEmpty && out.length <= 5)
+    assert(out.head.getLong(1) == 4L && out.head.getDouble(2) == 1.0) // self first
+    // nprobe=1: all results share query's (even-cluster) centroid
+    assert(out.forall(_.getLong(1) % 2 == 0))
+  }
+
   test("embeddingNearDup finds parallel vectors above threshold") {
     val out = Similarity.embeddingNearDup(vecs, 0.99, 100)
       .as[(Long, Long, Double)].collect().toSet
