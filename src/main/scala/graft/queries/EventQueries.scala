@@ -90,6 +90,21 @@ object EventQueries {
               FROM views v ASOF LEFT JOIN clicks c
                 ON v.user_id = c.user_id AND v.ts >= c.ts""")),
 
+    // Exact percentiles of value per event type (continuous
+    // interpolation — Spark `percentile` ≡ DuckDB `quantile_cont`).
+    Q("ex09_percentiles",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99")),
+      Some("""SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95,
+               round(quantile_cont(value, 0.99), 6) AS p99
+              FROM events GROUP BY event_type""")),
+
     Q("ex08_json_extract",
       (s, d) => EventOps.jsonExtractAgg(Tables.events(s, d)),
       // TRY_CAST + count of the casted value so both engines count only

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Cleaning, Gender}
@@ -250,6 +251,42 @@ object RelationalQueries {
               SELECT label, CAST(count(*) AS BIGINT) AS n,
                      round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
               FROM sk JOIN dim USING (k) GROUP BY label""")),
+
+    // Rollup (hierarchical subtotals) — beyond the reference's SQL
+    // surface but table stakes for an analytics engine; null markers
+    // for subtotal rows match ANSI GROUP BY ROLLUP.
+    Q("op30_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("qty")),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // Running windows: cumulative count + sum per customer in a pinned
+    // total order (rows-frame, decimal-exact cumulative sum).
+    Q("op31_running_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(
+            Window.partitionBy(col("o_custkey"))
+              .orderBy(col("o_orderdate").asc, col("o_orderkey").asc))
+            .cast("long").as("nth_order"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double"), 2).as("running_total"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS BIGINT) AS nth_order,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_total
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""")),
 
     // OP-23..26: limpiarNombres composite (trim → collapse → upper).
     Q("op23_26_limpiar_nombres",
