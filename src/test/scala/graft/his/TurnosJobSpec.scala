@@ -1,0 +1,36 @@
+package graft.his
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sinks.Publish
+
+class TurnosJobSpec extends SparkSpec {
+
+  private def freshRoot(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_job").toFile
+    dir.deleteOnExit(); dir.getAbsolutePath
+  }
+
+  test("end-to-end: extract → transform → atomic 4-table publish") {
+    val root = freshRoot()
+    val res = TurnosJob.run(spark, sf0001, root, "001")
+    assert(res.published.contains("v-001"))
+    assert(res.counts.keySet ==
+      Set("paciente", "turno", "prestacion", "prestacion_x_turno"))
+    assert(res.counts.values.forall(_ > 0))
+    // published tables are consistent: every turno FK resolves
+    val pac = Publish.readTable(spark, root, "paciente")
+    val turno = Publish.readTable(spark, root, "turno")
+    assert(turno.join(pac, turno("paciente_id") === pac("id"), "left_anti").count() == 0)
+  }
+
+  test("empty extract short-circuits and leaves the previous version intact") {
+    val root = freshRoot()
+    TurnosJob.run(spark, sf0001, root, "001")
+    val wide = TurnosPipeline.wideExtract(spark, sf0001).filter(lit(false))
+    val res = TurnosJob.runFromWide(spark, wide, root, "002")
+    assert(res.published.isEmpty)
+    assert(Publish.currentVersion(spark, root).contains("v-001"))
+    assert(Publish.readTable(spark, root, "turno").count() > 0)
+  }
+}
