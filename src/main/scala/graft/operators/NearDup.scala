@@ -149,6 +149,37 @@ object NearDup {
               (col("na") + col("nb") - coalesce(col("ni"), lit(0L))), 6).as("jaccard"))
   }
 
+  /** SimHash near-dup pairs via the byte-band pigeonhole trick: split
+    * the 32-bit simhash into `numBands` equal bands; any pair within
+    * hamming distance < numBands must agree exactly on at least one
+    * band (pigeonhole), so banding finds ALL pairs with distance ≤
+    * numBands-1 — exact, not approximate — while the self-join stays
+    * bucket-local instead of O(n²). */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, numBands: Int = 4): DataFrame = {
+    require(maxHamming < numBands, "pigeonhole exactness needs maxHamming < numBands")
+    val bandBits = 32 / numBands
+    val sh = simhash(docs, idCol, textCol)
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("band_key"))
+    }
+    val banded = sh
+      .select(col(idCol), col("simhash"), explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.band_key"))
+    val a = banded.select(col("band"), col("band_key"),
+      col(idCol).as("id_a"), col("simhash").as("__sha"))
+    val b = banded.select(col("band"), col("band_key"),
+      col(idCol).as("id_b"), col("simhash").as("__shb"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sha").bitwiseXOR(col("__shb"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** One-step canonical assignment from verified near-dup pairs: each
     * doc's canonical id = min over itself and its neighbors with
     * similarity ≥ threshold. (One label-propagation step — the common

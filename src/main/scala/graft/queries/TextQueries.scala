@@ -203,17 +203,62 @@ SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bigram""")),
     // SimHash (32-bit, per-bit majority of token hashes).
     Q("dd05_simhash",
       (s, d) => NearDup.simhash(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"WITH $simhashCtes SELECT doc_id, simhash FROM sim")),
+
+    // SimHash near-dup pairs via byte-band pigeonhole (exact for
+    // hamming ≤ 3 with 4 bands).
+    Q("dd08_simhash_neardup",
+      (s, d) => NearDup.simhashNearDup(Tables.documents(s, d), "doc_id", "text", 3, 4),
       Some {
-        val sums = (0 until 32)
-          .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(", ")
-        val bits = (0 until 32)
-          .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-          .mkString(" + ")
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-             tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-             hh AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
-             sums AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id)
-            SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums"""
+        val branches = (0 until 4)
+          .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS band_key FROM sim")
+          .mkString("\n  UNION ALL ")
+        s"""WITH $simhashCtes,
+bands AS (
+  $branches
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
       }),
+
+    // Quality filter: the keep/drop decision of a training-data
+    // pipeline, from the tx01 metric set.
+    Q("tx06_quality_filter",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = docs.select(
+          (col("doc_id") +: TextAnalysis.qualityMetrics(col("text"))): _*)
+        m.withColumn("keep",
+          col("n_tokens").between(20, 2000) &&
+          col("ttr") >= 0.3 &&
+          col("mean_token_len").between(2.0, 12.0))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+              SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_tokens,
+                round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+                round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_token_len,
+                (len(toks) BETWEEN 20 AND 2000
+                  AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.3
+                  AND round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) BETWEEN 2.0 AND 12.0) AS keep
+              FROM t""")),
   )
+
+  /** Shared simhash CTE chain mirroring [[NearDup.simhash]]. */
+  private lazy val simhashCtes: String = {
+    val sums = (0 until 32)
+      .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(", ")
+    val bits = (0 until 32)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+hh AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+sums AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums)"""
+  }
 }

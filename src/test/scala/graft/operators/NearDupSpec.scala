@@ -67,6 +67,14 @@ class NearDupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("simhashNearDup: exact dups found at hamming 0; disjoint docs absent") {
+    val out = NearDup.simhashNearDup(docs, "doc_id", "text", 3, 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out.contains((1L, 2L, 0)))
+    assert(out.forall(_._3 <= 3))
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("neardupGroups: strong pairs share canonical min id; others self") {
     val jac = Seq((1L, 2L, 1.0), (1L, 3L, 0.4)).toDF("id_a", "id_b", "jaccard")
     val out = NearDup.neardupGroups(docs, jac, "doc_id", 0.5)
