@@ -88,6 +88,21 @@ object StreamingOps {
       }
   }
 
+  /** Streaming sink with the OP-31 invariant: every micro-batch of a
+    * complete-mode aggregation is published as a full new VERSION via
+    * [[graft.sinks.Publish]] (atomic manifest flip), so downstream
+    * readers only ever see a complete, consistent snapshot — never a
+    * half-written batch. Returns the started query. */
+  def publishSnapshots(aggregated: DataFrame, root: String,
+                       table: String): org.apache.spark.sql.streaming.StreamingQuery =
+    aggregated.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sinks.Publish.publishTables(
+          batch.sparkSession, Map(table -> batch.toDF()), root, f"$id%06d")
+      }
+      .start()
+
   /** Merge sorted-by-start open sessions with a batch of event times
     * under the closed-boundary gap rule (`next <= last + gap` merges). */
   private[graft] def mergeAll(sessions: List[OpenSession], eventTs: List[Long],

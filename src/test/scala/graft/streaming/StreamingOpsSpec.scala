@@ -90,6 +90,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("publishSnapshots: each micro-batch becomes a complete atomic version") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_pub")
+      .toFile.getAbsolutePath
+    val input = MemoryStream[Ev]
+    val counts = input.toDF().groupBy("event_type").count()
+    val q = StreamingOps.publishSnapshots(counts, root, "counts")
+    try {
+      input.addData(Seq(Ev(1L, ts("2026-01-01 10:00:00"), 1L, "a", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        Ev(2L, ts("2026-01-01 10:01:00"), 1L, "a", 0.0),
+        Ev(3L, ts("2026-01-01 10:02:00"), 2L, "b", 0.0)))
+      q.processAllAvailable()
+      val cur = graft.sinks.Publish.currentVersion(spark, root)
+      assert(cur.isDefined && cur.get >= "v-000001") // latest batch won
+      val out = graft.sinks.Publish.readTable(spark, root, "counts")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == Map("a" -> 2L, "b" -> 1L)) // complete snapshot
+    } finally q.stop()
+  }
+
   test("mergeAll unit: merge rules and counts") {
     import StreamingOps.{mergeAll, OpenSession}
     val gap = 600000L // 10 min
