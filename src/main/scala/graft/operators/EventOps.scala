@@ -106,6 +106,31 @@ object EventOps {
     }.drop("__r", "__payload", "__asof")
   }
 
+  /** Interval (point-in-range) join without the nested-loop trap: a
+    * plain `l.ts BETWEEN r.start AND r.end` predicate gives Spark a
+    * BroadcastNestedLoopJoin (O(|L|·|R|) per key). Instead each interval
+    * is exploded into the fixed-width time bins it covers and each
+    * point into its one bin, turning the range join into an EQUI-join
+    * on (key, bin) + a residual filter — a hash join, shuffle-
+    * partitioned, linear in rows × bins-per-interval. `binMinutes`
+    * should be ≥ the typical interval length so intervals explode into
+    * O(1) bins. Interval semantics: [start, end). */
+  def intervalJoinBinned(points: DataFrame, intervals: DataFrame, key: String,
+                         tsCol: String, startCol: String, endCol: String,
+                         binMinutes: Int): DataFrame = {
+    val binUs = binMinutes * 60000000L
+    def bin(c: Column): Column = floor(unix_micros(c) / binUs)
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(bin(col(startCol)),
+        // end is exclusive: an interval ending exactly on a bin edge
+        // does not cover that bin.
+        floor((unix_micros(col(endCol)) - 1) / binUs))))
+    points.withColumn("__bin", bin(col(tsCol)))
+      .join(binned, Seq(key, "__bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bin")
+  }
+
   /** EX-08: JSON field extraction from a string column. `get_json_object`
     * is codegen'd; for fixed wide schemas prefer `from_json` once. */
   def jsonExtractAgg(events: DataFrame): DataFrame =

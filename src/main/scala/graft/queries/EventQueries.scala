@@ -90,6 +90,41 @@ object EventQueries {
               FROM views v ASOF LEFT JOIN clicks c
                 ON v.user_id = c.user_id AND v.ts >= c.ts""")),
 
+    // Interval join: each event matched to its containing session
+    // (binned equi-join vs the oracle's plain non-equi BETWEEN join).
+    Q("ex10_interval_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val sessions = EventOps.sessionAgg(ev, 10)
+        EventOps.intervalJoinBinned(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          sessions.select(col("user_id"), col("session_start"), col("session_end")),
+          "user_id", "ts", "session_start", "session_end", 10)
+          .select(col("event_id"), col("user_id"), col("session_start"),
+            col("session_end"))
+      },
+      Some("""WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+              ), sessions AS (
+                SELECT user_id, min(ts) AS session_start,
+                       max(ts) + INTERVAL 10 MINUTE AS session_end
+                FROM sess GROUP BY user_id, sid
+              )
+              SELECT e.event_id, e.user_id, s.session_start, s.session_end
+              FROM events e JOIN sessions s
+                ON e.user_id = s.user_id
+               AND e.ts >= s.session_start AND e.ts < s.session_end""")),
+
     // Exact percentiles of value per event type (continuous
     // interpolation — Spark `percentile` ≡ DuckDB `quantile_cont`).
     Q("ex09_percentiles",

@@ -94,6 +94,34 @@ class EventOpsSpec extends SparkSpec {
     assert(out(13L) == (None, None))
   }
 
+  test("intervalJoinBinned equals the plain range join, incl. bin-edge intervals") {
+    val points = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00")),
+      (2L, 1L, ts("2026-01-01 10:14:59")),
+      (3L, 1L, ts("2026-01-01 10:15:00")), // exactly at an interval end (exclusive)
+      (4L, 2L, ts("2026-01-01 10:05:00")), // right key, no interval
+      (5L, 1L, ts("2026-01-01 23:00:00")), // outside all intervals
+    ).toDF("event_id", "user_id", "ts")
+    val intervals = Seq(
+      (1L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:15:00")),
+      (1L, ts("2026-01-01 10:15:00"), ts("2026-01-01 10:40:00")), // crosses bins
+    ).toDF("user_id", "start", "end")
+    val out = EventOps.intervalJoinBinned(points, intervals,
+      "user_id", "ts", "start", "end", 10)
+      .select("event_id", "start").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).toString).toMap
+    assert(out == Map(
+      1L -> "2026-01-01 10:00:00.0",
+      2L -> "2026-01-01 10:00:00.0",
+      3L -> "2026-01-01 10:15:00.0")) // end-exclusive: joins the NEXT interval
+    // equality with the naive range join
+    val naive = points.join(intervals, Seq("user_id"))
+      .filter(col("ts") >= col("start") && col("ts") < col("end"))
+      .select("event_id", "start").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).toString).toMap
+    assert(out == naive)
+  }
+
   test("jsonExtractAgg: non-numeric and absent k excluded from count and sum") {
     val out = EventOps.jsonExtractAgg(events)
       .collect().map(r => (r.getString(0), r.get(1), r.getLong(2))).toSet
