@@ -90,6 +90,22 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped from closed windows") {
+    val rows = runStream("t_late")(in =>
+      StreamingOps.tumblingAgg(in.toDF(), 5, "1 minute"))(Seq(
+      Seq(Ev(1L, ts("2026-01-01 10:00:00"), 1L, "click", 1.0)),
+      // advances watermark far past the 10:00 window and closes it
+      Seq(Ev(2L, ts("2026-01-01 12:00:00"), 1L, "click", 1.0)),
+      // late event for the already-closed 10:00 window: must be dropped
+      Seq(Ev(3L, ts("2026-01-01 10:01:00"), 1L, "click", 100.0)),
+      // flush remaining windows
+      Seq(farFuture)))
+    val tenOClock = rows.filter(_.getTimestamp(0).toString == "2026-01-01 10:00:00.0")
+    assert(tenOClock.length == 1)
+    assert(tenOClock.head.getLong(2) == 1L, "late event must not be counted")
+    assert(tenOClock.head.getDouble(3) == 1.0)
+  }
+
   test("publishSnapshots: each micro-batch becomes a complete atomic version") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_stream_pub")
