@@ -252,6 +252,29 @@ object RelationalQueries {
                      round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
               FROM sk JOIN dim USING (k) GROUP BY label""")),
 
+    // Set operations (INTERSECT / EXCEPT with ANSI bag-to-set
+    // semantics) — beyond the reference's surface, table stakes for an
+    // analytics engine.
+    Q("op32_set_ops",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val autoCust = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        val fCust = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey"))
+        autoCust.intersect(fCust).withColumn("grupo", lit("ambos"))
+          .unionAll(autoCust.except(fCust).withColumn("grupo", lit("solo_urgente")))
+      },
+      Some("""SELECT o_custkey, 'ambos' AS grupo FROM (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+                INTERSECT
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+              UNION ALL
+              SELECT o_custkey, 'solo_urgente' FROM (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+                EXCEPT
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t2""")),
+
     // Rollup (hierarchical subtotals) — beyond the reference's SQL
     // surface but table stakes for an analytics engine; null markers
     // for subtotal rows match ANSI GROUP BY ROLLUP.
