@@ -34,6 +34,24 @@ object Dedup {
       .drop("__graft_rn")
   }
 
+  /** [[firstWins]] as a pure hash aggregation: min_by over a composite
+    * sort key — identical result for a total order, but NO per-key sort:
+    * one shuffle with map-side partial aggregation, constant state per
+    * key. At fact scale this beats the window form (which sorts every
+    * group); it is also the skew-robust choice (partial aggs shrink hot
+    * keys before the shuffle). Restriction: `order` columns must be
+    * expressible as a struct sort key — ascending columns only here;
+    * wrap descending columns with [[desc]] (negation / reversal) at the
+    * call site. */
+  def firstWinsAgg(df: DataFrame, keys: Seq[String], orderAsc: Seq[Column]): DataFrame = {
+    val valueCols = df.columns.filterNot(keys.contains)
+    val sortKey = struct(orderAsc: _*)
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(payload, sortKey).as("__row"))
+      .select(keys.map(k => col(s"__row.$k")) ++ valueCols.map(c => col(s"__row.$c")): _*)
+  }
+
   /** Dense sequential ids 1..N in the given total order — matches the
     * reference's SERIAL 1..N semantics needed for oracle hash-matching.
     *

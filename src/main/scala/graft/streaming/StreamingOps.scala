@@ -88,6 +88,22 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join: each left event matched to right
+    * events of the same key with `r.ts ∈ [l.ts, l.ts + maxLag]`. Both
+    * sides carry watermarks and the time bound is part of the join
+    * condition, so Spark can evict buffered state once the watermark
+    * passes `ts + maxLag` — without the bound the state store grows
+    * with the whole stream. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+                         maxLagMinutes: Int, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).as("l")
+    val r = right.withWatermark("ts", watermarkDelay).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $maxLagMinutes MINUTES"))
+  }
+
   /** Streaming sink with the OP-31 invariant: every micro-batch of a
     * complete-mode aggregation is published as a full new VERSION via
     * [[graft.sinks.Publish]] (atomic manifest flip), so downstream

@@ -27,6 +27,19 @@ class DedupSpec extends SparkSpec {
     assert(once.collect().toSet == twice.collect().toSet)
   }
 
+  test("firstWinsAgg (hash-agg min_by) equals firstWins (window) on a total order") {
+    // fecha DESC, turno_id ASC ≡ ascending sort key (negated date rank, id)
+    val df = rows.withColumn("neg_fecha",
+      -org.apache.spark.sql.functions.unix_date(col("fecha").cast("date")))
+    val viaWindow = Dedup.firstWins(df, Seq("documento"),
+      Seq(col("fecha").desc, col("turno_id").asc))
+      .select("documento", "tag").as[(String, String)].collect().toMap
+    val viaAgg = Dedup.firstWinsAgg(df, Seq("documento"),
+      Seq(col("neg_fecha"), col("turno_id")))
+      .select("documento", "tag").as[(String, String)].collect().toMap
+    assert(viaAgg == viaWindow)
+  }
+
   test("denseId assigns 1..N in order") {
     val out = Dedup.denseId(rows, Seq(col("turno_id").asc), "id")
       .select("id", "turno_id").as[(Long, Long)].collect().sorted.toSeq

@@ -31,6 +31,13 @@ class FormatsSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == data.collect().map(_.toSeq).toSet)
   }
 
+  test("orc round-trip preserves rows and schema") {
+    val p = tmp("graft_orc")
+    Formats.writeOrc(data, p)
+    val back = Formats.readOrc(spark, p)
+    assert(back.collect().map(_.toSeq).toSet == data.collect().map(_.toSeq).toSet)
+  }
+
   test("jdbcReadOptions builds a complete partitioned-read spec") {
     val opts = Formats.jdbcReadOptions("jdbc:postgresql://h/db", "turnos",
       "id", 1L, 1000000L, 32)

@@ -128,6 +128,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamIntervalJoin matches right events within the lag window only") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[Ev]
+    val rIn = MemoryStream[Ev]
+    val joined = StreamingOps.streamIntervalJoin(
+      lIn.toDF().select($"event_id".as("l_id"), $"user_id", $"ts"),
+      rIn.toDF().select($"event_id".as("r_id"), $"user_id", $"ts"),
+      "user_id", 10, "1 minute")
+      .select($"l_id", $"r_id")
+    val q = joined.writeStream.format("memory").queryName("t_ssj")
+      .outputMode("append").start()
+    try {
+      lIn.addData(Seq(Ev(1L, ts("2026-01-01 10:00:00"), 1L, "l", 0.0)))
+      rIn.addData(Seq(
+        Ev(10L, ts("2026-01-01 10:05:00"), 1L, "r", 0.0), // within lag
+        Ev(11L, ts("2026-01-01 10:20:00"), 1L, "r", 0.0), // beyond lag
+        Ev(12L, ts("2026-01-01 10:05:00"), 2L, "r", 0.0), // other key
+        Ev(13L, ts("2026-01-01 09:59:00"), 1L, "r", 0.0))) // before left
+      q.processAllAvailable()
+      lIn.addData(Seq(farFuture)); rIn.addData(Seq(farFuture))
+      q.processAllAvailable()
+      val got = spark.table("t_ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.filter(_._1 == 1L) == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("mergeAll unit: merge rules and counts") {
     import StreamingOps.{mergeAll, OpenSession}
     val gap = 600000L // 10 min
