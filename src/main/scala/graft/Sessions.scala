@@ -13,6 +13,9 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // saveAsTable targets (bucketed tables) land in tmp, not the cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       // The `events` fixture stores ts as parquet TIMESTAMP(NANOS), which
       // Spark cannot represent natively (TimestampType is µs). Read the
       // raw int64 and convert in Tables.events via integer division.
