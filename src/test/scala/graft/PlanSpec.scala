@@ -74,6 +74,24 @@ class PlanSpec extends SparkSpec {
       s"11 broadcast builds must be local-or-reused, saw locals=$locals reused=$reused")
   }
 
+  test("partitioned writes enable partition pruning on read") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_part")
+      .toFile.getAbsolutePath + "/events_by_day"
+    Tables.events(spark, sf0001)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(root)
+    val days = spark.read.parquet(root).select("day").distinct()
+      .as[String].collect().sorted
+    assert(days.length > 1, "fixture must span multiple days for this test")
+    val filtered = spark.read.parquet(root).filter(col("day") === days.head)
+    val plan = formatted(filtered)
+    // the day filter must prune at the partition level, not post-scan
+    assert(plan.contains("PartitionFilters"), s"plan:\n$plan")
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("day"), s"day filter must reach partition pruning: $pf")
+  }
+
   test("whole-stage codegen covers the cleaning pipeline") {
     // formatted mode marks codegen'd operators with a leading '*'.
     val plan = formatted(q("op23_26_limpiar_nombres"))

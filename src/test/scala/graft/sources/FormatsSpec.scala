@@ -38,6 +38,21 @@ class FormatsSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == data.collect().map(_.toSeq).toSet)
   }
 
+  test("malformed csv rows become null rows under PERMISSIVE, scan survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv").toFile
+    val f = new java.io.File(dir, "data.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("id,name,score")
+    w.println("1,ana,0.5")
+    w.println("not_a_number,luis,oops") // malformed id and score
+    w.println("3,zoe,2.0")
+    w.close()
+    val back = Formats.readCsv(spark, f.getAbsolutePath, schema)
+    assert(back.count() == 3) // no rows dropped, no exception
+    val ids = back.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(ids.count(_.isEmpty) == 1) // malformed field nulled, not fatal
+  }
+
   test("jdbcReadOptions builds a complete partitioned-read spec") {
     val opts = Formats.jdbcReadOptions("jdbc:postgresql://h/db", "turnos",
       "id", 1L, 1000000L, 32)
