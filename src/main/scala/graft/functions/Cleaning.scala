@@ -29,6 +29,17 @@ object Cleaning {
     * for gender inference (EtlHisTurnosCommand.php:137, SURVEY OP-27). */
   def firstToken(c: Column): Column = element_at(split(c, " "), 1)
 
+  /** Unicode normalization (codegen [[graft.plans.UnicodeNormalize]],
+    * registered by GraftExtensions): canonicalize equivalent byte
+    * sequences before fingerprinting/dedup. `form` ∈ NFC/NFD/NFKC/NFKD. */
+  def normalizeUnicode(c: Column, form: String): Column =
+    call_function("graft_unicode_normalize", c, lit(form))
+
+  /** Accent stripping: NFD-decompose, drop combining marks — "café" →
+    * "cafe". Mirror of DuckDB's `strip_accents` for Latin text. */
+  def stripAccents(c: Column): Column =
+    regexp_replace(normalizeUnicode(c, "NFD"), "\\p{Mn}", "")
+
   /** Non-empty predicate gating unpivoted values
     * (EtlHisTurnosCommand.php:175, SURVEY OP-07). Deliberate divergence
     * recorded in SURVEY §7.4: PHP `empty("0")` is true; we treat "0" as a

@@ -92,5 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_array_dot"),
       (children: Seq[Expression]) => ArrayDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_unicode_normalize"),
+      (children: Seq[Expression]) => UnicodeNormalize(children.head, children(1))))
   }
 }

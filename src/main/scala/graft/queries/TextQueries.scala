@@ -224,6 +224,24 @@ FROM bands a JOIN bands b
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
       }),
 
+    // Unicode canonicalization: NFC composition of an injected
+    // combining sequence ("a" + U+0301 → "á") and accent stripping —
+    // the normalize-before-fingerprint step of text dedup. Oracle uses
+    // DuckDB's native nfc_normalize / strip_accents.
+    Q("tx07_unicode_normalize",
+      (s, d) => {
+        val decomposed = concat(col("text"), lit(" suffix_á"))
+        val accented = translate(col("text"), "ae", "áé")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          graft.functions.Cleaning.normalizeUnicode(decomposed, "NFC").as("nfc"),
+          graft.functions.Cleaning.stripAccents(accented).as("sin_acentos"))
+      },
+      Some("""SELECT doc_id,
+               nfc_normalize(text || ' suffix_a' || chr(769)) AS nfc,
+               strip_accents(translate(text, 'ae', chr(225) || chr(233))) AS sin_acentos
+              FROM documents""")),
+
     // Quality filter: the keep/drop decision of a training-data
     // pipeline, from the tx01 metric set.
     Q("tx06_quality_filter",

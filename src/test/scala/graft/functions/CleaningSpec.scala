@@ -33,6 +33,19 @@ class CleaningSpec extends SparkSpec {
       Seq("MARIA", "SOLO"))
   }
 
+  test("normalizeUnicode composes/decomposes; stripAccents drops marks") {
+    // "á" precomposed (U+00E1) vs decomposed ("a" + U+0301)
+    val r = Seq(("á", "café ñandú")).toDF("dec", "acc")
+      .select(
+        Cleaning.normalizeUnicode(col("dec"), "NFC").as("nfc"),
+        Cleaning.normalizeUnicode(lit("á"), "NFD").as("nfd"),
+        Cleaning.stripAccents(col("acc")).as("plain"))
+      .collect().head
+    assert(r.getString(0) == "á")      // composed to single code point
+    assert(r.getString(1) == "á")     // decomposed back
+    assert(r.getString(2) == "cafe nandu")  // marks stripped (ñ → n)
+  }
+
   test("nonEmpty: null and blank are empty; '0' is NOT (documented divergence)") {
     val df = Seq(("a", "x"), ("b", "   "), ("c", null), ("d", "0"))
       .toDF("k", "v")
