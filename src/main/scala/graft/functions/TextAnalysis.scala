@@ -98,6 +98,34 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     substring(md5(lower(trim(regexp_replace(c, "\\s+", " ")))), 1, 16)
 
+  /** Winnowing fingerprints (the MOSS document-fingerprinting scheme):
+    * hash every `shingleSize`-gram, slide a window of `windowSize`
+    * consecutive hashes, keep the minimum of each window, emit the
+    * distinct selected hashes per document. Guarantees any shared run
+    * of ≥ windowSize+shingleSize-1 tokens between two documents shares
+    * at least one fingerprint — the standard local-similarity sketch
+    * for plagiarism / near-dup detection.
+    *
+    * Shape: shingle explode + one rows-frame window over (doc, pos) +
+    * distinct — all partitioned by the doc id, one shuffle end-to-end.
+    * Docs with fewer than windowSize shingles yield no fingerprints. */
+  def winnowingFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                            textCol: String, shingleSize: Int,
+                            windowSize: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.NearDup
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val frame = byPos.rowsBetween(0, windowSize - 1)
+    NearDup.shingleRows(docs, idCol, textCol, shingleSize)
+      .withColumn("__h", NearDup.baseHash(col("shingle")))
+      .withColumn("__wmin", min(col("__h")).over(frame))
+      // only full windows select a fingerprint
+      .withColumn("__full", lead(col("__h"), windowSize - 1).over(byPos).isNotNull)
+      .filter(col("__full"))
+      .select(col(idCol), col("__wmin").as("fingerprint"))
+      .distinct()
+  }
+
   /** Word n-gram shingles (0-based Spark array indexing), for MinHash /
     * Jaccard. Documents shorter than n yield an empty array. */
   def shingles(toks: Column, n: Int): Column =

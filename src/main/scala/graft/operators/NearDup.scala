@@ -47,10 +47,12 @@ object NearDup {
     docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** One row per (doc, shingle): tokenize once per document (explode),
-    * n-grams via lead() over token position. The window shuffle is on
-    * `idCol` — the same key every downstream aggregation needs, so the
-    * partitioning is reused. */
+  /** One row per (doc, pos, shingle): tokenize once per document
+    * (explode), n-grams via lead() over token position. The window
+    * shuffle is on `idCol` — the same key every downstream aggregation
+    * needs, so the partitioning is reused. `pos` is the 0-based shingle
+    * start position (consumers needing order — e.g. winnowing — use it;
+    * set-oriented consumers ignore it). */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String,
                   shingleSize: Int): DataFrame = {
     val toks = docs.select(col(idCol),
@@ -58,7 +60,7 @@ object NearDup {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val parts = col("tok") +: (1 until shingleSize).map(k => lead(col("tok"), k).over(w))
     toks
-      .select(col(idCol), concat_ws(" ", parts: _*).as("shingle"),
+      .select(col(idCol), col("pos"), concat_ws(" ", parts: _*).as("shingle"),
         lead(col("tok"), shingleSize - 1).over(w).isNotNull.as("__full"))
       .filter(col("__full")).drop("__full")
   }

@@ -224,6 +224,26 @@ FROM bands a JOIN bands b
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
       }),
 
+    // Winnowing fingerprints (MOSS): min hash of each sliding window of
+    // 4 consecutive 3-gram hashes, distinct per doc.
+    Q("tx08_winnowing",
+      (s, d) => TextAnalysis.winnowingFingerprints(
+        Tables.documents(s, d), "doc_id", "text", 3, 4),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+shp AS (SELECT doc_id,
+               unnest(generate_series(1, len(toks)-2)) AS pos,
+               unnest($shinglesSql) AS shingle
+        FROM t),
+hb AS (SELECT doc_id, pos,
+              CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+       FROM shp),
+wm AS (SELECT doc_id,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+              lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS lst
+       FROM hb)
+SELECT DISTINCT doc_id, wmin AS fingerprint FROM wm WHERE lst IS NOT NULL""")),
+
     // Unicode canonicalization: NFC composition of an injected
     // combining sequence ("a" + U+0301 → "á") and accent stripping —
     // the normalize-before-fingerprint step of text dedup. Oracle uses

@@ -64,6 +64,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0).length == 16)
   }
 
+  test("winnowing: shared long runs share a fingerprint; short docs yield none") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "zz one two three four five six seven eight nine ten"), // shifted copy
+      (3L, "totally different words appear in this other document here"),
+      (4L, "too short"),
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowingFingerprints(docs, "doc_id", "text", 3, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // docs 1 and 2 share a 10-token run ≥ windowSize+shingleSize-1 = 6
+    assert((fp(1L) & fp(2L)).nonEmpty, "shared run must share a fingerprint")
+    assert((fp(1L) & fp(3L)).isEmpty)
+    assert(!fp.contains(4L)) // 2 tokens -> 0 shingles -> no fingerprints
+  }
+
   test("qualityMetrics: counts, ttr, mean token length") {
     val row = Seq("aa bb aa cccc").toDF("text")
       .select(TextAnalysis.qualityMetrics(col("text")): _*).collect().head
