@@ -73,6 +73,48 @@ object Multimodal {
       .select(col("media_id"), col("frame_no"),
         (col("frame_no") * stride).as("byte_offset"))
 
+  case class Features(media_id: Long, features: Array[Float])
+  case class Resized(media_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** Feature extraction: a 16-bin normalized byte histogram per payload
+    * — a REAL computation (no codec needed), in the exact shape a CNN
+    * embedding extractor would use: mapPartitions with one model/codec
+    * handle per partition, Array[Float] feature column out, ready for
+    * the [[Similarity]] ANN operators. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[Features] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        // real code: initialize the feature model here, once per partition
+        it.map { r =>
+          val hist = new Array[Float](16)
+          r.payload.foreach { b => hist((b & 0xff) >> 4) += 1f }
+          val n = math.max(r.payload.length, 1).toFloat
+          Features(r.media_id, hist.map(_ / n))
+        }
+      }
+  }
+
+  /** Resize: STUB — a real deployment decodes, scales, re-encodes via a
+    * codec inside this mapPartitions; the stub halves the fake dims and
+    * truncates the payload proportionally, keeping the schema and batch
+    * shape (the Spark-side contract) real. */
+  def resize(spark: SparkSession, media: DataFrame, maxDim: Int): Dataset[Resized] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        val decoder = FakeDecoder
+        it.map { r =>
+          val (w, h, _) = decoder.decode(r.payload)
+          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          // STUB re-encode: proportional byte truncation
+          val nBytes = math.max(1, (r.payload.length * scale * scale).toInt)
+          Resized(r.media_id, nw, nh, r.payload.take(nBytes))
+        }
+      }
+  }
+
   /** STUB decoder — deterministic fake standing in for an image codec.
     * Must produce the same dims as [[decodeMetaExpr]]. */
   private object FakeDecoder {

@@ -29,6 +29,30 @@ class MultimodalSpec extends SparkSpec {
     assert(viaExpr == viaPart)
   }
 
+  test("extractFeatures: 16-bin normalized byte histogram, ANN-ready shape") {
+    val f = Multimodal.extractFeatures(spark, media).collect()
+      .map(r => r.media_id -> r.features).toMap
+    assert(f.values.forall(_.length == 16))
+    // histogram is normalized: sums to ~1
+    f.values.foreach(h => assert(math.abs(h.sum - 1f) < 1e-5))
+    // "x"*600 is all 'x' (0x78 -> bin 7)
+    assert(f(3L)(7) == 1f)
+  }
+
+  test("resize: dims capped at maxDim, aspect preserved, payload shrunk") {
+    val out = Multimodal.resize(spark, media, 64).collect()
+      .map(r => r.media_id -> r).toMap
+    val orig = Multimodal.decodeMetaExpr(media).collect()
+      .map(r => r.getLong(0) -> (r.getInt(4), r.getInt(5))).toMap
+    out.foreach { case (id, r) =>
+      assert(math.max(r.width, r.height) <= 64)
+      val (w, h) = orig(id)
+      // aspect ratio preserved within integer rounding
+      assert(math.abs(r.width.toDouble / r.height - w.toDouble / h) < 0.2)
+      assert(r.payload.nonEmpty)
+    }
+  }
+
   test("sampleFrames: one frame per stride, byte offsets aligned") {
     val out = Multimodal.sampleFrames(media, 256)
       .filter(col("media_id") === 3L)
