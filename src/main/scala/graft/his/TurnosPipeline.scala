@@ -28,9 +28,11 @@ import graft.operators.{Dedup, Reshape}
   * Scale notes: dims (nation/region) are broadcast; the lineitem→slots
   * pivot is one hash shuffle on l_orderkey with map-side partial max;
   * dense surrogate ids on the two dimension outputs use a window
-  * row_number (dimension-sized — fine), and the fact-sized
-  * prestacion_x_turno id documents the [[graft.operators.Dedup.denseIdScalable]]
-  * alternative for 100 TB.
+  * row_number (dimension-sized — fine), while the two FACT-sized ids
+  * (turno, prestacion_x_turno) use
+  * [[graft.operators.Dedup.denseIdScalable]] — range-partition +
+  * zipWithIndex, no single-partition global sort — so the flagship
+  * pipeline survives a 100 TB fact table.
   */
 object TurnosPipeline {
 
@@ -128,12 +130,16 @@ object TurnosPipeline {
   }
 
   /** `turno` fact: surrogate id in reference insertion order
-    * (fecha_alta DESC, natural id tiebreak), paciente FK resolved by
-    * broadcast join on documento (SURVEY OP-21). */
+    * (fecha_alta DESC, natural id tiebreak), paciente FK resolved by a
+    * join on documento (SURVEY OP-21). The paciente dim is NOT force-
+    * broadcast: its cardinality is the number of distinct patients, which
+    * grows with the fact table — at 100 TB it is fact-like. AQE broadcasts
+    * it when it is actually small (asserted at fixture scale in PlanSpec)
+    * and falls back to a shuffled hash join when it is not. */
   def turno(wide: DataFrame, pacienteDim: DataFrame): DataFrame = {
-    val withFk = wide.join(broadcast(pacienteDim.select(col("id").as("paciente_id"), col("documento"))),
+    val withFk = wide.join(pacienteDim.select(col("id").as("paciente_id"), col("documento")),
       wide("paciente_documento") === col("documento"))
-    val withId = Dedup.denseId(withFk,
+    val withId = Dedup.denseIdScalable(withFk,
       Seq(col("fecha_alta").desc, col("turno_id").asc), "id")
     withId.select(
       col("id"), col("turno_id").as("turno_natural_id"), col("paciente_id"),
@@ -162,7 +168,7 @@ object TurnosPipeline {
     val joined = long
       .join(turnoDim.select(col("id").as("t_id"), col("turno_natural_id")), Seq("turno_natural_id"))
       .join(broadcast(prestacionDim.select(col("id").as("prestacion_id"), col("nombre"))), Seq("nombre"))
-    Dedup.denseId(joined, Seq(col("t_id"), col("prestacion_id"), col("slot")), "id")
+    Dedup.denseIdScalable(joined, Seq(col("t_id"), col("prestacion_id"), col("slot")), "id")
       .select(col("id"), col("t_id").as("turno_id"), col("prestacion_id"))
   }
 }

@@ -92,6 +92,23 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("day"), s"day filter must reach partition pruning: $pf")
   }
 
+  test("turno paciente-dim join broadcasts via AQE without a forced hint") {
+    // TurnosPipeline.turno no longer forces broadcast(pacienteDim) — the
+    // dim's cardinality is fact-like at 100 TB. This gate proves AQE still
+    // picks a broadcast join at fixture scale, so dropping the hint costs
+    // nothing when the dim IS small.
+    spark.catalog.clearCache()
+    val wide = graft.his.TurnosPipeline.wideExtract(spark, sf0001)
+    val dim = graft.his.TurnosPipeline.paciente(wide)
+    val joined = wide.join(dim.select(col("id").as("paciente_id"), col("documento")),
+      wide("paciente_documento") === col("documento"))
+    joined.collect() // finalize the adaptive plan
+    val exec = joined.queryExecution.executedPlan.toString
+    assert(exec.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("documento")),
+      s"paciente join must broadcast at fixture scale:\n$exec")
+  }
+
   test("whole-stage codegen covers the cleaning pipeline") {
     // formatted mode marks codegen'd operators with a leading '*'.
     val plan = formatted(q("op23_26_limpiar_nombres"))
