@@ -92,6 +92,12 @@ object Dedup {
     * not dim-sized). */
   def findOrInsert(existing: DataFrame, incoming: DataFrame, key: String,
                    idCol: String): DataFrame = {
+    // Contract: `existing` is exactly the (key, id) catalog. Extra
+    // columns would otherwise fail later at analysis time with an
+    // opaque unionByName error.
+    require(existing.columns.toSet == Set(key, idCol),
+      s"findOrInsert expects existing to have exactly ($key, $idCol), " +
+        s"got (${existing.columns.mkString(", ")})")
     val maxId = existing.agg(max(col(idCol))).head().get(0) match {
       case null => 0L
       case v: Number => v.longValue()
@@ -99,7 +105,10 @@ object Dedup {
     val newKeys = incoming.select(trim(col(key)).as(key))
       .where(col(key).isNotNull && col(key) =!= "")
       .distinct()
-      .join(existing.select(col(key)), Seq(key), "left_anti")
+      // Compare against the TRIMMED existing key: an untrimmed catalog
+      // row must still suppress insertion of its trimmed spelling
+      // (first-wins cache semantics), not yield a duplicate entry.
+      .join(existing.select(trim(col(key)).as(key)), Seq(key), "left_anti")
     val withIds = newKeys.withColumn(idCol,
       row_number().over(Window.orderBy(col(key))).cast(LongType) + lit(maxId))
     existing.unionByName(withIds.select(existing.columns.map(col): _*))

@@ -31,6 +31,12 @@ object Skew {
                  uniqueCol: String, buckets: Int,
                  joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // Salting replicates the small side `buckets`×, which is only
+    // semantics-preserving when unmatched small-side rows are dropped:
+    // right/full/semi/anti joins would emit the replicas.
+    require(Set("inner", "left", "leftouter").contains(
+      joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin preserves semantics only for inner/left joins, got '$joinType'")
     val saltedLeft = skewed.withColumn("__salt", salt(col(uniqueCol), buckets))
     val replicated = small
       .withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))

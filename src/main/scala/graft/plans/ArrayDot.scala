@@ -35,6 +35,13 @@ case class ArrayDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_array_dot"
 
+  // Can produce null even for non-nullable inputs (length mismatch, null
+  // element), so nullability must not be inherited from the children:
+  // with non-nullable arrays Catalyst would elide the null check and the
+  // generated `isNull = true` branch would assign to a `false` literal —
+  // a Janino compile error forcing interpreted fallback.
+  override def nullable: Boolean = true
+
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 

@@ -46,6 +46,16 @@ class CleaningSpec extends SparkSpec {
     assert(r.getString(2) == "cafe nandu")  // marks stripped (ñ → n)
   }
 
+  test("normalizeUnicode rejects an invalid form at analysis time") {
+    val df = Seq("x").toDF("v")
+    val e = intercept[Exception] {
+      df.select(Cleaning.normalizeUnicode(col("v"), "NFX")).collect()
+    }
+    // must fail during analysis (type-check message), not per-row
+    assert(e.getMessage.contains("NFC") || e.getMessage.contains("form"),
+      s"expected analysis-time form error, got: ${e.getMessage}")
+  }
+
   test("nonEmpty: null and blank are empty; '0' is NOT (documented divergence)") {
     val df = Seq(("a", "x"), ("b", "   "), ("c", null), ("d", "0"))
       .toDF("k", "v")

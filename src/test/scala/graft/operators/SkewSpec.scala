@@ -26,6 +26,16 @@ class SkewSpec extends SparkSpec {
       plainLeft.collect().map(_.toSeq).toSet)
   }
 
+  test("saltedJoin rejects join types that replication would corrupt") {
+    val df = Seq(("k", 1L)).toDF("key", "row_id")
+    for (bad <- Seq("right", "full", "left_semi", "left_anti")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(df, df.select($"key", $"row_id".as("v")), "key", "row_id", 4, bad)
+      }
+      assert(e.getMessage.contains("inner/left"), s"joinType=$bad")
+    }
+  }
+
   test("salt is deterministic and spreads the hot key across buckets") {
     val df = (1L to 1000L).toDF("row_id")
     val a = df.select(Skew.salt(col("row_id"), 8).as("s")).as[Long].collect()
