@@ -130,10 +130,23 @@ object NearDup {
     * per-row array materialization; similarity rounded to 6 decimals. */
   def jaccardOnPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                      textCol: String, shingleSize: Int): DataFrame = {
-    val shd = shingleRows(docs, idCol, textCol, shingleSize)
-      .select(col(idCol).as("jid"), col("shingle")).distinct()
+    // `pairs` is consumed four times below (id restriction, A-side,
+    // B-side sizes, final assembly) and is typically the output of a
+    // multi-stage LSH chain — stage it so that chain runs once.
+    val p = stage(pairs)
+    // Only candidate docs need shingle sets — restrict BEFORE tokenizing
+    // (at corpus scale candidates are a tiny fraction of the corpus),
+    // then stage the sets so the three consumers (sizes, A-side, B-side)
+    // read one materialization instead of re-running tokenize→shingle
+    // per branch (AQE exchange reuse does not cover this multi-stage
+    // subtree — measured as the dd04/dd07 recompute pathology).
+    val ids = p.select(col("id_a").as(idCol))
+      .unionAll(p.select(col("id_b").as(idCol))).distinct()
+    val shd = stage(
+      shingleRows(docs.join(ids, Seq(idCol), "left_semi"), idCol, textCol, shingleSize)
+        .select(col(idCol).as("jid"), col("shingle")).distinct())
     val sizes = shd.groupBy(col("jid")).agg(count(lit(1)).as("ns"))
-    val withA = pairs
+    val withA = p
       .join(shd.select(col("jid").as("id_a"), col("shingle")), Seq("id_a"))
     val inter = withA
       // shingle equality is part of the JOIN KEY (hash join on
@@ -142,7 +155,7 @@ object NearDup {
       .join(shd.select(col("jid").as("__idb"), col("shingle").as("__shb")),
         col("id_b") === col("__idb") && col("shingle") === col("__shb"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
-    pairs
+    p
       .join(sizes.select(col("jid").as("id_a"), col("ns").as("na")), Seq("id_a"))
       .join(sizes.select(col("jid").as("id_b"), col("ns").as("nb")), Seq("id_b"))
       .join(inter, Seq("id_a", "id_b"), "left")
@@ -182,11 +195,23 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Eagerly materialize a small intermediate (candidate pairs, verified
+    * jaccard pairs, iteration labels) and truncate its lineage.
+    * AQE exchange reuse does NOT cover multi-branch consumption of a
+    * multi-stage subtree (measured: dd07 recomputed the shingle→minhash→
+    * band→jaccard chain in three branches), and persist() races parallel
+    * cache fills — an eager localCheckpoint computes the subtree exactly
+    * once, synchronously, before any consumer plans against it. This is
+    * the in-process analog of staging through a temp table, which is
+    * also the honest 100 TB pipeline shape (the staged sets here are
+    * pair/label-scale, orders of magnitude smaller than the corpus). */
+  def stage(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** One-step canonical assignment from verified near-dup pairs: each
     * doc's canonical id = min over itself and its neighbors with
     * similarity ≥ threshold. (One label-propagation step — the common
-    * dedup policy when clusters are shallow; iterate to a fixpoint for
-    * full connected components.) */
+    * dedup policy when clusters are shallow; use [[neardupComponents]]
+    * for full connected components over transitive chains.) */
   def neardupGroups(docs: DataFrame, jaccardPairs: DataFrame, idCol: String,
                     threshold: Double): DataFrame = {
     val strong = jaccardPairs.filter(col("jaccard") >= threshold)
@@ -196,6 +221,43 @@ object NearDup {
       .groupBy(col(idCol)).agg(min(col("nbr")).as("__mn"))
       .select(col(idCol),
         least(col(idCol), coalesce(col("__mn"), col(idCol))).as("canonical_id"))
+  }
+
+  /** Connected-components canonical assignment: min-label propagation
+    * iterated to a FIXPOINT, so every member of a transitive near-dup
+    * chain (A~B~C with A≁C) gets the one component-minimum id —
+    * [[neardupGroups]]' single step mislabels any cluster of diameter
+    * > 2.
+    *
+    * Shape: edges and labels are pair/doc-id-scale (tiny next to the
+    * corpus); each iteration is one hash join + one min aggregation,
+    * with the label table eagerly [[stage]]d so the plan does not grow
+    * with the iteration count. Labels travel one hop per iteration →
+    * convergence in O(max component diameter) rounds (near-dup clusters
+    * are shallow in practice; `maxIter` bounds pathological chains).
+    * The fixpoint test rides the same staged pass — no extra join. */
+  def neardupComponents(docs: DataFrame, jaccardPairs: DataFrame, idCol: String,
+                        threshold: Double, maxIter: Int = 50): DataFrame = {
+    val strong = jaccardPairs.filter(col("jaccard") >= threshold)
+    val edges = stage(
+      strong.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(strong.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = stage(docs.select(col(idCol)).withColumn("canonical_id", col(idCol)))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("src") === labels(idCol))
+        .groupBy(col("dst")).agg(min(col("canonical_id")).as("__nbr_min"))
+      val updated = stage(
+        labels.join(nbrMin, labels(idCol) === nbrMin("dst"), "left")
+          .select(labels(idCol), col("canonical_id").as("__old"),
+            least(col("canonical_id"),
+              coalesce(col("__nbr_min"), col("canonical_id"))).as("canonical_id")))
+      converged = updated.filter(col("canonical_id") =!= col("__old")).isEmpty
+      labels = updated.drop("__old")
+      iter += 1
+    }
+    labels
   }
 
   /** 32-bit SimHash over whitespace tokens: per-bit majority vote of

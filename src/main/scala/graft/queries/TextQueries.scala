@@ -153,9 +153,9 @@ cand AS (
     Q("dd04_jaccard_pairs",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // NOT persisted: AQE exchange reuse covers the shared LSH
-        // subtree; persist() measured slower (cache-fill races across
-        // the three parallel join branches).
+        // jaccardOnPairs stages the candidate pairs and the candidate
+        // shingle sets internally (eager localCheckpoint), so the LSH
+        // chain and the tokenize→shingle chain each run exactly once.
         val pairs = NearDup.minhashCandidates(docs, "doc_id", "text",
           NumHashes, 3, RowsPerBand)
         NearDup.jaccardOnPairs(docs, pairs, "doc_id", "text", 3)
@@ -173,7 +173,10 @@ SELECT id_a, id_b, jaccard FROM jac""")),
         val docs = Tables.documents(s, d)
         val pairs = NearDup.minhashCandidates(docs, "doc_id", "text",
           NumHashes, 3, RowsPerBand)
-        val jac = NearDup.jaccardOnPairs(docs, pairs, "doc_id", "text", 3)
+        // jac is consumed twice by neardupGroups (both edge directions)
+        // — stage the (pair-scale) verified output once.
+        val jac = NearDup.stage(
+          NearDup.jaccardOnPairs(docs, pairs, "doc_id", "text", 3))
         NearDup.neardupGroups(docs, jac, "doc_id", 0.5)
       },
       Some(s"""WITH $minhashCtes,
@@ -188,6 +191,34 @@ SELECT d.doc_id,
        least(d.doc_id, coalesce(min(n.nbr), d.doc_id)) AS canonical_id
 FROM documents d LEFT JOIN nbr n ON d.doc_id = n.doc_id
 GROUP BY d.doc_id""")),
+
+    // Full connected components over the verified near-dup graph:
+    // min-label propagation to a FIXPOINT, so transitive chains
+    // (A~B~C, A≁C) share one canonical id — the policy dd07's single
+    // step only approximates. Oracle: recursive CTE computing each
+    // doc's minimum reachable id over the strong-edge graph.
+    Q("dd09_neardup_cc",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = NearDup.minhashCandidates(docs, "doc_id", "text",
+          NumHashes, 3, RowsPerBand)
+        val jac = NearDup.jaccardOnPairs(docs, pairs, "doc_id", "text", 3)
+        NearDup.neardupComponents(docs, jac, "doc_id", 0.5)
+      },
+      Some(s"""WITH RECURSIVE $minhashCtes,
+$bandsCte,
+$jaccardCtes,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= 0.5
+  UNION ALL
+  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT re.doc_id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r
+)
+SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id""")),
 
     // Bigram (2-gram shingle) frequency — n-gram analysis over the
     // corpus via the shared shingle pipeline.

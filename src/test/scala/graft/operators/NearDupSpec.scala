@@ -67,6 +67,38 @@ class NearDupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("bucket cap bounds cost on hot buckets but keeps cold-bucket recall") {
+    // 15 identical boilerplate docs (every band bucket is hot, size 15)
+    // + one genuine near-dup pair of distinct docs (bucket size 2).
+    val boiler = (1L to 15L).map(i =>
+      (i, "same boilerplate text repeated here every time exactly"))
+    val pair = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick brown fox jumps over the lazy dog"))
+    val corpus = (boiler ++ pair).toDF("doc_id", "text")
+    val capped = NearDup.minhashCandidates(corpus, "doc_id", "text", 16, 3, 2,
+      maxBucketSize = Some(10)).as[(Long, Long)].collect().toSet
+    // hot-bucket quadratic blowup gone: none of the 15×14/2 boilerplate pairs
+    assert(!capped.exists(p => p._1 <= 15L))
+    // …but the cold-bucket near-dup pair survives (bounded recall loss)
+    assert(capped == Set((100L, 101L)))
+  }
+
+  test("neardupComponents: transitive chain collapses to one canonical id") {
+    val chainDocs = (1L to 6L).toDF("doc_id")
+    // chain 1~2~3~4~5 (diameter 4 → needs several propagation rounds);
+    // 6 only weakly linked (below threshold) stays its own component.
+    val jac = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (3L, 4L, 0.7),
+      (4L, 5L, 0.9), (5L, 6L, 0.1)).toDF("id_a", "id_b", "jaccard")
+    val out = NearDup.neardupComponents(chainDocs, jac, "doc_id", 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 6L))
+    // contrast: the one-step policy mislabels any node > 1 hop from the min
+    val oneStep = NearDup.neardupGroups(chainDocs, jac, "doc_id", 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(oneStep(3L) == 2L, "one-step propagation stops a hop short — the CC fixpoint exists for this")
+  }
+
   test("simhashNearDup: exact dups found at hamming 0; disjoint docs absent") {
     val out = NearDup.simhashNearDup(docs, "doc_id", "text", 3, 4)
       .as[(Long, Long, Int)].collect().toSet
