@@ -103,17 +103,49 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("embedding"))
   }
 
+  /** Deterministic Lloyd's k-means for IVF centroid training: init =
+    * the first `k` corpus vectors, a FIXED number of iterations, and
+    * centroid components rounded to 6 decimals after every update — so
+    * any engine (the DuckDB oracle included) reproduces the exact same
+    * centroids, making the trained index oracle-checkable.
+    *
+    * Each iteration: assign every vector to its nearest centroid by
+    * rounded cosine ([[ivfAssign]] — centroid-id tiebreak), then take
+    * the per-dimension mean of each cluster (explode → one hash agg —
+    * the corpus-scale shape; no driver-side math). Empty clusters keep
+    * their previous centroid. The (k·dim)-sized centroid table is
+    * eagerly staged per iteration so the plan doesn't double with each
+    * round. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = NearDup.stage(corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"),
+        transform(col("embedding"), x => round(x.cast("double"), 6)).as("c_emb")))
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy(col("centroid_id"), col("d"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("centroid_id"),
+          transform(col("dm"), s => round(s.getField("m"), 6)).as("c_new"))
+      cents = NearDup.stage(cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("c_new"), col("c_emb")).as("c_emb")))
+    }
+    cents
+  }
+
   /** IVF-style ANN top-k: the corpus is partitioned into inverted lists
     * by nearest centroid and each query probes only its own centroid's
-    * list (nprobe=1). Centroid "training" is a deterministic stub — the
-    * first `numCentroids` corpus vectors; a real deployment plugs
-    * k-means centroids into the same partition/probe machinery, which
+    * list (nprobe=1). Centroids come from [[kmeansCentroids]]
+    * (deterministic Lloyd's; `kmeansIters = 0` degenerates to the
+    * first-`numCentroids`-vectors init). The partition/probe machinery
     * is the part that matters at scale: the inverted-list id becomes
     * the storage partition key, so a query touches one partition. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              numCentroids: Int = 16): DataFrame = {
-    val cents = corpus.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+              numCentroids: Int = 16, kmeansIters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(corpus, numCentroids, kmeansIters)
     val ca = ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
     val qa = ivfAssign(queries.select(col("vec_id"), col("embedding")), cents)
       .select(col("vec_id").as("query_id"), col("centroid_id"),
@@ -127,14 +159,39 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
   }
 
-  /** Embedding near-duplicate pairs: cosine above `threshold` within a
-    * candidate id range (all-pairs is O(n²) — production callers pass
-    * LSH buckets or a blocking key instead of maxId). */
+  /** Embedding near-duplicate pairs within an explicit id block —
+    * an O(block²) theta-join kept ONLY as the exact-within-block
+    * baseline for small blocks; [[embeddingNearDupBucketed]] is the
+    * corpus-scale form. */
   def embeddingNearDup(corpus: DataFrame, threshold: Double, maxId: Long): DataFrame = {
     val sub = corpus.filter(col("vec_id") < maxId)
     val a = sub.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = sub.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") > threshold)
+  }
+
+  /** Embedding near-duplicate pairs over the FULL corpus, blocked by
+    * hyperplane LSH bucket: each vector gets one [[lshBucket]] id (a
+    * pure projection, no shuffle), pairs are scored only within a
+    * bucket — a hash EQUI-join on the bucket id instead of an all-pairs
+    * nested-loop theta-join. Expected cost drops from O(n²) to
+    * O(Σ bucket²) ≈ O(n²/2^planes); at corpus scale the bucket id is
+    * also the natural storage partition key. Recall < 1 by
+    * construction (a near-dup pair split by a hyperplane is missed —
+    * high-cosine pairs agree on most hyperplanes, so few are); fully
+    * deterministic given the md5-derived planes, hence oracle-checkable.
+    * Each pair shares exactly one bucket value, so no dedup is needed. */
+  def embeddingNearDupBucketed(corpus: DataFrame, threshold: Double,
+                               numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val cb = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
+    val a = cb.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = cb.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") > threshold)

@@ -26,6 +26,39 @@ norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY vec_id)"""
        (SELECT unnest(generate_series(0, 63)) AS d) dd
 )"""
 
+  /** DuckDB mirror of [[Similarity.kmeansCentroids]] in flattened
+    * (centroid_id, i, v) space: init = first `k` vectors rounded to 6
+    * decimals, then per iteration a cosine argmax assignment and a
+    * per-dimension mean rounded to 6 decimals (empty clusters keep the
+    * previous centroid). Produces CTEs `c0..c$iters` and the final
+    * assignment `as$iters` over the whole corpus. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val init = s"c0 AS (SELECT vec_id AS centroid_id, i, round(v, 6) AS v FROM flat WHERE vec_id < $k)"
+    val blocks = (0 to iters).map { n =>
+      val assign =
+        s"""cd$n AS (SELECT f.vec_id, c.centroid_id, sum(f.v * c.v) AS dp
+        FROM flat f JOIN c$n c ON f.i = c.i GROUP BY 1, 2),
+cn$n AS (SELECT centroid_id, sqrt(sum(v*v)) AS nrm FROM c$n GROUP BY 1),
+as$n AS (SELECT vec_id, centroid_id FROM (
+          SELECT d.vec_id, d.centroid_id,
+                 row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY round(dp / (n1.nrm * cn.nrm), 6) DESC, d.centroid_id ASC) AS rn
+          FROM cd$n d
+          JOIN norms n1 ON n1.vec_id = d.vec_id
+          JOIN cn$n cn ON cn.centroid_id = d.centroid_id) t
+         WHERE rn = 1)"""
+      if (n == iters) assign
+      else assign + s""",
+m$n AS (SELECT a.centroid_id, f.i, round(avg(f.v), 6) AS v
+        FROM as$n a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2),
+c${n + 1} AS (SELECT centroid_id, i, v FROM m$n
+           UNION ALL
+           SELECT c.centroid_id, c.i, c.v FROM c$n c
+           WHERE c.centroid_id NOT IN (SELECT centroid_id FROM m$n))"""
+    }
+    (init +: blocks).mkString(",\n")
+  }
+
   val all: Seq[Q] = Seq(
 
     // EX-06 baseline: exact brute-force cosine top-10 for 5 query vectors.
@@ -100,28 +133,19 @@ SELECT * FROM (
   FROM scored) t
 WHERE rk <= 10""")),
 
-    // EX-06 scale path, IVF variant: inverted lists by nearest centroid
-    // (deterministic stub centroids = first 16 vectors), nprobe=1.
+    // EX-06 scale path, IVF variant: inverted lists by nearest k-means
+    // centroid (deterministic Lloyd's, 2 iterations, init = first 16
+    // vectors), nprobe=1. The oracle trains the SAME centroids via the
+    // kmeansCtes chain generated from the same constants.
     Q("ann04_ivf_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 30), 10, 16)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 30), 10, 16, 2)
       },
       Some(s"""WITH ${flatCte()},
-cdots AS (SELECT f1.vec_id, f2.vec_id AS centroid_id, sum(f1.v * f2.v) AS dp
-          FROM flat f1 JOIN flat f2 ON f1.i = f2.i
-          WHERE f2.vec_id < 16
-          GROUP BY 1, 2),
-asgn AS (SELECT vec_id, centroid_id FROM (
-           SELECT d.vec_id, d.centroid_id,
-                  row_number() OVER (PARTITION BY d.vec_id
-                    ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.centroid_id ASC) AS rn
-           FROM cdots d
-           JOIN norms n1 ON n1.vec_id = d.vec_id
-           JOIN norms n2 ON n2.vec_id = d.centroid_id) t
-         WHERE rn = 1),
+${kmeansCtes(16, 2)},
 prs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
-        FROM asgn q JOIN asgn c ON q.centroid_id = c.centroid_id
+        FROM as2 q JOIN as2 c ON q.centroid_id = c.centroid_id
         WHERE q.vec_id < 30),
 dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
          FROM prs p
@@ -154,6 +178,35 @@ SELECT id_a, id_b, cos_sim FROM (
   JOIN norms n1 ON n1.vec_id = d.id_a
   JOIN norms n2 ON n2.vec_id = d.id_b) t
 WHERE cos_sim > 0.35""")),
+
+    // Embedding near-dup, corpus-scale form: LSH-bucket blocking over
+    // the FULL table (no id block) — bucket equi-join, not an all-pairs
+    // theta-join. Threshold is low (0.1) because the fixture vectors
+    // are i.i.d. random; real embeddings cluster far tighter.
+    Q("dd06b_embed_neardup_lsh",
+      (s, d) => Similarity.embeddingNearDupBucketed(Tables.embeddings(s, d), 0.1, 8, 64),
+      Some(s"""WITH $planesSql,
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
+bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+${flatCte()},
+prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+dots AS (SELECT p.id_a, p.id_b, sum(f1.v * f2.v) AS dp
+         FROM prs p
+         JOIN flat f1 ON f1.vec_id = p.id_a
+         JOIN flat f2 ON f2.vec_id = p.id_b AND f1.i = f2.i
+         GROUP BY 1, 2)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT d.id_a, d.id_b, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+  FROM dots d
+  JOIN norms n1 ON n1.vec_id = d.id_a
+  JOIN norms n2 ON n2.vec_id = d.id_b) t
+WHERE cos_sim > 0.1""")),
 
     // Multimodal: binary payload + metadata decode (dims are the STUB
     // decoder's deterministic fake — see Multimodal.scala).

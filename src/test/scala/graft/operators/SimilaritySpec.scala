@@ -89,4 +89,42 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(out.map(p => (p._1, p._2)) == Set((0L, 3L)))
   }
+
+  test("embeddingNearDupBucketed: same-bucket parallel pair found, no cross-bucket scoring") {
+    val out = Similarity.embeddingNearDupBucketed(vecs, 0.99, 4, 3)
+      .as[(Long, Long, Double)].collect().toSet
+    // 0 and 3 are parallel → identical sign pattern on every hyperplane
+    // → same bucket, so the blocked form keeps the pair.
+    assert(out.map(p => (p._1, p._2)) == Set((0L, 3L)))
+    // pair count never exceeds the within-bucket total (no all-pairs)
+    val buckets = vecs.select(Similarity.lshBucket(col("embedding"), 4, 3).as("b"))
+      .as[Long].collect().groupBy(identity).map(_._2.length)
+    val maxPairs = buckets.map(n => n.toLong * (n - 1) / 2).sum
+    val unfiltered = Similarity.embeddingNearDupBucketed(vecs, -1.0, 4, 3).count()
+    assert(unfiltered == maxPairs)
+  }
+
+  test("kmeansCentroids converge to cluster means even from one-sided init") {
+    // ids 0,1 (the Lloyd's init) are BOTH in the e1 cluster; the e3
+    // cluster must be discovered by the update steps.
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.2f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.9f, 0.1f)),
+      (4L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.1f)),
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(corpus, 2, 2)
+    val asgn = Similarity.ivfAssign(corpus, cents)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    val e1Cluster = Set(0L, 1L, 4L).map(asgn)
+    val e3Cluster = Set(2L, 3L, 5L).map(asgn)
+    assert(e1Cluster.size == 1 && e3Cluster.size == 1, s"each group one centroid: $asgn")
+    assert(e1Cluster != e3Cluster, s"groups must separate: $asgn")
+    // deterministic across runs
+    val again = Similarity.kmeansCentroids(corpus, 2, 2)
+      .orderBy("centroid_id").collect().map(_.toSeq)
+    assert(cents.orderBy("centroid_id").collect().map(_.toSeq).toSeq == again.toSeq)
+  }
 }
