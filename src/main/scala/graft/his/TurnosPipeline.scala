@@ -36,11 +36,11 @@ import graft.operators.{Dedup, Reshape}
   */
 object TurnosPipeline {
 
-  /** Deterministic given-name pool; 10 are in [[Gender.dict]], 2 are not
-    * (exercise unknown-name → null). */
+  /** Deterministic given-name pool; 10 are in [[Gender.dict]], 2
+    * (ANACLETO, FILOMENA) are not — they exercise unknown-name → null. */
   val givenNames: Seq[String] = Seq(
     "MARIA", "JOSE", "JUAN", "ANA", "CARLOS", "LUCIA",
-    "PEDRO", "CARMEN", "DIEGO", "ROSA", "WALTER", "ZULEMA")
+    "PEDRO", "CARMEN", "DIEGO", "ROSA", "ANACLETO", "FILOMENA")
 
   val nSlots = 11
 

@@ -7,10 +7,24 @@ class GenderSpec extends SparkSpec {
   import spark.implicits._
 
   test("inferirSexo looks up case-insensitively; unknown and null give null") {
-    val df = Seq("MARIA", "maria", "JOSE", "WALTER", null).toDF("n")
+    val df = Seq("MARIA", "maria", "JOSE", "ANACLETO", null).toDF("n")
       .select(Gender.inferirSexo(col("n")).as("g"))
     assert(df.collect().map(r => Option(r.getString(0))).toSeq ==
       Seq(Some("Female"), Some("Female"), Some("Male"), None, None))
+  }
+
+  test("accented canonical names and their ASCII variants both resolve") {
+    val df = Seq("MARÍA", "maría", "JOSÉ", "ANDRÉS", "ANDRES", "BELÉN", "BELEN")
+      .toDF("n").select(Gender.inferirSexo(col("n")).as("g"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("Female", "Female", "Male", "Male", "Male", "Female", "Female"))
+  }
+
+  test("dictionary covers several hundred names, both genders") {
+    assert(Gender.dict.size > 400, s"got ${Gender.dict.size}")
+    assert(Gender.dict.values.toSet == Set("Male", "Female"))
+    // fixture unknown-name sentinels must stay out of the dictionary
+    assert(!Gender.dict.contains("ANACLETO") && !Gender.dict.contains("FILOMENA"))
   }
 
   test("oracleCase agrees with the Spark lookup on every dict entry") {
