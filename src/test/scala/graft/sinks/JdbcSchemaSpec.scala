@@ -1,0 +1,93 @@
+package graft.sinks
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, Statement}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DDL-recreate (OP-03, relational half): statement-level checks plus a
+  * reflective-proxy Connection proving the transaction envelope —
+  * no database exists in this container, matching how
+  * `jdbcReadOptions` is tested at the options level. */
+class JdbcSchemaSpec extends AnyFunSuite {
+
+  test("statement list: schema reset first, tables in FK order, 6 indexes") {
+    val stmts = JdbcSchema.recreateStatements()
+    assert(stmts.take(3).map(_.takeWhile(_ != ' ')) == Seq("DROP", "CREATE", "GRANT"))
+    def idxOf(s: String): Int = stmts.indexWhere(_.contains(s))
+    // FK dependency order: referenced tables created before referencing
+    assert(idxOf("CREATE TABLE paciente") < idxOf("CREATE TABLE turno"))
+    assert(idxOf("CREATE TABLE turno") < idxOf("CREATE TABLE prestacion_x_turno"))
+    assert(idxOf("CREATE TABLE prestacion ") < idxOf("CREATE TABLE prestacion_x_turno"))
+    assert(stmts.count(_.startsWith("CREATE TABLE")) == 4)
+    assert(stmts.count(_.startsWith("CREATE INDEX")) == 6)
+    // each index references an existing table created earlier
+    stmts.filter(_.startsWith("CREATE INDEX")).foreach { ix =>
+      val table = ix.split(" ON ")(1).takeWhile(_ != ' ')
+      assert(idxOf(s"CREATE TABLE $table") >= 0 && idxOf(s"CREATE TABLE $table") < stmts.indexOf(ix),
+        s"index before its table: $ix")
+    }
+    // custom schema name propagates to the reset statements only
+    val custom = JdbcSchema.recreateStatements("staging")
+    assert(custom.head == "DROP SCHEMA IF EXISTS staging CASCADE")
+    assert(custom(1) == "CREATE SCHEMA staging")
+  }
+
+  /** Proxy-backed fake Connection recording executed SQL and
+    * transaction calls; `failOn` makes that statement throw. */
+  private class FakeDb(failOn: Option[String] = None) {
+    val log = scala.collection.mutable.ArrayBuffer[String]()
+    private var autoCommit = true
+
+    private val stmtHandler: InvocationHandler = (_, m: Method, args: Array[AnyRef]) =>
+      m.getName match {
+        case "execute" =>
+          val sql = args(0).asInstanceOf[String]
+          if (failOn.exists(sql.contains)) throw new java.sql.SQLException(s"boom: $sql")
+          log += s"execute:${sql.takeWhile(_ != ' ')}:${sql.split("\\s+").take(3).mkString(" ")}"
+          java.lang.Boolean.FALSE
+        case "close" => log += "stmt-close"; null
+        case _ => null
+      }
+
+    private val stmt = Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[Statement]), stmtHandler).asInstanceOf[Statement]
+
+    private val connHandler: InvocationHandler = (_, m: Method, args: Array[AnyRef]) =>
+      m.getName match {
+        case "createStatement" => log += "createStatement"; stmt
+        case "commit" => log += "commit"; null
+        case "rollback" => log += "rollback"; null
+        case "getAutoCommit" => java.lang.Boolean.valueOf(autoCommit)
+        case "setAutoCommit" =>
+          autoCommit = args(0).asInstanceOf[java.lang.Boolean]
+          log += s"autoCommit=$autoCommit"; null
+        case _ => null
+      }
+
+    val conn: Connection = Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[Connection]), connHandler).asInstanceOf[Connection]
+  }
+
+  test("recreate executes every statement in order inside one transaction") {
+    val db = new FakeDb()
+    JdbcSchema.recreate(db.conn)
+    val executes = db.log.filter(_.startsWith("execute:"))
+    assert(executes.size == JdbcSchema.recreateStatements().size)
+    assert(executes.head.contains("DROP SCHEMA"))
+    assert(db.log.head == "autoCommit=false")
+    assert(db.log.count(_ == "commit") == 1)
+    assert(!db.log.contains("rollback"))
+    // commit after all executes; autoCommit restored last
+    assert(db.log.indexOf("commit") > db.log.lastIndexOf(executes.last))
+    assert(db.log.last == "autoCommit=true")
+  }
+
+  test("a failing statement rolls back, propagates, and never commits") {
+    val db = new FakeDb(failOn = Some("CREATE TABLE prestacion_x_turno"))
+    val e = intercept[java.sql.SQLException] { JdbcSchema.recreate(db.conn) }
+    assert(e.getMessage.contains("boom"))
+    assert(db.log.contains("rollback"))
+    assert(!db.log.contains("commit"))
+    assert(db.log.last == "autoCommit=true", "autoCommit restored even on failure")
+  }
+}
