@@ -260,6 +260,40 @@ object NearDup {
     labels
   }
 
+  /** End-to-end corpus canonicalization — the production dedup order a
+    * training-data pipeline runs:
+    *  1. EXACT dedup first: one cheap fingerprint groupBy collapses
+    *     byte-identical docs and shrinks the corpus BEFORE anything
+    *     superlinear runs (web corpora are exact-dup-heavy);
+    *  2. MinHash LSH candidates + exact-Jaccard verification over the
+    *     surviving representatives only;
+    *  3. [[neardupComponents]] fixpoint: one canonical id per
+    *     transitive near-dup cluster;
+    *  4. every input doc maps through its exact group to its cluster's
+    *     canonical id.
+    * Returns (idCol, canonical_id) for EVERY input doc. Corpus-scale
+    * data is never staged (the fingerprint chain is a linear scan);
+    * only pair/label-scale intermediates are ([[jaccardOnPairs]] /
+    * [[neardupComponents]] internals). */
+  def canonicalize(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 16, shingleSize: Int = 3,
+                   rowsPerBand: Int = 2, threshold: Double = 0.5,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
+    val fp = docs.select(col(idCol), col(textCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    val exact = fp.groupBy(col("__fp")).agg(min(col(idCol)).as("__exact"))
+    val em = fp.join(exact, Seq("__fp"))
+    val reps = em.filter(col(idCol) === col("__exact"))
+      .select(col(idCol), col(textCol))
+    val pairs = minhashCandidates(reps, idCol, textCol,
+      numHashes, shingleSize, rowsPerBand, maxBucketSize)
+    val jac = jaccardOnPairs(reps, pairs, idCol, textCol, shingleSize)
+    val cc = neardupComponents(reps, jac, idCol, threshold)
+    em.select(col(idCol), col("__exact"))
+      .join(cc.select(col(idCol).as("__exact"), col("canonical_id")), Seq("__exact"))
+      .select(col(idCol), col("canonical_id"))
+  }
+
   /** 32-bit SimHash over whitespace tokens: per-bit majority vote of
     * token hashes (bit set when strictly more weighted-ones than zeros).
     * Computed via explode + 32 conditional sums — one shuffle. */

@@ -28,19 +28,23 @@ object TextQueries {
   /** Shared minhash CTE chain mirroring [[NearDup.minhashSignature]]:
     * tokens → shingles → ONE md5 base per shingle → 16 affine seeded
     * hashes (A_s·base + B_s mod P) → per-doc mins. Constants come from
-    * the same [[NearDup]] definitions so both engines share the family. */
-  private val minhashCtes: String = {
+    * the same [[NearDup]] definitions so both engines share the family.
+    * `src` parameterizes the corpus CTE (dd10 runs the chain over the
+    * quality-kept exact-dedup representatives instead of `documents`). */
+  private def minhashCtesFrom(src: String): String = {
     val P = NearDup.HashP
     val mins = (0 until NumHashes)
       .map(s => s"min((${NearDup.hashA(s)} * hbase + ${NearDup.hashB(s)}) % $P) AS mh$s")
       .mkString(", ")
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM $src),
 sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM t),
 hb AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS hbase FROM sh),
 m AS (SELECT d.doc_id, ${(0 until NumHashes).map(i => s"mm.mh$i").mkString(", ")}
-      FROM documents d LEFT JOIN
+      FROM $src d LEFT JOIN
         (SELECT doc_id, $mins FROM hb GROUP BY doc_id) mm ON d.doc_id = mm.doc_id)"""
   }
+
+  private val minhashCtes: String = minhashCtesFrom("documents")
 
   /** Exact-Jaccard verification CTEs over the LSH candidates (shared by
     * dd04 and dd07): long-form shingle sets, |A∩B| via equality join,
@@ -219,6 +223,47 @@ reach AS (
   SELECT re.doc_id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r
 )
 SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id""")),
+
+    // Full training-data dedup pipeline: quality gate → exact dedup
+    // (shrink) → MinHash LSH + Jaccard on representatives → CC fixpoint
+    // → doc-level canonical ids. The oracle composes the tx06 quality
+    // predicate, the fingerprint window, the minhash chain over the
+    // representative set, and the recursive-CTE components.
+    Q("dd10_dedup_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = docs.select(
+          (Seq(col("doc_id"), col("text")) ++ TextAnalysis.qualityMetrics(col("text"))): _*)
+        val kept = m.filter(
+          col("n_tokens").between(20, 2000) &&
+          col("ttr") >= 0.3 &&
+          col("mean_token_len").between(2.0, 12.0)).select("doc_id", "text")
+        NearDup.canonicalize(kept, "doc_id", "text", NumHashes, 3, RowsPerBand, 0.5)
+      },
+      Some(s"""WITH RECURSIVE
+kept AS (SELECT doc_id, text FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) kq
+         WHERE len(toks) BETWEEN 20 AND 2000
+           AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.3
+           AND round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) BETWEEN 2.0 AND 12.0),
+em AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS exact_canon
+       FROM (SELECT doc_id, $fingerprintSql AS fp FROM kept) x),
+reps AS (SELECT k.doc_id, k.text FROM kept k
+         JOIN em e ON e.doc_id = k.doc_id AND e.exact_canon = k.doc_id),
+${minhashCtesFrom("reps")},
+$bandsCte,
+$jaccardCtes,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= 0.5
+  UNION ALL
+  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM reps
+  UNION
+  SELECT re.doc_id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r
+),
+cc AS (SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id)
+SELECT e.doc_id, cc.canonical_id FROM em e JOIN cc ON cc.doc_id = e.exact_canon""")),
 
     // Bigram (2-gram shingle) frequency — n-gram analysis over the
     // corpus via the shared shingle pipeline.

@@ -84,6 +84,23 @@ class NearDupSpec extends SparkSpec {
     assert(capped == Set((100L, 101L)))
   }
 
+  test("canonicalize: exact dups collapse, near-dup chain unifies, singletons self-map") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),   // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat today"),   // near dup of 1
+      (4L, "a totally different document about spark physical plans"),
+      (5L, "the quick brown fox jumps over the lazy dog today"),   // exact dup of 1
+    ).toDF("doc_id", "text")
+    val out = NearDup.canonicalize(corpus, "doc_id", "text",
+      numHashes = 16, shingleSize = 3, rowsPerBand = 2, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L), "every input doc mapped")
+    assert(out(1L) == 1L && out(2L) == 1L && out(5L) == 1L, s"exact dups: $out")
+    assert(out(3L) == 1L, s"near dup joins the cluster through its representative: $out")
+    assert(out(4L) == 4L, s"unrelated doc keeps itself: $out")
+  }
+
   test("neardupComponents: transitive chain collapses to one canonical id") {
     val chainDocs = (1L to 6L).toDF("doc_id")
     // chain 1~2~3~4~5 (diameter 4 → needs several propagation rounds);
