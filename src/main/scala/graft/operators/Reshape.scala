@@ -47,13 +47,23 @@ object Reshape {
     * `dim.persist()`, the N parallel broadcast stages race to fill the
     * cache and it's slower still (68.6s → 112.4s bench total at sf0.1).
     * A LocalRelation costs one computation and makes each broadcast a
-    * trivial in-memory copy. */
+    * trivial in-memory copy.
+    *
+    * `maxDimRows` guards the collect: a "dimension" that turns out to
+    * be fact-sized must fail FAST with a clear message, not OOM the
+    * driver mid-collect. The limit+1 probe keeps the guard one cheap
+    * job instead of a separate count. */
   def repeatedDimJoin(df: DataFrame, dim: DataFrame, dimKey: String, dimVal: String,
-                      fkCols: Seq[String], outPrefix: String): DataFrame = {
+                      fkCols: Seq[String], outPrefix: String,
+                      maxDimRows: Int = 2000000): DataFrame = {
     val spark = df.sparkSession
     val kv = dim.select(col(dimKey), col(dimVal))
+    val rows = kv.limit(maxDimRows + 1).collect()
+    require(rows.length <= maxDimRows,
+      s"repeatedDimJoin: dim has more than $maxDimRows rows — it is not " +
+        s"broadcast-sized; join the unpivoted long form instead (see unpivotNonEmpty)")
     val localDim = spark.createDataFrame(
-      java.util.Arrays.asList(kv.collect(): _*), kv.schema)
+      java.util.Arrays.asList(rows: _*), kv.schema)
     fkCols.zipWithIndex.foldLeft(df) { case (acc, (fk, i)) =>
       acc.join(
         broadcast(localDim.select(col(dimKey).as(s"__k$i"), col(dimVal).as(s"$outPrefix$i"))),

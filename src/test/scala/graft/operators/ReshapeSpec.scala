@@ -46,6 +46,15 @@ class ReshapeSpec extends SparkSpec {
       viaUnpivot.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("repeatedDimJoin fails fast on an over-sized dim instead of collecting it") {
+    val bigDim = (1L to 100L).map(i => (i, s"n$i")).toDF("id", "nombre")
+    val e = intercept[IllegalArgumentException] {
+      Reshape.repeatedDimJoin(wide, bigDim, "nombre", "id",
+        Seq("prestacion0"), "p", maxDimRows = 50)
+    }
+    assert(e.getMessage.contains("not broadcast-sized"))
+  }
+
   test("unpivot→pivot round-trip preserves non-empty slot contents") {
     val clean = Seq((1L, "a", "b", "c"), (2L, "x", "y", "z"))
       .toDF("id", "prestacion0", "prestacion1", "prestacion2")
