@@ -58,6 +58,34 @@ object EventOps {
     events.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
 
+  /** EX-04c: KMV (k-minimum-values) distinct estimator — the
+    * VERIFIABLE approximate-distinct: estimate = (k−1)·2⁶⁰ / h_k, with
+    * h_k the k-th smallest distinct 60-bit md5-derived hash per group
+    * (exact count when a group has fewer than k distinct values).
+    * Deterministic given the hash function, so any engine reproduces
+    * the identical estimate — unlike HLL this one hash-checks against
+    * the DuckDB oracle. The bottom-k sets are also mergeable (union →
+    * re-take k smallest), the property a distributed sketch needs.
+    *
+    * Shape: one distinct (hash shuffle with map-side partial dedup) +
+    * a per-group bottom-k window on the already-distinct hashes. Same
+    * shuffle class as exact count-distinct — HLL above remains the
+    * constant-state production sketch; KMV is the auditable one. All
+    * arithmetic is exact in IEEE double ((k−1)·2⁶⁰ has ≤6 significant
+    * bits) followed by ONE division, so both engines agree bitwise. */
+  def kmvDistinctUsers(events: DataFrame, k: Int = 64): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    val dh = events.select(col("event_type"), h.as("h")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    dh.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__n"), max(col("h")).as("__hk"))
+      .select(col("event_type"),
+        when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * math.pow(2, 60)) / col("__hk"), 6))
+          .as("est_users"))
+  }
+
   /** EX-01b: sliding window aggregation — each event lands in
     * windowLen/slide buckets (Spark's `window()` with a slide emits one
     * row per covering window; still a single hash shuffle). */

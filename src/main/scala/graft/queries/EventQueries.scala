@@ -62,6 +62,24 @@ object EventQueries {
       (s, d) => EventOps.approxDistinctUsers(Tables.events(s, d)),
       None),
 
+    // KMV bottom-k estimator — the ORACLE-CHECKABLE approximate
+    // distinct (deterministic md5-derived hashes, identical estimate in
+    // any engine).
+    Q("ex04b_distinct_kmv",
+      (s, d) => EventOps.kmvDistinctUsers(Tables.events(s, d), 64),
+      Some("""WITH dh AS (SELECT DISTINCT event_type,
+                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM events),
+bk AS (SELECT event_type, h,
+              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       FROM dh),
+agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(h) AS hk
+        FROM bk WHERE rn <= 64 GROUP BY event_type)
+SELECT event_type,
+       CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+            ELSE round(63.0 * power(2.0, 60) / hk, 6) END AS est_users
+FROM agg""")),
+
     // EX-01b: sliding windows (10 min window, 5 min slide — each event
     // lands in exactly two buckets).
     Q("ex06_sliding_window",

@@ -128,4 +128,20 @@ class EventOpsSpec extends SparkSpec {
     assert(out.contains(("click", 10L, 2L))) // 7 + 3; "oops" and null props excluded
     assert(out.contains(("view", null, 0L)))
   }
+
+  test("kmvDistinctUsers: exact under k, close and deterministic above k") {
+    val big = ((1L to 2000L).map(u => ("big", u)) ++ (1L to 10L).map(u => ("small", u)))
+      .toDF("event_type", "user_id")
+      // duplicate every event: distinct-ness must not double-count
+      .unionAll(((1L to 2000L).map(u => ("big", u)) ++ (1L to 10L).map(u => ("small", u)))
+        .toDF("event_type", "user_id"))
+    val est = EventOps.kmvDistinctUsers(big, 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est("small") == 10.0, "fewer than k distinct → exact count")
+    assert(math.abs(est("big") - 2000.0) / 2000.0 < 0.4,
+      s"k=64 estimate within sampling error: ${est("big")}")
+    val again = EventOps.kmvDistinctUsers(big, 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est == again, "deterministic estimator")
+  }
 }
