@@ -171,7 +171,8 @@ object NearDup {
     * numBands-1 — exact, not approximate — while the self-join stays
     * bucket-local instead of O(n²). */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3, numBands: Int = 4): DataFrame = {
+                     maxHamming: Int = 3, numBands: Int = 4,
+                     maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming < numBands, "pigeonhole exactness needs maxHamming < numBands")
     val bandBits = 32 / numBands
     val sh = simhash(docs, idCol, textCol)
@@ -180,9 +181,20 @@ object NearDup {
         shiftright(col("simhash"), b * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1)).as("band_key"))
     }
-    val banded = sh
+    val banded0 = sh
       .select(col(idCol), col("simhash"), explode(array(bands: _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band"), col("bk.band_key"))
+    // Same hot-bucket economics as minhash LSH: k identical boilerplate
+    // docs put k²/2 pairs in every band bucket. The cap bounds the cost;
+    // with it, "exact for hamming < bands" holds only for pairs whose
+    // agreeing bucket survives (off by default for oracle parity).
+    val banded = maxBucketSize.fold(banded0) { cap =>
+      val sizes = banded0.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= cap)
+        .drop("__bsz")
+      banded0.join(sizes, Seq("band", "band_key"))
+    }
     val a = banded.select(col("band"), col("band_key"),
       col(idCol).as("id_a"), col("simhash").as("__sha"))
     val b = banded.select(col("band"), col("band_key"),

@@ -165,6 +165,23 @@ object RelationalQueries {
                          ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
                 FROM orders) t WHERE rn = 1""")),
 
+    // OP-15, hash-aggregation form: identical winner via min_by over an
+    // ascending composite (negated day number, natural-key tiebreak) —
+    // the skew-robust fact-scale formulation (map-side partials shrink
+    // hot keys BEFORE the shuffle; no per-group sort). Checked against
+    // the SAME oracle SQL as op15.
+    Q("op15b_firstwins_agg",
+      (s, d) => Dedup.firstWinsAgg(Tables.orders(s, d), Seq("o_custkey"),
+          // o_orderdate is date-granular (midnight NTZ); negated day
+          // number gives the DESC order as an ascending component.
+          Seq(-unix_date(col("o_orderdate").cast("date")), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey").as("ultimo_pedido"), col("o_orderdate")),
+      Some("""SELECT o_custkey, o_orderkey AS ultimo_pedido, o_orderdate FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+                FROM orders) t WHERE rn = 1""")),
+
     // OP-16: order-insensitive distinct of trimmed names
     // (prestacionesCache, EtlHisTurnosCommand.php:179-193).
     Q("op16_distinct_catalog",

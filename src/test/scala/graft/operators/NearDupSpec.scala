@@ -131,6 +131,19 @@ class NearDupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
   }
 
+  test("simhashNearDup bucket cap drops hot-bucket pairs, keeps cold ones") {
+    val boiler = (1L to 15L).map(i =>
+      (i, "same boilerplate text repeated here every time exactly"))
+    val pair = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick brown fox jumps over the lazy dog"))
+    val corpus = (boiler ++ pair).toDF("doc_id", "text")
+    val capped = NearDup.simhashNearDup(corpus, "doc_id", "text", 3, 4,
+      maxBucketSize = Some(10)).as[(Long, Long, Int)].collect().toSet
+    assert(!capped.exists(p => p._1 <= 15L), s"hot-bucket pairs must drop: $capped")
+    assert(capped.map(p => (p._1, p._2)) == Set((100L, 101L)))
+  }
+
   test("simhash: identical docs equal; near dups within small hamming distance") {
     val sh = NearDup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
