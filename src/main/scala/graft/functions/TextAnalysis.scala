@@ -126,6 +126,31 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Corpus bigram-frequency quality score — a cheap perplexity proxy
+    * for gibberish filtering: each doc scores the MEAN natural log of
+    * its bigrams' corpus frequencies. Gibberish bigrams are corpus-rare
+    * (freq ≈ 1 → ln ≈ 0), fluent text reuses common bigrams, so a low
+    * score flags low-quality docs without any model artifact — the
+    * corpus is its own language model.
+    *
+    * Shape: bigram explode (reuses [[graft.operators.NearDup.shingleRows]]'
+    * doc-partitioned stream) → one hash agg for corpus counts → join on
+    * bigram (AQE broadcasts when the vocabulary is small) → per-doc avg
+    * on the doc id. Docs with fewer than 2 tokens get a null score
+    * (kept, left join). Rounded to 6 decimals for cross-engine
+    * summation-order tolerance. */
+  def bigramLogFreqScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.NearDup
+    val bg = NearDup.shingleRows(docs, idCol, textCol, 2)
+      .select(col(idCol), col("shingle").as("bigram"))
+    val freq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val scored = bg.join(freq, Seq("bigram"))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("n").cast("double"))), 6).as("bigram_logfreq"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
   /** Word n-gram shingles (0-based Spark array indexing), for MinHash /
     * Jaccard. Documents shorter than n yield an empty array. */
   def shingles(toks: Column, n: Int): Column =

@@ -276,6 +276,18 @@ b AS (SELECT unnest(list_transform(generate_series(1, len(toks)-1),
                                    i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
 SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bigram""")),
 
+    // Corpus bigram-frequency quality score — perplexity proxy: mean
+    // ln(corpus frequency) of each doc's bigrams; low = gibberish.
+    Q("tx09_bigram_score",
+      (s, d) => TextAnalysis.bigramLogFreqScore(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+                                           i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t),
+f AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram),
+s AS (SELECT b.doc_id, round(avg(ln(n)), 6) AS bigram_logfreq
+      FROM b JOIN f USING (bigram) GROUP BY b.doc_id)
+SELECT d.doc_id, s.bigram_logfreq FROM documents d LEFT JOIN s USING (doc_id)""")),
+
     // SimHash (32-bit, per-bit majority of token hashes).
     Q("dd05_simhash",
       (s, d) => NearDup.simhash(Tables.documents(s, d), "doc_id", "text"),

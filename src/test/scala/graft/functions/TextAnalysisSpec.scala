@@ -87,4 +87,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getDouble(2) == 0.75)      // ttr
     assert(row.getDouble(3) == 2.5)       // mean_token_len
   }
+
+  test("bigramLogFreqScore: repeated-phrase docs outscore gibberish; short docs null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "zxqv wplk njhg bcde trewq yuiop asdfg hjklz"), // gibberish: unique bigrams
+      (4L, "one"),                                          // < 2 tokens → null
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogFreqScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(4L).isEmpty)
+    // docs 1/2 share every bigram (freq 2 → ln 2); gibberish freq 1 → ln 1 = 0
+    assert(out(1L).get == out(2L).get)
+    assert(out(1L).get > out(3L).get)
+    assert(out(3L).get == 0.0)
+  }
 }
