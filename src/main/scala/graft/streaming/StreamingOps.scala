@@ -88,6 +88,43 @@ object StreamingOps {
       }
   }
 
+  /** Streaming KMV estimate row (update mode: latest per key wins). */
+  case class KmvEstimate(event_type: String, est_users: Double)
+
+  /** 60-bit md5-derived hash — the same family as the batch
+    * [[graft.operators.EventOps.kmvDistinctUsers]], host-side. */
+  private[graft] def kmvHash(u: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** EX-04c streaming: KMV distinct estimator with BOUNDED state — at
+    * most k longs per key, ever (vs exact streaming distinct whose
+    * state grows with cardinality). Each micro-batch unions the new
+    * hashes into the bottom-k set and re-takes k; that update rule is
+    * correct because KMV is mergeable (bottom-k of shard unions =
+    * bottom-k of the whole — the PropertySpec invariant), so the
+    * estimate converges to the batch value regardless of how events
+    * were split across micro-batches. Emits the refreshed estimate for
+    * every key seen in the batch (update output mode). */
+  def kmvDistinctUsers(events: Dataset[Ev], k: Int = 64): Dataset[KmvEstimate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[List[Long], KmvEstimate](GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Ev], state: GroupState[List[Long]]) =>
+          val incoming = it.map(e => kmvHash(e.user_id)).toList
+          val bottom = (state.getOption.getOrElse(Nil) ++ incoming)
+            .distinct.sorted.take(k)
+          state.update(bottom)
+          val est =
+            if (bottom.length < k) bottom.length.toDouble
+            else BigDecimal((k - 1).toDouble * math.pow(2, 60) / bottom.last)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          KmvEstimate(key, est)
+      }
+  }
+
   /** Stream-stream interval join: each left event matched to right
     * events of the same key with `r.ts ∈ [l.ts, l.ts + maxLag]`. Both
     * sides carry watermarks and the time bound is part of the join

@@ -73,6 +73,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch is mergeable: bottom-k of shard unions = bottom-k of whole") {
+    // The distributed-sketch property: per-shard bottom-k sets merged by
+    // union → re-take-k must equal the bottom-k over all data, so the
+    // per-group estimate is independent of how the data was partitioned.
+    val users = Gen.listOfN(3000, Gen.chooseNum(1L, 900L)).sample.get
+    val k = 64
+    def hash(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val whole = users.distinct.map(hash).distinct.sorted.take(k)
+    val shards = users.grouped(700).toSeq
+    val merged = shards.flatMap(_.distinct.map(hash).distinct.sorted.take(k))
+      .distinct.sorted.take(k)
+    assert(merged == whole)
+    // and the engine's estimate agrees with the host-side formula
+    val est = graft.operators.EventOps.kmvDistinctUsers(
+      users.map(u => ("t", u)).toDF("event_type", "user_id"), k)
+      .collect().head.getDouble(1)
+    val expected =
+      if (whole.length < k) whole.length.toDouble
+      else BigDecimal((k - 1).toDouble * math.pow(2, 60) / whole.last)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(est == expected, s"est=$est expected=$expected")
+  }
+
   test("firstWins is idempotent and keeps exactly one row per key (bulk)") {
     val rows = Gen.listOfN(500,
       Gen.zip(Gen.chooseNum(0, 40), Gen.chooseNum(0L, 1000L))).sample.get

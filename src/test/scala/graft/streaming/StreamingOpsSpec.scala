@@ -155,6 +155,27 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV converges to the batch estimate across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val allUsers = (1L to 500L).toSeq
+    def ev(u: Long) = Ev(u, ts("2026-01-01 10:00:00"), u, "click", 1.0)
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.kmvDistinctUsers(input.toDS(), 64).writeStream
+      .format("memory").queryName("t_kmv").outputMode("update").start()
+    try {
+      // arbitrary micro-batch split, with overlap (re-sent users)
+      input.addData(allUsers.take(300).map(ev)); q.processAllAvailable()
+      input.addData(allUsers.drop(200).map(ev)); q.processAllAvailable()
+      val streamed = spark.table("t_kmv").collect()
+        .map(r => r.getDouble(1)).last // update mode: last row is current
+      val batch = graft.operators.EventOps.kmvDistinctUsers(
+        allUsers.map(u => ("click", u)).toDF("event_type", "user_id"), 64)
+        .collect().head.getDouble(1)
+      assert(streamed == batch,
+        s"streamed=$streamed batch=$batch — mergeability must make them equal")
+    } finally q.stop()
+  }
+
   test("mergeAll unit: merge rules and counts") {
     import StreamingOps.{mergeAll, OpenSession}
     val gap = 600000L // 10 min
