@@ -306,6 +306,68 @@ object NearDup {
       .select(col(idCol), col("canonical_id"))
   }
 
+  /** Incremental [[canonicalize]] — the OP-22 find-or-insert analog for
+    * near-dup dedup: INCOMING docs join existing canonical clusters
+    * where a verified near-dup link to a cluster REPRESENTATIVE exists;
+    * unlinked incoming docs cluster among themselves (new clusters take
+    * incoming ids). The existing mapping is never relabeled — the
+    * incremental contract — enforced by two-tier labels: a
+    * representative's canonical id always beats any incoming id in the
+    * min-propagation, even a numerically smaller one. An incoming
+    * component linked to several reps takes the minimum rep canonical
+    * (merging established clusters is a batch-recompute decision, not
+    * an incremental one).
+    *
+    * Matching is against representatives only (sufficient in practice —
+    * members are near-dups of their rep; a member-only match is a
+    * recall loss this operator accepts for state that stays
+    * rep-sized). Returns the UNION of the unchanged existing mapping
+    * and the incoming assignments. `existing` must be
+    * (idCol, canonical_id, textCol). */
+  def canonicalizeIncremental(existing: DataFrame, incoming: DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 16, shingleSize: Int = 3,
+                              rowsPerBand: Int = 2, threshold: Double = 0.5,
+                              maxIter: Int = 50): DataFrame = {
+    val reps = existing.filter(col(idCol) === col("canonical_id"))
+      .select(col(idCol), col(textCol))
+    val inc = incoming.select(col(idCol), col(textCol))
+    val all = reps.unionByName(inc)
+    val pairs = minhashCandidates(all, idCol, textCol, numHashes, shingleSize, rowsPerBand)
+    val strong = jaccardOnPairs(all, pairs, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+    val edges = stage(
+      strong.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(strong.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // two-tier label: tier 0 = pinned rep canonical, tier 1 = incoming.
+    // struct min is lexicographic, so any rep label beats any incoming.
+    var labels = stage(
+      reps.select(col(idCol), struct(lit(0).as("tier"), col(idCol).as("lid")).as("lbl"))
+        .unionByName(inc.select(col(idCol),
+          struct(lit(1).as("tier"), col(idCol).as("lid")).as("lbl"))))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("src") === labels(idCol))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("__nbr"))
+      val updated = stage(
+        labels.join(nbrMin, labels(idCol) === nbrMin("dst"), "left")
+          .select(labels(idCol), col("lbl").as("__old"),
+            // reps stay pinned: their own tier-0 label is already minimal
+            // among labels that could reach them only if no smaller rep
+            // links in — and rep-rep links cannot exist (existing
+            // clusters are final), so only the incoming tier moves.
+            when(col("lbl.tier") === 0, col("lbl"))
+              .otherwise(least(col("lbl"), coalesce(col("__nbr"), col("lbl")))).as("lbl")))
+      converged = updated.filter(col("lbl") =!= col("__old")).isEmpty
+      labels = updated.drop("__old")
+      iter += 1
+    }
+    val incAssigned = labels.join(inc.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol), col("lbl.lid").as("canonical_id"))
+    existing.select(col(idCol), col("canonical_id")).unionByName(incAssigned)
+  }
+
   /** 32-bit SimHash over whitespace tokens: per-bit majority vote of
     * token hashes (bit set when strictly more weighted-ones than zeros).
     * Computed via explode + 32 conditional sums — one shuffle. */

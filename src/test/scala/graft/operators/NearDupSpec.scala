@@ -101,6 +101,26 @@ class NearDupSpec extends SparkSpec {
     assert(out(4L) == 4L, s"unrelated doc keeps itself: $out")
   }
 
+  test("canonicalizeIncremental: joins clusters without relabeling; new clusters for the rest") {
+    val existing = Seq(
+      (10L, 10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, 10L, "the quick brown fox jumps over the lazy dog today"), // member
+      (20L, 20L, "completely different content about database engines here today"),
+    ).toDF("doc_id", "canonical_id", "text")
+    val incoming = Seq(
+      // near-dup of rep 10 with a SMALLER id — must join cluster 10,
+      // not hijack it
+      (5L, "the quick brown fox jumps over the lazy cat today"),
+      (30L, "some brand new unique material nothing else resembles closely"),
+      (31L, "some brand new unique material nothing else resembles closely"),
+    ).toDF("doc_id", "text")
+    val out = NearDup.canonicalizeIncremental(existing, incoming, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out(10L) == 10L && out(11L) == 10L && out(20L) == 20L, s"existing unchanged: $out")
+    assert(out(5L) == 10L, s"incoming joins the existing cluster: $out")
+    assert(out(30L) == 30L && out(31L) == 30L, s"unlinked incoming forms its own cluster: $out")
+  }
+
   test("neardupComponents: transitive chain collapses to one canonical id") {
     val chainDocs = (1L to 6L).toDF("doc_id")
     // chain 1~2~3~4~5 (diameter 4 → needs several propagation rounds);
