@@ -89,19 +89,24 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
   }
 
-  /** IVF assignment: each vector to its nearest centroid by cosine
-    * (rounded to 6 decimals, centroid-id tiebreak — deterministic).
-    * Centroids are broadcast; the argmax is a per-vector window. Carries
-    * the embedding through for the probe join. */
-  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  /** IVF assignment to the `n` nearest centroids by cosine (rounded to
+    * 6 decimals, centroid-id tiebreak — deterministic). Centroids are
+    * broadcast; the ranking is a per-vector window. Carries the
+    * embedding through for the probe join. One output row per
+    * (vector, probed centroid). */
+  def ivfAssignN(vectors: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
     val scored = vectors.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         round(cosine(col("embedding"), col("c_emb")), 6).as("__sim"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("__sim").desc, col("centroid_id").asc)
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
       .select(col("vec_id"), col("centroid_id"), col("embedding"))
   }
+
+  /** Nearest-centroid assignment (nprobe=1 special case). */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignN(vectors, centroids, 1)
 
   /** Deterministic Lloyd's k-means for IVF centroid training: init =
     * the first `k` corpus vectors, a FIXED number of iterations, and
@@ -144,10 +149,14 @@ object Similarity {
     * is the part that matters at scale: the inverted-list id becomes
     * the storage partition key, so a query touches one partition. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              numCentroids: Int = 16, kmeansIters: Int = 2): DataFrame = {
+              numCentroids: Int = 16, kmeansIters: Int = 2,
+              nprobe: Int = 1): DataFrame = {
     val cents = kmeansCentroids(corpus, numCentroids, kmeansIters)
+    // Corpus lists stay disjoint (nprobe applies to the QUERY side
+    // only), so a probed corpus vector is scored exactly once even
+    // when a query probes several lists.
     val ca = ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
-    val qa = ivfAssign(queries.select(col("vec_id"), col("embedding")), cents)
+    val qa = ivfAssignN(queries.select(col("vec_id"), col("embedding")), cents, nprobe)
       .select(col("vec_id").as("query_id"), col("centroid_id"),
         col("embedding").as("q_emb"))
     val scored = ca.join(broadcast(qa), Seq("centroid_id"))

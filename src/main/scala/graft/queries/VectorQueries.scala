@@ -179,6 +179,45 @@ SELECT id_a, id_b, cos_sim FROM (
   JOIN norms n2 ON n2.vec_id = d.id_b) t
 WHERE cos_sim > 0.35""")),
 
+    // IVF with multi-probe (nprobe=2): the standard recall lever — each
+    // query scores the lists of its TWO nearest centroids (corpus lists
+    // stay disjoint, so no duplicate scoring). Same trained k-means
+    // index as ann04; the oracle ranks query-side centroids from the
+    // k-means chain's own cd2/cn2 CTEs.
+    Q("ann05_ivf_nprobe2",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 30), 10, 16, 2, nprobe = 2)
+      },
+      Some(s"""WITH ${flatCte()},
+${kmeansCtes(16, 2)},
+qasgn AS (SELECT vec_id, centroid_id FROM (
+            SELECT d.vec_id, d.centroid_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                     ORDER BY round(dp / (n1.nrm * cn.nrm), 6) DESC, d.centroid_id ASC) AS rn
+            FROM cd2 d
+            JOIN norms n1 ON n1.vec_id = d.vec_id
+            JOIN cn2 cn ON cn.centroid_id = d.centroid_id) t
+          WHERE rn <= 2),
+prs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+        FROM qasgn q JOIN as2 c ON q.centroid_id = c.centroid_id
+        WHERE q.vec_id < 30),
+dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+         FROM prs p
+         JOIN flat f1 ON f1.vec_id = p.query_id
+         JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+         GROUP BY 1, 2),
+scored AS (SELECT d.query_id, d.vec_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+           FROM dots d
+           JOIN norms n1 ON n1.vec_id = d.query_id
+           JOIN norms n2 ON n2.vec_id = d.vec_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 10""")),
+
     // Embedding near-dup, corpus-scale form: LSH-bucket blocking over
     // the FULL table (no id block) — bucket equi-join, not an all-pairs
     // theta-join. Threshold is low (0.1) because the fixture vectors

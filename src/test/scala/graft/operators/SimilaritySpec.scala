@@ -84,6 +84,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getLong(1) % 2 == 0))
   }
 
+  test("ivfTopK nprobe=2 dominates nprobe=1 at every rank (recall lever)") {
+    val corpus = (0L to 39L).map { i =>
+      (i, Array((i % 4).toFloat + 1f, ((i + 1) % 4).toFloat, ((i + 2) % 4).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4L)
+    def sims(nprobe: Int) =
+      Similarity.ivfTopK(corpus, queries, 5, 4, 2, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getDouble(2)).toMap
+    val one = sims(1); val two = sims(2)
+    assert(two.size >= one.size)
+    one.foreach { case (qrk, sim1) =>
+      assert(two(qrk) >= sim1, s"rank $qrk: nprobe=2 ${two(qrk)} < nprobe=1 $sim1")
+    }
+  }
+
   test("embeddingNearDup finds parallel vectors above threshold") {
     val out = Similarity.embeddingNearDup(vecs, 0.99, 100)
       .as[(Long, Long, Double)].collect().toSet
