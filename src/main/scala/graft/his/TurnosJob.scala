@@ -43,7 +43,11 @@ object TurnosJob {
       "turno" -> turnoDim,
       "prestacion" -> prest,
       "prestacion_x_turno" -> pxt)
-    Publish.publishTables(spark, tables, outRoot, version)
+    // The fact table publishes partitioned by appointment date — at
+    // 100 TB readers prune whole date directories (PublishSpec proves
+    // the pruning); the dims and the id-keyed pivot table stay flat.
+    Publish.publishTables(spark, tables, outRoot, version,
+      partitioning = Map("turno" -> Seq("fecha")))
 
     Result(Some(s"v-$version"),
       tables.keys.map(t => t -> Publish.readTable(spark, outRoot, t).count()).toMap)

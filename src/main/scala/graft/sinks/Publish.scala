@@ -25,14 +25,23 @@ object Publish {
 
   /** Stage all tables under v-<version>, then atomically flip _CURRENT.
     * Throws (leaving the previous version current and intact) if any
-    * table write fails; the partial staging dir is removed. */
+    * table write fails; the partial staging dir is removed.
+    *
+    * `partitioning` maps a table name to its partition columns — at
+    * 100 TB fact tables MUST be written partitioned (time/tenant) so
+    * readers prune at the directory level; dims stay flat. Partitioned
+    * tables ride the same stage-and-swap: the manifest flip publishes
+    * all partitions of all tables at once. */
   def publishTables(spark: SparkSession, tables: Map[String, DataFrame],
-                    root: String, version: String): Unit = {
+                    root: String, version: String,
+                    partitioning: Map[String, Seq[String]] = Map.empty): Unit = {
     val ctx = fc(spark)
     val vdir = new Path(root, s"v-$version")
     try {
       tables.foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(new Path(vdir, name).toString)
+        val w = df.write.mode("overwrite")
+        partitioning.get(name).filter(_.nonEmpty).fold(w)(cols => w.partitionBy(cols: _*))
+          .parquet(new Path(vdir, name).toString)
       }
     } catch {
       case e: Throwable =>

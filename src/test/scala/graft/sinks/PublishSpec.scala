@@ -21,6 +21,25 @@ class PublishSpec extends SparkSpec {
     assert(Publish.readTable(spark, root, "b").count() == 2)
   }
 
+  test("partitioned publish: directory layout prunes on read, same swap semantics") {
+    val root = freshRoot()
+    val fact = Seq((1L, "2026-01", 10.0), (2L, "2026-01", 20.0), (3L, "2026-02", 30.0))
+      .toDF("id", "month", "amount")
+    Publish.publishTables(spark, Map("fact" -> fact, "dim" -> Seq(1).toDF("x")),
+      root, "001", partitioning = Map("fact" -> Seq("month")))
+    // partition directories exist for the fact, not the dim
+    val v = Publish.currentVersion(spark, root).get
+    assert(new java.io.File(s"$root/$v/fact/month=2026-01").isDirectory)
+    assert(!new java.io.File(s"$root/$v/dim").listFiles.exists(_.getName.startsWith("x=")))
+    // the month filter reaches partition pruning on the published table
+    val filtered = Publish.readTable(spark, root, "fact").filter(col("month") === "2026-02")
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("month"), s"pruning must use the partition column: $pf")
+    assert(filtered.count() == 1)
+  }
+
   test("failed publish leaves the previous version current and readable") {
     val root = freshRoot()
     Publish.publishTables(spark, Map("a" -> Seq(1).toDF("x")), root, "001")
