@@ -14,9 +14,7 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
-  private def q(name: String) =
-    (RelationalQueries.all ++ HisQueries.all).find(_.name == name).get
-      .fn(spark, sf0001)
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
 
   test("op05 projection prunes the parquet scan to the selected columns") {
     val plan = formatted(q("op05_project_alias"))
@@ -113,6 +111,23 @@ class PlanSpec extends SparkSpec {
     // formatted mode marks codegen'd operators with a leading '*'.
     val plan = formatted(q("op23_26_limpiar_nombres"))
     assert(plan.contains("* Project"))
+  }
+
+  test("dd06b bucket blocking is an equi-join — never a nested loop") {
+    // The whole point of the LSH-bucketed embedding near-dup is
+    // replacing the O(n²) theta-join; a regression to a nested loop
+    // would still produce correct hashes, so gate the PLAN.
+    val plan = formatted(q("dd06b_embed_neardup_lsh"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+  }
+
+  test("op15b firstWinsAgg aggregates map-side before the shuffle") {
+    val plan = formatted(q("op15b_firstwins_agg"))
+    // two-phase hash aggregation: a partial min_by below the exchange
+    assert(plan.contains("partial_min_by") || plan.contains("partial min_by"),
+      s"expected partial aggregation in:\n$plan")
+    assert(!plan.contains("Window"), "the agg form must not fall back to a window sort")
   }
 
   test("native graft_array_dot stays inside whole-stage codegen") {
