@@ -151,6 +151,46 @@ object TextAnalysis {
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
   }
 
+  /** Boilerplate-line removal (the CCNet-style pre-dedup cleanup a web
+    * training corpus needs): a LINE that appears in more than
+    * `maxDocFrac` of all docs (headers, footers, cookie banners,
+    * navigation) is dropped from every doc; the remaining lines are
+    * reassembled in original order. Returns
+    * (idCol, clean_text, n_removed) for EVERY input doc (docs whose
+    * lines were all boilerplate keep an empty clean_text).
+    *
+    * Shape: line explode → one countDistinct hash agg over the line
+    * text → join lines against the (small, boilerplate-only) frequency
+    * table — AQE broadcasts it — → per-doc ordered reassembly, one
+    * shuffle on the doc id. The corpus size is one scalar agg job.
+    * Spec-gated (the driver fixture's docs are single-line, so an
+    * oracle query would be degenerate). */
+  def removeBoilerplateLines(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                             textCol: String,
+                             maxDocFrac: Double): org.apache.spark.sql.DataFrame = {
+    val total = docs.count()
+    val cap = math.max(1L, (maxDocFrac * total).toLong)
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+    val boiler = lines.filter(trim(col("line")) =!= "")
+      .groupBy(col("line")).agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > cap)
+      .select(col("line"), lit(true).as("__boiler"))
+    val flagged = lines.join(boiler, Seq("line"), "left")
+    val rebuilt = flagged.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__boiler").isNull, struct(col("line_no"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"),
+        sum(when(col("__boiler").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Word n-gram shingles (0-based Spark array indexing), for MinHash /
     * Jaccard. Documents shorter than n yield an empty array. */
   def shingles(toks: Column, n: Int): Column =

@@ -88,6 +88,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getDouble(3) == 2.5)       // mean_token_len
   }
 
+  test("removeBoilerplateLines drops corpus-frequent lines, keeps order, counts removals") {
+    import spark.implicits._
+    val header = "COOKIE BANNER ACCEPT ALL"
+    val docs = Seq(
+      (1L, s"$header\nunique article one\nsecond line one"),
+      (2L, s"$header\nunique article two"),
+      (3L, s"$header\nunique article three"),
+      (4L, "no banner here at all"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("unique article one\nsecond line one", 1L)))
+    assert(out(2L) == (("unique article two", 1L)))
+    assert(out(4L) == (("no banner here at all", 0L)))
+    // a doc that is ALL boilerplate survives as empty, still present
+    val allBoiler = TextAnalysis.removeBoilerplateLines(
+      docs.unionAll(Seq((5L, header)).toDF("doc_id", "text")), "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(allBoiler(5L) == (("", 1L)))
+  }
+
   test("bigramLogFreqScore: repeated-phrase docs outscore gibberish; short docs null") {
     import spark.implicits._
     val docs = Seq(
