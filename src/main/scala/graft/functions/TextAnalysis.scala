@@ -151,6 +151,19 @@ object TextAnalysis {
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
   }
 
+  /** Deterministic dataset split — the reproducible train/val/test
+    * assignment every training pipeline needs: bucket = first 8 md5 hex
+    * chars of the id, mod 100; ranges [0,trainPct), [trainPct,
+    * trainPct+valPct), rest. Pure projection (no shuffle, no state, no
+    * RNG): the same doc lands in the same split in any engine, any run,
+    * any partitioning — which also makes it oracle-checkable. */
+  def deterministicSplit(id: Column, trainPct: Int, valPct: Int): Column = {
+    val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** Boilerplate-line removal (the CCNet-style pre-dedup cleanup a web
     * training corpus needs): a LINE that appears in more than
     * `maxDocFrac` of all docs (headers, footers, cookie banners,

@@ -288,6 +288,17 @@ s AS (SELECT b.doc_id, round(avg(ln(n)), 6) AS bigram_logfreq
       FROM b JOIN f USING (bigram) GROUP BY b.doc_id)
 SELECT d.doc_id, s.bigram_logfreq FROM documents d LEFT JOIN s USING (doc_id)""")),
 
+    // Deterministic train/val/test split (90/5/5): md5-bucket ranges —
+    // reproducible across engines/runs/partitionings, no RNG.
+    Q("tx10_deterministic_split",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.deterministicSplit(col("doc_id"), 90, 5).as("split")),
+      Some("""SELECT doc_id,
+               CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+                    FROM documents) t""")),
+
     // SimHash (32-bit, per-bit majority of token hashes).
     Q("dd05_simhash",
       (s, d) => NearDup.simhash(Tables.documents(s, d), "doc_id", "text"),
