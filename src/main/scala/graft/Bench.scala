@@ -10,20 +10,19 @@ import org.apache.spark.sql.SparkSession
   * runs first):
   *  - a warm-up phase exercises the parquet-scan/join/agg codegen paths
   *    before any timing starts;
-  *  - queries whose first timed run is cheap (< [[Bench.MedianUnder]] s)
-  *    run three times and report the MEDIAN — one GC/JIT hiccup no
-  *    longer turns a 0.3 s scan into a 25 s "regression";
-  *  - expensive queries keep single-shot timing (already above noise,
-  *    and tripling them would triple the bench wall-clock).
+  *  - every query runs three times and reports the MEDIAN,
+  *    unconditionally. The old `< 15 s first-run` exemption let machine
+  *    contention lock in single-shot outliers: a 3 s query whose first
+  *    run blew past 15 s under load was recorded at 5–10× its
+  *    reproducible time. Under contention is exactly when the median
+  *    matters most, so there is no exemption;
+  *  - all three raw samples are emitted under "samples" so the reader
+  *    can see per-query variance instead of a bare point estimate.
   *
   * Failures are NOT swallowed into fast timings: a query whose write
   * throws reports value -1.0 and its error class under "errors".
   */
 object Bench {
-
-  /** First-run threshold (sec) under which a query is re-run for a
-    * median-of-3; above it, single-shot. */
-  val MedianUnder = 15.0
 
   private def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                       spark: SparkSession, sfDir: String): (Double, Option[String]) = {
@@ -50,19 +49,18 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val samples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // noop sink, not count(): count() lets Catalyst prune away the
       // projections being measured; noop computes every output row.
-      val (t1, e1) = runOnce(fn, spark, sfDir)
-      val value = e1 match {
+      // Median-of-3 for EVERY query — no fast-path exemption (see
+      // the scaladoc: single-shot timing under contention recorded
+      // 5–10× outliers as official numbers).
+      val runs = Seq.fill(3)(runOnce(fn, spark, sfDir))
+      samples(name) = runs.map { case (t, _) => math.rint(t * 1000) / 1000 }
+      val value = runs.collectFirst { case (_, Some(err)) => err } match {
         case Some(err) => errors(name) = err; -1.0
-        case None if t1 < MedianUnder =>
-          val more = Seq.fill(2)(runOnce(fn, spark, sfDir))
-          more.collectFirst { case (_, Some(err)) => err } match {
-            case Some(err) => errors(name) = err; -1.0
-            case None => (t1 +: more.map(_._1)).sorted.apply(1) // median of 3
-          }
-        case None => t1
+        case None => runs.map(_._1).sorted.apply(1) // median of 3
       }
       name -> value
     }
@@ -70,9 +68,11 @@ object Bench {
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val ss = samples.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"samples":$ss,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,8 +46,9 @@ object Gender {
     "RODOLFO", "ROGELIO", "ROLANDO", "RUBÉN", "SAÚL", "TEODORO",
     "ULISES", "VALENTÍN", "VÍCTOR", "WALTER", "WILFREDO", "XAVIER",
     "ZACARÍAS", "ABEL", "ABRAHAM", "ADÁN", "ADOLFO", "ALAN", "ALDO",
-    "ALFONSO", "AMADO", "ANÍBAL", "ARIEL", "ARMANDO", "ARNALDO",
+    "ALFONSO", "AMADO", "ANÍBAL", "ARMANDO", "ARNALDO",
     "ATILIO", "AUGUSTO", "AXEL", "BALTASAR", "BARTOLOMÉ", "BAUTISTA",
+    "GAEL", "NAHUEL", "THIAGO", "IAN",
     "BENITO", "BERNARDO", "BLAS", "BRAULIO", "CAMILO", "CAYETANO",
     "CECILIO", "CELESTINO", "CIRILO", "CLEMENTE", "CONRADO",
     "CONSTANTINO", "CRISTÓBAL", "DEMETRIO", "DIONISIO", "DOMINGO",
@@ -58,7 +59,7 @@ object Gender {
     "JOSUÉ", "LÁZARO", "LEOPOLDO", "LINO", "MARCIAL", "MATEO",
     "MAXIMO", "MEDARDO", "MELCHOR", "NAPOLEÓN", "NARCISO", "NAZARENO",
     "NICANOR", "NORBERTO", "PASCUAL", "PAULINO", "PONCIANO", "PRIMO",
-    "PRUDENCIO", "QUINTÍN", "REMIGIO", "RENATO", "RUFINO", "SANTOS",
+    "PRUDENCIO", "QUINTÍN", "REMIGIO", "RENATO", "RUFINO",
     "SERAFÍN", "SILVIO", "TADEO", "TELMO", "TEÓFILO", "TIMOTEO",
     "TITO", "UBALDO", "URBANO", "VALERIO", "VENANCIO", "VIRGILIO",
     "ZENÓN")
@@ -73,7 +74,7 @@ object Gender {
     "VIVIANA", "NATALIA", "VALERIA", "CAROLINA", "GABRIELA", "DANIELA",
     "MARIANA", "FLORENCIA", "AGUSTINA", "CAMILA", "VALENTINA",
     "MARTINA", "JULIETA", "VICTORIA", "CATALINA", "ANTONELLA",
-    "MICAELA", "ROCÍO", "BELÉN", "MILAGROS", "GUADALUPE", "ESPERANZA",
+    "MICAELA", "ROCÍO", "BELÉN", "MILAGROS", "ESPERANZA",
     "CONSUELO", "AMPARO", "SOLEDAD", "INÉS", "IRENE", "LETICIA",
     "LOURDES", "MAGDALENA", "MARGARITA", "MARISOL", "MIRTA", "NANCY",
     "NÉLIDA", "NOEMÍ", "OLGA", "RAMONA", "REBECA", "RITA", "SABRINA",
@@ -95,20 +96,44 @@ object Gender {
     "MARLENE", "MATILDE", "MAYRA", "MELINA", "MELISA", "MÍA", "MILENA",
     "MIRIAM", "MIRANDA", "NADIA", "NOELIA", "NORA", "OFELIA", "OLIVIA",
     "PAMELA", "PAOLA", "PAULINA", "PERLA", "PETRONA", "PIEDAD",
-    "PRISCILA", "REGINA", "RENATA", "ROMINA", "ROSALÍA", "ROSARIO",
+    "PRISCILA", "REGINA", "RENATA", "ROMINA", "ROSALÍA",
     "ROXANA", "RUTH", "SALOMÉ", "SILVANA", "SIMONA", "SONIA",
     "TATIANA", "TERESITA", "VILMA", "VIOLETA", "VIRGINIA", "WANDA",
     "YANINA", "ZOE")
+
+  /** Names that skew male but are given to women often enough that a
+    * gender-by-name library reports them as "mostly male" rather than
+    * "male" (the reference enum's MostlyMale, EtlHisTurnosCommand.php:
+    * 365-367). Public knowledge: ALEXIS/ARIEL/etc. are predominantly
+    * male in Spanish-speaking countries but attested for both. */
+  private val mostlyMaleNames: Seq[String] = Seq(
+    "ALEXIS", "ARIEL", "SANTOS", "NOEL", "DENIS")
+
+  /** The female-skewed counterpart (MostlyFemale): names predominantly
+    * female but with an attested male minority (GUADALUPE and ROSARIO
+    * are classic Marian devotional names borne by men too). */
+  private val mostlyFemaleNames: Seq[String] = Seq(
+    "GUADALUPE", "ROSARIO", "AZUL", "NIEVES", "MAR")
+
+  /** Genuinely ambiguous names — no usable skew either way (Unisex). */
+  private val unisexNames: Seq[String] = Seq(
+    "CRUZ", "TRINIDAD", "REYES", "YAEL", "PAZ")
 
   private def stripAccentsStr(s: String): String =
     java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
       .replaceAll("\\p{M}", "")
 
   /** name (uppercase) → gender label, mirroring the reference library's
-    * enum names (Male/Female). Accent-stripped ASCII variants are
-    * derived from the canonical entries, never listed separately. */
+    * full enum surface (Male / Female / MostlyMale / MostlyFemale /
+    * Unisex, EtlHisTurnosCommand.php:365-367). Accent-stripped ASCII
+    * variants are derived from the canonical entries, never listed
+    * separately. */
   val dict: Map[String, String] = {
-    val canonical = maleNames.map(_ -> "Male") ++ femaleNames.map(_ -> "Female")
+    val canonical =
+      maleNames.map(_ -> "Male") ++ femaleNames.map(_ -> "Female") ++
+      mostlyMaleNames.map(_ -> "MostlyMale") ++
+      mostlyFemaleNames.map(_ -> "MostlyFemale") ++
+      unisexNames.map(_ -> "Unisex")
     val ascii = canonical.map { case (n, g) => stripAccentsStr(n) -> g }
     // canonical entries win on (impossible-by-construction) collisions
     (ascii ++ canonical).toMap

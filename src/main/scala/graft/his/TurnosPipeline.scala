@@ -125,7 +125,9 @@ object TurnosPipeline {
     val withSexo = first.select(
       col("nombre"), col("apellido"), col("documento"),
       Gender.inferirSexo(Cleaning.firstToken(col("nombre"))).as("sexo_inferido"))
-    Dedup.denseId(withSexo, Seq(col("documento")), "id")
+    // denseIdScalable, not denseId: distinct-patient cardinality grows
+    // with the fact table — at 100 TB this dim is fact-like.
+    Dedup.denseIdScalable(withSexo, Seq(col("documento")), "id")
       .select("id", "nombre", "apellido", "documento", "sexo_inferido")
   }
 
@@ -155,7 +157,9 @@ object TurnosPipeline {
       .withColumnRenamed("turno_id", "turno_natural_id")
 
   /** `prestacion` catalog: order-insensitive distinct of trimmed names
-    * (OP-16) + dense ids by name (OP-19). */
+    * (OP-16) + dense ids by name (OP-19). denseId's global window is fine
+    * HERE and only here: the catalog of distinct service names is bounded
+    * by the medical nomenclature, not by fact volume. */
   def prestacion(long: DataFrame): DataFrame =
     Dedup.denseId(long.select(col("nombre")).distinct(), Seq(col("nombre")), "id")
       .select("id", "nombre")

@@ -1,8 +1,37 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+
+/** Bottom-k buffer of DISTINCT hashes, ascending — the KMV sketch state. */
+case class KmvBuf(hs: Seq[Long])
+
+/** (number of retained hashes, largest retained hash) — enough to form
+  * the KMV estimate downstream without re-sorting anything. */
+case class KmvSketch(n: Long, hk: Long)
+
+/** Bottom-k-of-distinct as a typed [[Aggregator]]: state is AT MOST k
+  * longs per group at every point of the aggregation — map-side partial
+  * buffers included — and merge is the KMV union rule (union → re-take
+  * the k smallest), so partial aggregation shrinks every group to ≤ k
+  * values BEFORE the shuffle. This replaces the per-group global sort
+  * (window row_number over all distinct hashes), which at 100 TB would
+  * funnel billions of distinct hashes into one sort task per key. */
+class KmvBottomK(k: Int) extends Aggregator[Long, KmvBuf, KmvSketch] {
+  require(k > 1, s"KMV needs k > 1, got $k")
+  def zero: KmvBuf = KmvBuf(Vector.empty)
+  def reduce(b: KmvBuf, h: Long): KmvBuf =
+    if (b.hs.length == k && h >= b.hs.last) b // can't enter the bottom-k
+    else if (b.hs.contains(h)) b
+    else KmvBuf((b.hs :+ h).sorted.take(k))
+  def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
+    KmvBuf((a.hs ++ b.hs).distinct.sorted.take(k))
+  def finish(b: KmvBuf): KmvSketch =
+    KmvSketch(b.hs.length.toLong, if (b.hs.isEmpty) 0L else b.hs.last)
+  def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  def outputEncoder: Encoder[KmvSketch] = Encoders.product[KmvSketch]
+}
 
 /** Event-stream analytics in batch form (SURVEY EX-01..04, EX-08).
   * Streaming variants (same semantics under a watermark) live in
@@ -67,22 +96,26 @@ object EventOps {
     * the DuckDB oracle. The bottom-k sets are also mergeable (union →
     * re-take k smallest), the property a distributed sketch needs.
     *
-    * Shape: one distinct (hash shuffle with map-side partial dedup) +
-    * a per-group bottom-k window on the already-distinct hashes. Same
-    * shuffle class as exact count-distinct — HLL above remains the
-    * constant-state production sketch; KMV is the auditable one. All
-    * arithmetic is exact in IEEE double ((k−1)·2⁶⁰ has ≤6 significant
-    * bits) followed by ONE division, so both engines agree bitwise. */
+    * Shape: ONE hash aggregation via the [[KmvBottomK]] Aggregator —
+    * bounded (≤ k longs) state per group at every stage, map-side
+    * partials included, mergeable by the KMV union rule. No per-group
+    * global sort anywhere (the earlier window-row_number form funneled
+    * ALL distinct hashes of a group into a single sort task — wrong
+    * shape at 100 TB). HLL above remains the constant-state production
+    * sketch; KMV is the auditable one. All arithmetic is exact in IEEE
+    * double ((k−1)·2⁶⁰ has ≤6 significant bits) followed by ONE
+    * division, so both engines agree bitwise. Null user_id rows are
+    * excluded (none exist in the fixtures; the sketch counts values). */
   def kmvDistinctUsers(events: DataFrame, k: Int = 64): DataFrame = {
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
-    val dh = events.select(col("event_type"), h.as("h")).distinct()
-    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-    dh.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+    val bottomK = udaf(new KmvBottomK(k))
+    events.select(col("event_type"), h.as("h"))
+      .where(col("h").isNotNull)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("__n"), max(col("h")).as("__hk"))
+      .agg(bottomK(col("h")).as("__s"))
       .select(col("event_type"),
-        when(col("__n") < k, col("__n").cast("double"))
-          .otherwise(round(lit((k - 1).toDouble * math.pow(2, 60)) / col("__hk"), 6))
+        when(col("__s.n") < k, col("__s.n").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * math.pow(2, 60)) / col("__s.hk"), 6))
           .as("est_users"))
   }
 

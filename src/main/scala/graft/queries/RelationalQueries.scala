@@ -192,8 +192,10 @@ object RelationalQueries {
 
     // OP-18+OP-19: global sort determinism made observable through dense
     // surrogate ids (ORDER BY FechaAlta DESC with pinned tiebreaker).
+    // denseIdScalable, not denseId: orders is fact-sized, and the dim-only
+    // form is a single-partition window sort — same ids by construction.
     Q("op18_19_sorted_dense_ids",
-      (s, d) => Dedup.denseId(Tables.orders(s, d),
+      (s, d) => Dedup.denseIdScalable(Tables.orders(s, d),
           Seq(col("o_orderdate").desc, col("o_orderkey").asc), "id")
         .select(col("id"), col("o_orderkey"), col("o_orderdate")),
       Some("""SELECT CAST(row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey ASC) AS BIGINT) AS id,

@@ -130,6 +130,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), "the agg form must not fall back to a window sort")
   }
 
+  test("ex04b KMV runs as a partial-aggregated sketch, not a window sort") {
+    val plan = formatted(q("ex04b_distinct_kmv"))
+    // typed Aggregator → two-phase ObjectHashAggregate with a map-side
+    // partial whose state is the bounded bottom-k buffer
+    assert(plan.contains("ObjectHashAggregate"), s"plan:\n$plan")
+    assert(plan.toLowerCase.contains("partial_kmvbottomk"),
+      s"expected a map-side partial KMV aggregation in:\n$plan")
+    assert(!plan.contains("Window"), "KMV must not fall back to a per-group sort")
+  }
+
+  test("no registered query sorts a fact through an empty-partition window") {
+    // An empty-partition-spec Window is a single-partition global sort —
+    // the one Spark anti-pattern that silently survives correctness
+    // gates (same hashes, one task at 100 TB). Every registered query's
+    // OPTIMIZED plan is swept; the only windows allowed to be global are
+    // those whose input is provably dim- or delta-scale.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dimScaleAllowed = Set(
+      // findOrInsert: global row_number over the NEW keys only (delta-
+      // sized) and denseId over a distinct catalog (dim-sized).
+      "op22b_find_or_insert",
+      // prestacion catalog: distinct trimmed service names — bounded by
+      // the nomenclature, not by fact volume.
+      "his_prestacion")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val globals = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      globals.nonEmpty && !dimScaleAllowed(name)
+    }
+    assert(offenders.isEmpty,
+      s"global-sort windows outside the dim-scale whitelist: $offenders")
+  }
+
   test("native graft_array_dot stays inside whole-stage codegen") {
     import spark.implicits._
     // parquet-backed input (a local relation would be constant-folded).

@@ -20,11 +20,19 @@ class GenderSpec extends SparkSpec {
       Seq("Female", "Female", "Male", "Male", "Male", "Female", "Female"))
   }
 
-  test("dictionary covers several hundred names, both genders") {
+  test("dictionary covers several hundred names across the full enum surface") {
     assert(Gender.dict.size > 400, s"got ${Gender.dict.size}")
-    assert(Gender.dict.values.toSet == Set("Male", "Female"))
+    assert(Gender.dict.values.toSet ==
+      Set("Male", "Female", "MostlyMale", "MostlyFemale", "Unisex"))
     // fixture unknown-name sentinels must stay out of the dictionary
     assert(!Gender.dict.contains("ANACLETO") && !Gender.dict.contains("FILOMENA"))
+  }
+
+  test("gradated names resolve to the skewed / unisex labels") {
+    val df = Seq("ALEXIS", "alexis", "GUADALUPE", "CRUZ", "trinidad")
+      .toDF("n").select(Gender.inferirSexo(col("n")).as("g"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("MostlyMale", "MostlyMale", "MostlyFemale", "Unisex", "Unisex"))
   }
 
   test("oracleCase agrees with the Spark lookup on every dict entry") {

@@ -144,4 +144,25 @@ class EventOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(est == again, "deterministic estimator")
   }
+
+  test("KmvBottomK state never exceeds k through reduce, merge, finish") {
+    val k = 8
+    val agg = new KmvBottomK(k)
+    // deterministic pseudo-random insertion order with duplicates
+    val hashes = (1 to 500).map(i => ((i * 7919L) % 97) + 1)
+    var buf = agg.zero
+    hashes.foreach { h =>
+      buf = agg.reduce(buf, h)
+      assert(buf.hs.length <= k, s"reduce grew the buffer past k: ${buf.hs.length}")
+      assert(buf.hs == buf.hs.sorted && buf.hs.distinct == buf.hs,
+        "buffer must stay sorted and distinct")
+    }
+    var other = agg.zero
+    (1L to 200L).foreach(h => other = agg.reduce(other, h * 3 % 101))
+    val merged = agg.merge(buf, other)
+    assert(merged.hs.length <= k, "merge must re-truncate to k")
+    // finish = (k, k-th smallest distinct value over BOTH inputs)
+    val allDistinct = (hashes ++ (1L to 200L).map(_ * 3 % 101)).distinct.sorted
+    assert(agg.finish(merged) == KmvSketch(k.toLong, allDistinct(k - 1)))
+  }
 }
