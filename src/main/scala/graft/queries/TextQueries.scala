@@ -30,18 +30,25 @@ object TextQueries {
     * hashes (A_s·base + B_s mod P) → per-doc mins. Constants come from
     * the same [[NearDup]] definitions so both engines share the family.
     * `src` parameterizes the corpus CTE (dd10 runs the chain over the
-    * quality-kept exact-dedup representatives instead of `documents`). */
-  private def minhashCtesFrom(src: String): String = {
+    * quality-kept exact-dedup representatives instead of `documents`);
+    * `sfx` suffixes every CTE name so the chain can appear more than
+    * once in one WITH (dd11 runs it per dedup phase); `mat` emits
+    * `AS MATERIALIZED` — DuckDB inlines plain CTEs per reference, so a
+    * query composing the chain twice multiplies parquet scans past the
+    * fd limit unless the chain stages are materialized once. */
+  private def minhashCtesFrom(src: String, sfx: String = "",
+                              mat: Boolean = false): String = {
+    val M = if (mat) "MATERIALIZED " else ""
     val P = NearDup.HashP
     val mins = (0 until NumHashes)
       .map(s => s"min((${NearDup.hashA(s)} * hbase + ${NearDup.hashB(s)}) % $P) AS mh$s")
       .mkString(", ")
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM $src),
-sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM t),
-hb AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS hbase FROM sh),
-m AS (SELECT d.doc_id, ${(0 until NumHashes).map(i => s"mm.mh$i").mkString(", ")}
+    s"""t$sfx AS $M(SELECT doc_id, $toksSql AS toks FROM $src),
+sh$sfx AS $M(SELECT doc_id, unnest($shinglesSql) AS shingle FROM t$sfx),
+hb$sfx AS $M(SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS hbase FROM sh$sfx),
+m$sfx AS $M(SELECT d.doc_id, ${(0 until NumHashes).map(i => s"mm.mh$i").mkString(", ")}
       FROM $src d LEFT JOIN
-        (SELECT doc_id, $mins FROM hb GROUP BY doc_id) mm ON d.doc_id = mm.doc_id)"""
+        (SELECT doc_id, $mins FROM hb$sfx GROUP BY doc_id) mm ON d.doc_id = mm.doc_id)"""
   }
 
   private val minhashCtes: String = minhashCtesFrom("documents")
@@ -49,34 +56,51 @@ m AS (SELECT d.doc_id, ${(0 until NumHashes).map(i => s"mm.mh$i").mkString(", ")
   /** Exact-Jaccard verification CTEs over the LSH candidates (shared by
     * dd04 and dd07): long-form shingle sets, |A∩B| via equality join,
     * |A∪B| = |A|+|B|−|A∩B|. */
-  private val jaccardCtes: String =
-    """shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
-sizes AS (SELECT doc_id, count(*) AS ns FROM shd GROUP BY doc_id),
-inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
-          FROM cand c
-          JOIN shd sa ON sa.doc_id = c.id_a
-          JOIN shd sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+  private def jaccardCtesSfx(sfx: String, mat: Boolean = false): String = {
+    val M = if (mat) "MATERIALIZED " else ""
+    s"""shd$sfx AS $M(SELECT DISTINCT doc_id, shingle FROM sh$sfx),
+sizes$sfx AS $M(SELECT doc_id, count(*) AS ns FROM shd$sfx GROUP BY doc_id),
+inter$sfx AS (SELECT c.id_a, c.id_b, count(*) AS ni
+          FROM cand$sfx c
+          JOIN shd$sfx sa ON sa.doc_id = c.id_a
+          JOIN shd$sfx sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
           GROUP BY c.id_a, c.id_b),
-jac AS (SELECT c.id_a, c.id_b,
+jac$sfx AS $M(SELECT c.id_a, c.id_b,
                round(CAST(coalesce(i.ni, 0) AS DOUBLE) / (za.ns + zb.ns - coalesce(i.ni, 0)), 6) AS jaccard
-        FROM cand c
-        JOIN sizes za ON za.doc_id = c.id_a
-        JOIN sizes zb ON zb.doc_id = c.id_b
-        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b)"""
+        FROM cand$sfx c
+        JOIN sizes$sfx za ON za.doc_id = c.id_a
+        JOIN sizes$sfx zb ON zb.doc_id = c.id_b
+        LEFT JOIN inter$sfx i ON i.id_a = c.id_a AND i.id_b = c.id_b)"""
+  }
 
-  private val bandsCte: String = {
+  private val jaccardCtes: String = jaccardCtesSfx("")
+
+  private def bandsCteSfx(sfx: String, mat: Boolean = false): String = {
+    val M = if (mat) "MATERIALIZED " else ""
     val branches = (0 until NumHashes / RowsPerBand).map { b =>
       val key = (b * RowsPerBand until (b + 1) * RowsPerBand)
         .map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")
-      s"SELECT doc_id, $b AS band, $key AS band_key FROM m WHERE mh0 IS NOT NULL"
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM m$sfx WHERE mh0 IS NOT NULL"
     }.mkString("\n  UNION ALL ")
-    s"""bands AS (
+    s"""bands$sfx AS $M(
   $branches
 ),
-cand AS (
+cand$sfx AS $M(
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM bands$sfx a JOIN bands$sfx b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+  }
+
+  private val bandsCte: String = bandsCteSfx("")
+
+  /** Strong-edge CTE (both directions, jaccard ≥ 0.5) over jac$sfx. */
+  private def edgesCteSfx(sfx: String, mat: Boolean = false): String = {
+    val M = if (mat) "MATERIALIZED " else ""
+    s"""edges$sfx AS $M(
+  SELECT id_a AS src, id_b AS dst FROM jac$sfx WHERE jaccard >= 0.5
+  UNION ALL
+  SELECT id_b, id_a FROM jac$sfx WHERE jaccard >= 0.5
 )"""
   }
 
@@ -265,6 +289,77 @@ reach AS (
 cc AS (SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id)
 SELECT e.doc_id, cc.canonical_id FROM em e JOIN cc ON cc.doc_id = e.exact_canon""")),
 
+    // Incremental dedup: batch 1 (the md5-split "train" 90%) is
+    // canonicalized, then batch 2 arrives and joins existing clusters
+    // through verified near-dup links to cluster REPRESENTATIVES —
+    // existing assignments never relabeled, unlinked newcomers cluster
+    // among themselves. Oracle = the two phases composed as CTEs: the
+    // dd10 chain over batch 1, then the closed form of the two-tier
+    // pinned-label fixpoint — incoming-only components (recursive CTE
+    // over incoming↔incoming edges; labels cannot travel THROUGH a rep
+    // because reps never update), each component taking the minimum
+    // adjacent rep id when one exists, else its own minimum incoming id.
+    Q("dd11_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val isB1 = TextAnalysis.deterministicSplit(col("doc_id"), 90, 5) === "train"
+        val batch1 = docs.filter(isB1).select(col("doc_id"), col("text"))
+        val batch2 = docs.filter(!isB1).select(col("doc_id"), col("text"))
+        val existing = NearDup
+          .canonicalize(batch1, "doc_id", "text", NumHashes, 3, RowsPerBand, 0.5)
+          .join(batch1, Seq("doc_id")) // re-attach text: incremental re-shingles reps
+        NearDup.canonicalizeIncremental(existing, batch2, "doc_id", "text",
+          NumHashes, 3, RowsPerBand, 0.5)
+      },
+      Some(s"""WITH RECURSIVE
+split AS MATERIALIZED (SELECT doc_id, text,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+          FROM documents),
+docs1 AS MATERIALIZED (SELECT doc_id, text FROM split WHERE b < 90),
+docs2 AS MATERIALIZED (SELECT doc_id, text FROM split WHERE b >= 90),
+em1 AS MATERIALIZED (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS exact_canon
+        FROM (SELECT doc_id, $fingerprintSql AS fp FROM docs1) x),
+reps1 AS MATERIALIZED (SELECT k.doc_id, k.text FROM docs1 k
+          JOIN em1 e ON e.doc_id = k.doc_id AND e.exact_canon = k.doc_id),
+${minhashCtesFrom("reps1", "_p1", mat = true)},
+${bandsCteSfx("_p1", mat = true)},
+${jaccardCtesSfx("_p1", mat = true)},
+${edgesCteSfx("_p1", mat = true)},
+reach1 AS (
+  SELECT doc_id, doc_id AS r FROM reps1
+  UNION
+  SELECT re.doc_id, e.dst AS r FROM reach1 re JOIN edges_p1 e ON e.src = re.r
+),
+cc1 AS MATERIALIZED (SELECT doc_id, min(r) AS canonical_id FROM reach1 GROUP BY doc_id),
+existing AS MATERIALIZED (SELECT e.doc_id, cc1.canonical_id
+             FROM em1 e JOIN cc1 ON cc1.doc_id = e.exact_canon),
+reps2 AS MATERIALIZED (SELECT d.doc_id, d.text FROM docs1 d
+          JOIN existing x ON x.doc_id = d.doc_id AND x.canonical_id = d.doc_id),
+all2 AS MATERIALIZED (SELECT doc_id, text FROM reps2 UNION ALL SELECT doc_id, text FROM docs2),
+${minhashCtesFrom("all2", "_p2", mat = true)},
+${bandsCteSfx("_p2", mat = true)},
+${jaccardCtesSfx("_p2", mat = true)},
+${edgesCteSfx("_p2", mat = true)},
+incedges AS (SELECT e.src, e.dst FROM edges_p2 e
+             JOIN docs2 da ON da.doc_id = e.src
+             JOIN docs2 db ON db.doc_id = e.dst),
+reach2 AS (
+  SELECT doc_id, doc_id AS r FROM docs2
+  UNION
+  SELECT re.doc_id, e.dst AS r FROM reach2 re JOIN incedges e ON e.src = re.r
+),
+comp AS (SELECT doc_id, min(r) AS comp_id FROM reach2 GROUP BY doc_id),
+repadj AS (SELECT c.comp_id, min(e.src) AS rep_min
+           FROM edges_p2 e
+           JOIN reps2 r2 ON r2.doc_id = e.src
+           JOIN comp c ON c.doc_id = e.dst
+           GROUP BY c.comp_id),
+assigned AS (SELECT c.doc_id, coalesce(ra.rep_min, c.comp_id) AS canonical_id
+             FROM comp c LEFT JOIN repadj ra ON ra.comp_id = c.comp_id)
+SELECT doc_id, canonical_id FROM existing
+UNION ALL
+SELECT doc_id, canonical_id FROM assigned""")),
+
     // Bigram (2-gram shingle) frequency — n-gram analysis over the
     // corpus via the shared shingle pipeline.
     Q("tx05_bigram_freq",
@@ -298,6 +393,43 @@ SELECT d.doc_id, s.bigram_logfreq FROM documents d LEFT JOIN s USING (doc_id)"""
               FROM (SELECT doc_id,
                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
                     FROM documents) t""")),
+
+    // Boilerplate-line removal: fixture docs are single-line, so the
+    // query MANUFACTURES multi-line docs deterministically (the tx07
+    // injection pattern): a banner line present in 100% of docs, the
+    // doc's own text, and a footer on even ids (50% > the 30% cap) vs a
+    // unique ref line on odd ids. Expected: banner+footer stripped,
+    // own-text and ref lines kept in order.
+    Q("tx11_boilerplate_removal",
+      (s, d) => {
+        val injected = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("COOKIE BANNER\n"), col("text"), lit("\n"),
+            when(col("doc_id") % 2 === 0, lit("FOOTER NAV"))
+              .otherwise(concat(lit("ref "), col("doc_id").cast("string")))).as("text"))
+        TextAnalysis.removeBoilerplateLines(injected, "doc_id", "text", 0.3)
+      },
+      Some("""WITH inj AS (SELECT doc_id,
+                'COOKIE BANNER' || chr(10) || text || chr(10) ||
+                (CASE WHEN doc_id % 2 = 0 THEN 'FOOTER NAV'
+                      ELSE 'ref ' || CAST(doc_id AS VARCHAR) END) AS text
+              FROM documents),
+tot AS (SELECT greatest(1, CAST(floor(0.3 * count(*)) AS BIGINT)) AS cap FROM inj),
+lines AS (SELECT doc_id,
+                 unnest(generate_series(1, len(ls))) AS line_no,
+                 unnest(ls) AS line
+          FROM (SELECT doc_id, str_split(text, chr(10)) AS ls FROM inj) t),
+boiler AS (SELECT line FROM lines WHERE trim(line) <> ''
+           GROUP BY line HAVING count(DISTINCT doc_id) > (SELECT cap FROM tot)),
+flagged AS (SELECT l.doc_id, l.line_no, l.line, b.line IS NOT NULL AS is_boiler
+            FROM lines l LEFT JOIN boiler b ON b.line = l.line),
+rebuilt AS (SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                                       chr(10) ORDER BY line_no), '') AS clean_text,
+                   CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+            FROM flagged GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       coalesce(r.n_removed, 0) AS n_removed
+FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""")),
 
     // SimHash (32-bit, per-bit majority of token hashes).
     Q("dd05_simhash",

@@ -266,5 +266,72 @@ WHERE cos_sim > 0.1""")),
               FROM (SELECT doc_id AS media_id,
                            unnest(generate_series(0, CAST(strlen(text) AS BIGINT) // 256)) AS frame_no
                     FROM documents) t""")),
+
+    // Multimodal → ANN end-to-end: the REAL byte-histogram features from
+    // the mapPartitions extractor (the CNN-embedding shape) fed through
+    // the hyperplane-bucketed top-k — the "embed your images, then
+    // similarity-search them" pipeline in one oracle-checked query.
+    // Features are rounded to 6 decimals on both sides after the
+    // float32 quantization (the oracle replicates the float step with
+    // CAST(... AS REAL)), so the hard sign threshold in the bucket bits
+    // sees bit-identical inputs in both engines.
+    Q("mm03_features_ann",
+      (s, d) => {
+        val feats = Multimodal
+          .extractFeatures(s, Multimodal.asBinary(Tables.documents(s, d)))
+          .toDF()
+          .select(col("media_id").as("vec_id"),
+            transform(col("features"), x => round(x.cast("double"), 6)).as("embedding"))
+        Similarity.bucketedTopK(feats, feats.filter(col("vec_id") < 20), 5,
+          numPlanes = 8, dim = 16)
+      },
+      Some {
+        val hexDigits = "0123456789ABCDEF"
+        val hist = (0 until 16)
+          .map(k => s"sum(CASE WHEN hd = '${hexDigits(k)}' THEN 1 ELSE 0 END) AS c$k")
+          .mkString(", ")
+        val featList = (0 until 16)
+          .map(k => s"round(CAST(CAST(CAST(coalesce(h.c$k, 0) AS DOUBLE) / ch.n AS REAL) AS DOUBLE), 6)")
+          .mkString(", ")
+        s"""WITH chars AS (SELECT doc_id, strlen(text) AS sl,
+                  greatest(CAST(strlen(text) AS BIGINT), 1) AS n,
+                  hex(encode(text)) AS hx
+           FROM documents),
+nibs AS (SELECT doc_id, substr(hx, 2 * i - 1, 1) AS hd
+         FROM (SELECT doc_id, hx, unnest(generate_series(1, sl)) AS i FROM chars) t),
+hist AS (SELECT doc_id, $hist FROM nibs GROUP BY doc_id),
+feat AS (SELECT ch.doc_id AS vec_id, [$featList] AS embedding
+         FROM chars ch LEFT JOIN hist h ON h.doc_id = ch.doc_id),
+$planesSql,
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM feat),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
+bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+flat AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+                unnest(embedding)::DOUBLE AS v
+         FROM feat),
+norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY vec_id),
+prs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+        FROM bk q JOIN bk c ON q.bucket = c.bucket
+        WHERE q.vec_id < 20),
+dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+         FROM prs p
+         JOIN flat f1 ON f1.vec_id = p.query_id
+         JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+         GROUP BY 1, 2),
+scored AS (SELECT d.query_id, d.vec_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+           FROM dots d
+           JOIN norms n1 ON n1.vec_id = d.query_id
+           JOIN norms n2 ON n2.vec_id = d.vec_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 5"""
+      }),
   )
 }
