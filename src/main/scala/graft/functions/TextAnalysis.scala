@@ -134,18 +134,37 @@ object TextAnalysis {
     * corpus is its own language model.
     *
     * Shape: bigram explode (reuses [[graft.operators.NearDup.shingleRows]]'
-    * doc-partitioned stream) → one hash agg for corpus counts → join on
-    * bigram (AQE broadcasts when the vocabulary is small) → per-doc avg
+    * doc-partitioned stream) → one hash agg for corpus counts (map-side
+    * partials absorb hot keys there) → frequency lookup → per-doc avg
     * on the doc id. Docs with fewer than 2 tokens get a null score
     * (kept, left join). Rounded to 6 decimals for cross-engine
-    * summation-order tolerance. */
+    * summation-order tolerance.
+    *
+    * Zipfian-head hardening: bigram frequency is zipfian — a plain
+    * bg⋈freq equi-join funnels every "of the"-class row into a few
+    * shuffle partitions. Instead the top-`headK` bigrams (the hot mass,
+    * K rows — driver-bounded) are staged and BROADCAST, so hot rows
+    * resolve their count map-side and never shuffle; only the long
+    * tail — which has no hot keys by construction — takes the
+    * shuffled equi-join. Any head/tail split returns the identical
+    * result (each row just fetches its global count), so `headK` is
+    * purely a performance knob. */
   def bigramLogFreqScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                         textCol: String): org.apache.spark.sql.DataFrame = {
+                         textCol: String,
+                         headK: Int = 1024): org.apache.spark.sql.DataFrame = {
     import graft.operators.NearDup
     val bg = NearDup.shingleRows(docs, idCol, textCol, 2)
       .select(col(idCol), col("shingle").as("bigram"))
     val freq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
-    val scored = bg.join(freq, Seq("bigram"))
+    // deterministic top-K head (tiebreak only pins the split, not the
+    // result); staged so its agg pipeline runs once across the 3 uses.
+    val head = NearDup.stage(
+      freq.orderBy(col("n").desc, col("bigram").asc).limit(headK))
+    val tagged = bg.join(broadcast(head), Seq("bigram"), "left")
+    val hot = tagged.filter(col("n").isNotNull)
+    val tail = freq.join(broadcast(head.select(col("bigram"))), Seq("bigram"), "left_anti")
+    val cold = tagged.filter(col("n").isNull).drop("n").join(tail, Seq("bigram"))
+    val scored = hot.unionByName(cold)
       .groupBy(col(idCol))
       .agg(round(avg(log(col("n").cast("double"))), 6).as("bigram_logfreq"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")

@@ -145,16 +145,22 @@ object StreamingOps {
     * complete-mode aggregation is published as a full new VERSION via
     * [[graft.sinks.Publish]] (atomic manifest flip), so downstream
     * readers only ever see a complete, consistent snapshot — never a
-    * half-written batch. Returns the started query. */
-  def publishSnapshots(aggregated: DataFrame, root: String,
-                       table: String): org.apache.spark.sql.streaming.StreamingQuery =
-    aggregated.writeStream
+    * half-written batch. With `checkpoint` set the query (offsets AND
+    * aggregation state) survives a crash: on restart the last
+    * uncommitted batch re-runs and republishes its version
+    * IDEMPOTENTLY (overwrite staging + same manifest target), so the
+    * invariant holds across failures, not just between them. Returns
+    * the started query. */
+  def publishSnapshots(aggregated: DataFrame, root: String, table: String,
+                       checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = aggregated.writeStream
       .outputMode("complete")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.sinks.Publish.publishTables(
           batch.sparkSession, Map(table -> batch.toDF()), root, f"$id%06d")
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** Merge sorted-by-start open sessions with a batch of event times
     * under the closed-boundary gap rule (`next <= last + gap` merges). */

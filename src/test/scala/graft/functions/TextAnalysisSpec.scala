@@ -125,4 +125,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L).get > out(3L).get)
     assert(out(3L).get == 0.0)
   }
+
+  test("bigramLogFreqScore: zipfian head broadcasts; split equals plain join") {
+    import spark.implicits._
+    import graft.operators.NearDup
+    // 80%+ of all bigram occurrences are the two hot bigrams of the
+    // repeated phrase — the "of the"-class zipfian head.
+    val docs = (1 to 50).map { i =>
+      (i.toLong, ("of the " * 8) + s"rare$i only$i once$i")
+    }.toDF("doc_id", "text")
+    val split = TextAnalysis.bigramLogFreqScore(docs, "doc_id", "text", headK = 2)
+    // reference: the un-split formulation (one shuffled equi-join)
+    val bg = NearDup.shingleRows(docs, "doc_id", "text", 2)
+      .select(col("doc_id"), col("shingle").as("bigram"))
+    val freq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val plain = bg.join(freq, Seq("bigram")).groupBy(col("doc_id"))
+      .agg(round(avg(log(col("n").cast("double"))), 6).as("bigram_logfreq"))
+    val sm = split.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pm = plain.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sm == pm, "head/tail split must not change any score")
+    // plan gate: hot rows resolve via a broadcast join of the staged head
+    val plan = split.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the head lookup must broadcast:\n$plan")
+  }
 }

@@ -128,6 +128,50 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("publishSnapshots: killed and resumed from checkpoint keeps the OP-31 invariant") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_crash_pub")
+      .toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_crash_ckpt")
+      .toFile.getAbsolutePath
+    val input = MemoryStream[Ev]
+    val counts = input.toDF().groupBy("event_type").count()
+
+    val q1 = StreamingOps.publishSnapshots(counts, root, "counts", Some(ckpt))
+    val (v1, out1) = try {
+      input.addData(Seq(
+        Ev(1L, ts("2026-01-01 10:00:00"), 1L, "a", 0.0),
+        Ev(2L, ts("2026-01-01 10:01:00"), 2L, "b", 0.0)))
+      q1.processAllAvailable()
+      (graft.sinks.Publish.currentVersion(spark, root).get,
+        graft.sinks.Publish.readTable(spark, root, "counts")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    } finally q1.stop() // the crash
+    assert(out1 == Map("a" -> 1L, "b" -> 1L))
+
+    // while down, the manifest still resolves to the complete old version
+    assert(graft.sinks.Publish.currentVersion(spark, root).contains(v1))
+    assert(graft.sinks.Publish.readTable(spark, root, "counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == out1)
+
+    // resume the SAME query from the checkpoint: offsets and aggregation
+    // state must carry over (complete mode re-emits recovered keys)
+    input.addData(Seq(Ev(3L, ts("2026-01-01 10:02:00"), 3L, "a", 0.0)))
+    val q2 = StreamingOps.publishSnapshots(counts, root, "counts", Some(ckpt))
+    try {
+      q2.processAllAvailable()
+      val v2 = graft.sinks.Publish.currentVersion(spark, root).get
+      assert(v2 > v1, s"restart must publish a NEW version ($v1 -> $v2)")
+      val out2 = graft.sinks.Publish.readTable(spark, root, "counts")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out2 == Map("a" -> 2L, "b" -> 1L),
+        "aggregation state must survive the restart (b was only in batch 1)")
+      // the published version is a COMPLETE write, not a torn one
+      assert(new java.io.File(s"$root/$v2/counts/_SUCCESS").exists,
+        "current version must carry the commit marker")
+    } finally q2.stop()
+  }
+
   test("streamIntervalJoin matches right events within the lag window only") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val lIn = MemoryStream[Ev]
