@@ -223,6 +223,76 @@ object TextAnalysis {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** PII scrubbing — the redaction pass a training corpus runs before
+    * anything else sees the text: emails, IPv4 addresses, and phone-like
+    * digit runs replaced by typed placeholders. A chain of codegen'd
+    * global `regexp_replace`s (no UDF, linear scan); patterns are
+    * RE2-compatible (no backrefs/lookahead) so any engine applies the
+    * identical rule. Order matters and is fixed: emails first (else the
+    * phone rule eats their digit runs), then IPs, then phones. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Benchmark decontamination — the n-gram-overlap rule an LLM
+    * training pipeline applies against its eval sets: a corpus doc is
+    * CONTAMINATED when it shares any `n`-gram with any eval doc.
+    * Returns (idCol, contaminated) for every corpus doc.
+    *
+    * Shape: both sides tokenize once through [[graft.operators.NearDup
+    * .shingleRows]]; the eval shingle set is distinct'd (eval suites
+    * are dim-scale next to the corpus — AQE broadcasts it) and the
+    * overlap is ONE left-semi equi-join on the shingle, then a distinct
+    * on the doc id. No per-pair work, no similarity math — contamination
+    * is membership, not nearness. */
+  def contaminatedDocs(corpus: org.apache.spark.sql.DataFrame,
+                       eval: org.apache.spark.sql.DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int): org.apache.spark.sql.DataFrame = {
+    import graft.operators.NearDup
+    val evalSh = NearDup.shingleRows(eval, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val hits = NearDup.shingleRows(corpus, idCol, textCol, n)
+      .select(col(idCol), col("shingle"))
+      .join(evalSh, Seq("shingle"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("contaminated", lit(true))
+    corpus.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
+  /** Within-document repetition metrics (the Gopher-class quality
+    * rules): `top_bigram_frac` = share of the doc's bigram occurrences
+    * taken by its single most frequent bigram, `dup_5gram_frac` = share
+    * of 5-gram occurrences whose 5-gram repeats within the doc. High
+    * values flag looping/boilerplate text that length and TTR gates
+    * miss. One doc-keyed shingle explode per n, two hash aggs — all on
+    * the doc id, so the shuffles collapse. Docs too short for an n-gram
+    * get null for that metric (kept, left join); rounded to 6 decimals. */
+  def repetitionMetrics(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.NearDup
+    def fracs(n: Int, top: Boolean, as: String) = {
+      val counts = NearDup.shingleRows(docs, idCol, textCol, n)
+        .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("c"))
+      val agg =
+        if (top) round(max(col("c")).cast("double") / sum(col("c")), 6)
+        else round(sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") /
+          sum(col("c")), 6)
+      counts.groupBy(col(idCol)).agg(agg.as(as))
+    }
+    docs.select(col(idCol))
+      .join(fracs(2, top = true, "top_bigram_frac"), Seq(idCol), "left")
+      .join(fracs(5, top = false, "dup_5gram_frac"), Seq(idCol), "left")
+  }
+
   /** Word n-gram shingles (0-based Spark array indexing), for MinHash /
     * Jaccard. Documents shorter than n yield an empty array. */
   def shingles(toks: Column, n: Int): Column =

@@ -15,9 +15,16 @@ object TextQueries {
   private val toksSql =
     "list_filter(regexp_split_to_array(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x <> '')"
 
+  /** DuckDB n-gram shingles identical to [[TextAnalysis.shingles]] /
+    * [[NearDup.shingleRows]] (1-based list indexing). */
+  private def ngramSql(n: Int): String = {
+    val parts = (0 until n)
+      .map(k => if (k == 0) "toks[i]" else s"toks[i+$k]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, len(toks)-${n - 1}), i -> $parts)"
+  }
+
   /** DuckDB 3-gram shingles identical to [[TextAnalysis.shingles]]. */
-  private val shinglesSql =
-    "list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+  private val shinglesSql = ngramSql(3)
 
   private val fingerprintSql =
     "substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16)"
@@ -430,6 +437,96 @@ rebuilt AS (SELECT doc_id,
 SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
        coalesce(r.n_removed, 0) AS n_removed
 FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""")),
+
+    // PII scrubbing: emails, IPv4s, and phone-like digit runs redacted
+    // by the shared regex chain. Fixture docs carry no PII, so the query
+    // INJECTS deterministic PII per doc (the tx07/tx11 pattern) — the
+    // scrub must remove all of it and leave the prose untouched.
+    Q("tx12_pii_scrub",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.scrubPii(concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +595 21 555 1234 at 10.0.0.1 thanks"))).as("scrubbed")),
+      Some(s"""SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(
+                  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                    '@example.com or +595 21 555 1234 at 10.0.0.1 thanks',
+                  '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+                  '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+                  '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+              FROM documents""")),
+
+    // Benchmark decontamination: a train-split doc is contaminated when
+    // it shares any 8-gram with a test-split doc (the n-gram-overlap
+    // rule LLM pipelines run against eval suites). Train/test come from
+    // the tx10 deterministic md5 split. The fixture splits share no
+    // natural 8-gram, so the query INJECTS a verbatim 8-token benchmark
+    // sentence into every eval doc and every 7th train doc — those
+    // train docs (and only those) must flag.
+    Q("tx13_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val split = TextAnalysis.deterministicSplit(col("doc_id"), 90, 5)
+        val bench = lit(" the quick benchmark sentence appears verbatim in eval")
+        val train = docs.filter(split === "train").select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), bench))
+            .otherwise(col("text")).as("text"))
+        val ev = docs.filter(split === "test")
+          .select(col("doc_id"), concat(col("text"), bench).as("text"))
+        TextAnalysis.contaminatedDocs(train, ev, "doc_id", "text", 8)
+      },
+      Some(s"""WITH sp AS (SELECT doc_id, text,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+               FROM documents),
+corpus AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0
+                       THEN text || ' the quick benchmark sentence appears verbatim in eval'
+                       ELSE text END AS text
+           FROM sp WHERE b < 90),
+ev AS (SELECT doc_id, text || ' the quick benchmark sentence appears verbatim in eval' AS text
+       FROM sp WHERE b >= 95),
+ct AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+csh AS (SELECT doc_id, unnest(${ngramSql(8)}) AS shingle FROM ct),
+et AS (SELECT doc_id, $toksSql AS toks FROM ev),
+esh AS (SELECT DISTINCT unnest(${ngramSql(8)}) AS shingle FROM et),
+hits AS (SELECT DISTINCT c.doc_id FROM csh c JOIN esh e USING (shingle))
+SELECT c.doc_id, h.doc_id IS NOT NULL AS contaminated
+FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id""")),
+
+    // Within-doc repetition metrics (Gopher-class quality rules):
+    // top-bigram occupancy and duplicated-5-gram fraction. Fixture docs
+    // have no internal 5-gram repeats, so every 5th doc gets a looping
+    // tail injected — those docs (and only those) must show a non-zero
+    // dup_5gram_frac.
+    Q("tx14_repetition_metrics",
+      (s, d) => {
+        val injected = Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" loop loop loop loop loop loop loop loop loop loop")))
+            .otherwise(col("text")).as("text"))
+        TextAnalysis.repetitionMetrics(injected, "doc_id", "text")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM (
+                 SELECT doc_id,
+                        CASE WHEN doc_id % 5 = 0
+                             THEN text || ' loop loop loop loop loop loop loop loop loop loop'
+                             ELSE text END AS text
+                 FROM documents) inj),
+b2 AS (SELECT doc_id, unnest(${ngramSql(2)}) AS sh FROM t),
+c2 AS (SELECT doc_id, sh, count(*) AS c FROM b2 GROUP BY doc_id, sh),
+m2 AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+       FROM c2 GROUP BY doc_id),
+b5 AS (SELECT doc_id, unnest(${ngramSql(5)}) AS sh FROM t),
+c5 AS (SELECT doc_id, sh, count(*) AS c FROM b5 GROUP BY doc_id, sh),
+m5 AS (SELECT doc_id,
+              round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6)
+                AS dup_5gram_frac
+       FROM c5 GROUP BY doc_id)
+SELECT d.doc_id, m2.top_bigram_frac, m5.dup_5gram_frac
+FROM documents d
+LEFT JOIN m2 ON m2.doc_id = d.doc_id
+LEFT JOIN m5 ON m5.doc_id = d.doc_id""")),
 
     // SimHash (32-bit, per-bit majority of token hashes).
     Q("dd05_simhash",

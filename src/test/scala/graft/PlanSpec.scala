@@ -165,6 +165,35 @@ class PlanSpec extends SparkSpec {
       s"global-sort windows outside the dim-scale whitelist: $offenders")
   }
 
+  test("no registered query joins without equi-keys outside the broadcast whitelist") {
+    // A join with no equality condition executes as a nested loop or
+    // cartesian — O(n·m) at scale. Sweep every registered query's
+    // optimized plan; the only non-equi joins allowed are those whose
+    // build side is a deliberately tiny broadcast set.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // EqualNullSafe counts: INTERSECT/EXCEPT rewrite to semi/anti hash
+    // joins on <=> conditions.
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+    val broadcastSmallAllowed = Set(
+      // brute-force ANN baseline: corpus × broadcast(5 queries)
+      "ann01_cosine_topk",
+      // k-means assignment: corpus × broadcast(16 centroids)
+      "ann04_ivf_topk", "ann05_ivf_nprobe2",
+      // exact-within-block near-dup baseline (kept as the oracle for
+      // the bucketed form): 300-id block, id_a < id_b theta-join
+      "dd06_embed_neardup")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val nonEqui = df.queryExecution.optimizedPlan.collect {
+        case j: Join if !j.condition.exists(c => c.exists(e =>
+          e.isInstanceOf[EqualTo] || e.isInstanceOf[EqualNullSafe])) => j
+      }
+      nonEqui.nonEmpty && !broadcastSmallAllowed(name)
+    }
+    assert(offenders.isEmpty,
+      s"non-equi joins outside the broadcast-small whitelist: $offenders")
+  }
+
   test("native graft_array_dot stays inside whole-stage codegen") {
     import spark.implicits._
     // parquet-backed input (a local relation would be constant-folded).

@@ -126,6 +126,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).get == 0.0)
   }
 
+  test("scrubPii redacts emails, IPs, phones; leaves prose and ordinary numbers") {
+    import spark.implicits._
+    val out = Seq(
+      "mail me at jane.doe+x@sub.example.org today",
+      "server 192.168.0.1 and phone +595 21 555 1234 ok",
+      "version 2.5 costs 42 dollars in 1999",
+    ).toDF("t").select(TextAnalysis.scrubPii(col("t"))).as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "server <IP> and phone <PHONE> ok")
+    assert(out(2) == "version 2.5 costs 42 dollars in 1999", "no false positives")
+  }
+
+  test("contaminatedDocs flags exactly the docs sharing an n-gram with eval") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // shares the eval 3-gram
+      (2L, "totally unrelated text right here"),
+      (3L, "beta gamma delta elsewhere placed"), // shares too
+      (4L, "al pha be ta"),                      // similar words, no shared 3-gram
+    ).toDF("doc_id", "text")
+    val ev = Seq((100L, "x beta gamma delta y")).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminatedDocs(corpus, ev, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
+  test("repetitionMetrics: looping text scores high, varied text low, short null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // one bigram, all dup 5-grams
+      (2L, "one two three four five six seven eight"), // all n-grams unique
+      (3L, "tiny doc"),                                // bigram yes, no 5-gram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+         Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1L) == ((Some(1.0), Some(1.0))))
+    assert(got(2L)._1.get < 0.2 && got(2L)._2.get == 0.0)
+    assert(got(3L) == ((Some(1.0), None)), "no 5-gram → null metric")
+  }
+
   test("bigramLogFreqScore: zipfian head broadcasts; split equals plain join") {
     import spark.implicits._
     import graft.operators.NearDup
