@@ -10,11 +10,25 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization (null-safe). Empty strings are filtered so
-    * blank/whitespace-only docs yield a truly empty array — `split` on ""
-    * would otherwise produce [""], a phantom token inflating n_tokens. */
-  def tokens(c: Column): Column =
-    filter(split(regexp_replace(trim(c), "\\s+", " "), " "), t => t =!= "")
+  /** Whitespace tokenization (null-safe). Blank/whitespace-only docs
+    * yield a truly empty array — `split` on "" would otherwise produce
+    * [""], a phantom token inflating n_tokens.
+    *
+    * Codegen note: this is THE hot expression of the text family (every
+    * minhash/simhash/lang-id/quality path tokenizes through it), so it
+    * must stay inside whole-stage codegen. The empty guard is a `when`
+    * on the normalized length, NOT a `filter` higher-order function —
+    * HOFs are interpreted per element and would put an interpreter in
+    * front of every downstream explode. Collapse-whitespace-then-trim
+    * first (SQL trim strips only ASCII spaces — a lone tab would
+    * otherwise split into phantom empty tokens), then splitting the
+    * non-blank normalized text on single spaces produces no empty
+    * tokens (equality with the old filter form is spec-pinned). */
+  def tokens(c: Column): Column = {
+    val norm = trim(regexp_replace(c, "\\s+", " "))
+    when(length(norm) === 0, typedLit(Seq.empty[String]))
+      .otherwise(split(norm, " "))
+  }
 
   /** BPE-ish token count: words plus standalone non-word symbols —
     * the usual cheap proxy for subword token counts. */
@@ -78,12 +92,15 @@ object TextAnalysis {
 
   /** Quality metrics: token count, distinct-token count, type-token
     * ratio (lexical diversity), mean token length. Ratios rounded to 6
-    * decimals for cross-engine float stability. */
+    * decimals for cross-engine float stability. Total token chars =
+    * length of the separator-less array_join — one codegen expression,
+    * not an interpreted per-element `aggregate` HOF (this runs over
+    * every document of the corpus). */
   def qualityMetrics(c: Column): Seq[Column] = {
     val t = tokens(c)
     val n = size(t)
     val uniq = size(array_distinct(t))
-    val charSum = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    val charSum = length(array_join(t, ""))
     Seq(
       n.cast("int").as("n_tokens"),
       uniq.cast("int").as("n_uniq_tokens"),

@@ -194,6 +194,20 @@ class PlanSpec extends SparkSpec {
       s"non-equi joins outside the broadcast-small whitelist: $offenders")
   }
 
+  test("the tokenize explode stays inside whole-stage codegen (no HOF)") {
+    // tokens() feeds every text operator; a higher-order function in it
+    // would drop the Generate out of codegen corpus-wide.
+    import org.apache.spark.sql.functions.explode
+    val df = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("tok"))
+    val plan = formatted(df)
+    assert(plan.contains("* Generate"), s"explode must codegen:\n$plan")
+    assert(!plan.toLowerCase.contains("lambdafunction"),
+      "no interpreted higher-order function in the tokenize path")
+  }
+
   test("native graft_array_dot stays inside whole-stage codegen") {
     import spark.implicits._
     // parquet-backed input (a local relation would be constant-folded).
