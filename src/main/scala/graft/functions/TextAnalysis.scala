@@ -246,7 +246,13 @@ object TextAnalysis {
     * global `regexp_replace`s (no UDF, linear scan); patterns are
     * RE2-compatible (no backrefs/lookahead) so any engine applies the
     * identical rule. Order matters and is fixed: emails first (else the
-    * phone rule eats their digit runs), then IPs, then phones. */
+    * phone rule eats their digit runs), then IPs, then phones.
+    *
+    * Recall-first by design: the phone rule redacts ANY 9+-char digit
+    * run with spaces/dashes, which catches some numeric timestamps and
+    * ranges too — the standard posture for training-corpus PII (a
+    * missed number is worse than a redacted date). Tighten per-corpus
+    * by swapping the pattern, not the chain. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
