@@ -55,9 +55,17 @@ object Bench {
       // projections being measured; noop computes every output row.
       // Median-of-3 for EVERY query — no fast-path exemption (see
       // the scaladoc: single-shot timing under contention recorded
-      // 5–10× outliers as official numbers).
-      val runs = Seq.fill(3)(runOnce(fn, spark, sfDir))
-      samples(name) = runs.map { case (t, _) => math.rint(t * 1000) / 1000 }
+      // 5–10× outliers as official numbers). A failing query stops
+      // after its FIRST error (a slow failure would otherwise triple
+      // the wasted wall-clock) and its failed sample is recorded
+      // NEGATED so the samples array is self-describing.
+      val runs = scala.collection.mutable.ArrayBuffer[(Double, Option[String])]()
+      while (runs.length < 3 && runs.lastOption.forall(_._2.isEmpty))
+        runs += runOnce(fn, spark, sfDir)
+      samples(name) = runs.toSeq.map { case (t, e) =>
+        val ms = math.rint(t * 1000) / 1000
+        if (e.isDefined) -ms else ms
+      }
       val value = runs.collectFirst { case (_, Some(err)) => err } match {
         case Some(err) => errors(name) = err; -1.0
         case None => runs.map(_._1).sorted.apply(1) // median of 3

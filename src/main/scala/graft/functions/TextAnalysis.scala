@@ -160,23 +160,29 @@ object TextAnalysis {
     * Zipfian-head hardening: bigram frequency is zipfian — a plain
     * bg⋈freq equi-join funnels every "of the"-class row into a few
     * shuffle partitions. Instead the top-`headK` bigrams (the hot mass,
-    * K rows — driver-bounded) are staged and BROADCAST, so hot rows
-    * resolve their count map-side and never shuffle; only the long
-    * tail — which has no hot keys by construction — takes the
-    * shuffled equi-join. Any head/tail split returns the identical
-    * result (each row just fetches its global count), so `headK` is
-    * purely a performance knob. */
+    * K rows — driver-bounded) are BROADCAST, so hot rows resolve their
+    * count map-side and never shuffle; only the long tail — which has
+    * no hot keys by construction — takes the shuffled equi-join. Any
+    * head/tail split returns the identical result (each row just
+    * fetches its global count), so `headK` is purely a performance
+    * knob.
+    *
+    * The frequency table is staged ONCE (vocab-scale — an aggregation
+    * output, orders of magnitude under the corpus) and head + tail
+    * both derive from it, so the corpus explode runs exactly twice
+    * (hot branch, cold branch) — the same scan count as the un-split
+    * form, minus its skewed shuffle. Note stage() is eager: building
+    * this DataFrame runs the frequency job. */
   def bigramLogFreqScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
                          textCol: String,
                          headK: Int = 1024): org.apache.spark.sql.DataFrame = {
     import graft.operators.NearDup
     val bg = NearDup.shingleRows(docs, idCol, textCol, 2)
       .select(col(idCol), col("shingle").as("bigram"))
-    val freq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val freq = NearDup.stage(bg.groupBy(col("bigram")).agg(count(lit(1)).as("n")))
     // deterministic top-K head (tiebreak only pins the split, not the
-    // result); staged so its agg pipeline runs once across the 3 uses.
-    val head = NearDup.stage(
-      freq.orderBy(col("n").desc, col("bigram").asc).limit(headK))
+    // result) — a TakeOrdered over the staged freq, not a recompute.
+    val head = freq.orderBy(col("n").desc, col("bigram").asc).limit(headK)
     val tagged = bg.join(broadcast(head), Seq("bigram"), "left")
     val hot = tagged.filter(col("n").isNotNull)
     val tail = freq.join(broadcast(head.select(col("bigram"))), Seq("bigram"), "left_anti")

@@ -216,7 +216,14 @@ object NearDup {
     * once, synchronously, before any consumer plans against it. This is
     * the in-process analog of staging through a temp table, which is
     * also the honest 100 TB pipeline shape (the staged sets here are
-    * pair/label-scale, orders of magnitude smaller than the corpus). */
+    * pair/label-scale, orders of magnitude smaller than the corpus).
+    *
+    * Deliberate consequence: stage() runs its Spark job at DataFrame
+    * CONSTRUCTION time, so merely building a staged query (plan
+    * inspection included) executes the staged subtree. Eager is the
+    * measured choice — a lazy checkpoint reintroduces the first-action
+    * materialization race this exists to remove — so tooling that only
+    * wants plan shapes should expect construction to compute. */
   def stage(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** One-step canonical assignment from verified near-dup pairs: each

@@ -69,7 +69,7 @@ object EventQueries {
       (s, d) => EventOps.kmvDistinctUsers(Tables.events(s, d), 64),
       Some("""WITH dh AS (SELECT DISTINCT event_type,
                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-              FROM events),
+              FROM events WHERE user_id IS NOT NULL),
 bk AS (SELECT event_type, h,
               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
        FROM dh),

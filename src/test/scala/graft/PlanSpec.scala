@@ -146,6 +146,9 @@ class PlanSpec extends SparkSpec {
     // gates (same hashes, one task at 100 TB). Every registered query's
     // OPTIMIZED plan is swept; the only windows allowed to be global are
     // those whose input is provably dim- or delta-scale.
+    // KNOWN BLIND SPOT: denseIdScalable (RDD) and stage()
+    // (localCheckpoint) truncate the visible plan, hiding anything
+    // upstream of them — the source-level lint below covers that class.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val dimScaleAllowed = Set(
       // findOrInsert: global row_number over the NEW keys only (delta-
@@ -165,6 +168,26 @@ class PlanSpec extends SparkSpec {
       s"global-sort windows outside the dim-scale whitelist: $offenders")
   }
 
+  test("source lint: Window.orderBy without a partition only in Dedup") {
+    // Plan sweeps cannot see through RDD/localCheckpoint boundaries, so
+    // also lint the SOURCE: the no-partition Window constructor
+    // (`Window.orderBy(...)`) is allowed only in Dedup.scala (denseId's
+    // documented dim-only form and findOrInsert's delta-sized ids).
+    // Everything else must go through Window.partitionBy or
+    // denseIdScalable.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filter { p =>
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        "Window\\s*\\.\\s*orderBy".r.findFirstIn(src).isDefined
+      }
+      .map(_.getFileName.toString).toSeq
+    assert(offenders.forall(_ == "Dedup.scala"),
+      s"no-partition windows outside Dedup.scala: ${offenders.filterNot(_ == "Dedup.scala")}")
+  }
+
   test("no registered query joins without equi-keys outside the broadcast whitelist") {
     // A join with no equality condition executes as a nested loop or
     // cartesian — O(n·m) at scale. Sweep every registered query's
@@ -172,8 +195,14 @@ class PlanSpec extends SparkSpec {
     // build side is a deliberately tiny broadcast set.
     import org.apache.spark.sql.catalyst.plans.logical.Join
     // EqualNullSafe counts: INTERSECT/EXCEPT rewrite to semi/anti hash
-    // joins on <=> conditions.
-    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+    // joins on <=> conditions. The equality must be a top-level
+    // CONJUNCT — `a = b OR a < b` contains an EqualTo but still plans
+    // as a nested loop, so a tree-wide exists() would under-enforce.
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
     val broadcastSmallAllowed = Set(
       // brute-force ANN baseline: corpus × broadcast(5 queries)
       "ann01_cosine_topk",
@@ -185,7 +214,7 @@ class PlanSpec extends SparkSpec {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val nonEqui = df.queryExecution.optimizedPlan.collect {
-        case j: Join if !j.condition.exists(c => c.exists(e =>
+        case j: Join if !j.condition.exists(c => conjuncts(c).exists(e =>
           e.isInstanceOf[EqualTo] || e.isInstanceOf[EqualNullSafe])) => j
       }
       nonEqui.nonEmpty && !broadcastSmallAllowed(name)
