@@ -119,6 +119,55 @@ object EventOps {
           .as("est_users"))
   }
 
+  /** Count-min sketch over a string key column: `depth` md5-derived
+    * hash rows × `width` buckets. The sketch is the (row, bucket) →
+    * count table — AT MOST depth·width cells regardless of input size
+    * or cardinality, built by ONE explode + hash aggregation with
+    * map-side partials (each input row contributes `depth` cells).
+    * Like the KMV estimator, the hash family is md5-derived and shared
+    * with the DuckDB oracle, so the sketch — an approximate structure —
+    * is bitwise reproducible in any engine.
+    *
+    * Row i's bucket for key k = first-15-hex-chars(md5(i || '_' || k))
+    * mod width — independent enough across rows for the CM guarantee
+    * (estimate ≥ true count; error ≤ N/width with prob 1−2^−depth). */
+  def cmsSketch(df: DataFrame, keyCol: String,
+                depth: Int = 4, width: Int = 256): DataFrame = {
+    val cells = (0 until depth).map { i =>
+      struct(lit(i).as("row"),
+        (conv(substring(md5(concat(lit(s"${i}_"), col(keyCol))), 1, 15), 16, 10)
+          .cast("long") % width).as("bucket"))
+    }
+    df.select(explode(array(cells: _*)).as("cell"))
+      .groupBy(col("cell.row"), col("cell.bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters via the count-min sketch: each candidate's estimate
+    * is the MIN over the sketch's depth rows of its bucket count; the
+    * top `k` by (estimate, key) are returned. Candidates here are the
+    * column's distinct values (one map-side-partial distinct); in the
+    * one-pass production deployment the candidate set is the keys
+    * retained by a SpaceSaving-style buffer instead. Estimates are
+    * upper bounds: collisions only ever inflate a bucket. */
+  def cmsTopK(df: DataFrame, keyCol: String, k: Int,
+              depth: Int = 4, width: Int = 256): DataFrame = {
+    val sketch = cmsSketch(df, keyCol, depth, width)
+    val cand = df.select(col(keyCol)).distinct()
+    val probes = (0 until depth).map { i =>
+      struct(lit(i).as("row"),
+        (conv(substring(md5(concat(lit(s"${i}_"), col(keyCol))), 1, 15), 16, 10)
+          .cast("long") % width).as("bucket"))
+    }
+    cand.select(col(keyCol), explode(array(probes: _*)).as("cell"))
+      .select(col(keyCol), col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cnt")).as("est"))
+      .orderBy(col("est").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** EX-01b: sliding window aggregation — each event lands in
     * windowLen/slide buckets (Spark's `window()` with a slide emits one
     * row per covering window; still a single hash shuffle). */

@@ -438,6 +438,31 @@ SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
        coalesce(r.n_removed, 0) AS n_removed
 FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""")),
 
+    // Count-min-sketch heavy hitters over the corpus term distribution:
+    // depth×width bounded-memory frequency sketch (md5-derived hash
+    // family shared with the oracle — deterministic, so the approximate
+    // structure hash-checks exactly), then top-20 terms by upper-bound
+    // estimate. The exact counterpart is tx02.
+    Q("ex11_cms_heavy_hitters",
+      (s, d) => graft.operators.EventOps.cmsTopK(
+        Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term")),
+        "term", 20),
+      Some(s"""WITH terms AS (SELECT unnest($toksSql) AS term FROM documents),
+ii AS (SELECT unnest(generate_series(0, 3)) AS row),
+cells AS (SELECT ii.row,
+                 CAST(('0x' || substr(md5(CAST(ii.row AS VARCHAR) || '_' || term), 1, 15)) AS BIGINT) % 256 AS bucket
+          FROM terms, ii),
+sketch AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM cells GROUP BY row, bucket),
+cand AS (SELECT DISTINCT term FROM terms),
+probes AS (SELECT term, ii.row,
+                  CAST(('0x' || substr(md5(CAST(ii.row AS VARCHAR) || '_' || term), 1, 15)) AS BIGINT) % 256 AS bucket
+           FROM cand, ii),
+est AS (SELECT term, min(cnt) AS est
+        FROM probes JOIN sketch USING (row, bucket) GROUP BY term)
+SELECT term, est FROM est ORDER BY est DESC, term ASC LIMIT 20""")),
+
     // PII scrubbing: emails, IPv4s, and phone-like digit runs redacted
     // by the shared regex chain. Fixture docs carry no PII, so the query
     // INJECTS deterministic PII per doc (the tx07/tx11 pattern) — the

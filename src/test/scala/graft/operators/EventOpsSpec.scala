@@ -145,6 +145,25 @@ class EventOpsSpec extends SparkSpec {
     assert(est == again, "deterministic estimator")
   }
 
+  test("CMS: bounded cells, estimates upper-bound truth, exact at ample width") {
+    val words = Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
+      (1 to 30).map(i => s"cold$i")
+    val df = words.toDF("term")
+    val sketch = EventOps.cmsSketch(df, "term", depth = 4, width = 8)
+    assert(sketch.count() <= 4 * 8, "sketch must stay within depth*width cells")
+    // estimates never undercount (min over rows of inflated buckets)
+    val truth = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val est = EventOps.cmsTopK(df, "term", 100, depth = 4, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (w, c) =>
+      assert(est(w) >= c, s"CMS undercounted $w: ${est(w)} < $c")
+    }
+    // with ample width the top-k equals the exact ranking
+    val wide = EventOps.cmsTopK(df, "term", 2, depth = 4, width = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(wide == Seq(("hot", 50L), ("warm", 20L)))
+  }
+
   test("KmvBottomK state never exceeds k through reduce, merge, finish") {
     val k = 8
     val agg = new KmvBottomK(k)
