@@ -125,6 +125,45 @@ object StreamingOps {
       }
   }
 
+  /** One count-min-sketch cell (mirrors the batch sketch's schema). */
+  case class CmsCell(row: Int, bucket: Long, cnt: Long)
+
+  /** Host-side mirror of [[graft.operators.EventOps.cmsSketch]]'s
+    * md5-derived bucket function (row i, key k → bucket). */
+  private[graft] def cmsBucket(i: Int, key: String, width: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(s"${i}_$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16) % width
+  }
+
+  /** Streaming count-min sketch over `events`' event_type keys: state
+    * is ONE width-sized count array per sketch row — depth·width longs
+    * total, forever, regardless of stream length or key cardinality.
+    * Cell counts are SUMS, so the update rule (add this batch's cells)
+    * is exactly mergeable and the streaming sketch equals the batch
+    * [[graft.operators.EventOps.cmsSketch]] over the same prefix no
+    * matter how events were split into micro-batches (spec-pinned).
+    * Emits the refreshed non-zero cells of rows touched in the batch
+    * (update output mode). */
+  def cmsSketch(events: Dataset[Ev], depth: Int = 4,
+                width: Int = 256): Dataset[CmsCell] = {
+    import events.sparkSession.implicits._
+    events.flatMap(e => (0 until depth).map(i =>
+        (i, cmsBucket(i, e.event_type, width))))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], CmsCell](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (row: Int, it: Iterator[(Int, Long)], state: GroupState[Array[Long]]) =>
+          val counts = state.getOption.getOrElse(new Array[Long](width))
+          it.foreach { case (_, b) => counts(b.toInt) += 1 }
+          state.update(counts)
+          counts.iterator.zipWithIndex
+            .filter(_._1 > 0L)
+            .map { case (c, b) => CmsCell(row, b.toLong, c) }
+      }
+  }
+
   /** Stream-stream interval join: each left event matched to right
     * events of the same key with `r.ts ∈ [l.ts, l.ts + maxLag]`. Both
     * sides carry watermarks and the time bound is part of the join

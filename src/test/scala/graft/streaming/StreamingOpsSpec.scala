@@ -220,6 +220,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS equals the batch sketch regardless of micro-batching") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(i: Long, t: String) = Ev(i, ts("2026-01-01 10:00:00"), i, t, 0.0)
+    val all = (1L to 40L).map(i => ev(i, s"k${i % 7}"))
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.cmsSketch(input.toDS(), depth = 4, width = 32)
+      .writeStream.format("memory").queryName("t_cms").outputMode("update").start()
+    try {
+      // arbitrary uneven micro-batch split
+      input.addData(all.take(13)); q.processAllAvailable()
+      input.addData(all.drop(13).take(20)); q.processAllAvailable()
+      input.addData(all.drop(33)); q.processAllAvailable()
+      // update mode re-emits refreshed cells; counts only grow, so the
+      // final state of each cell is its MAX emission
+      val streamed = spark.table("t_cms").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .groupBy(_._1).map { case (cell, vs) => cell -> vs.map(_._2).max }
+      val batch = graft.operators.EventOps.cmsSketch(
+        all.map(_.event_type).toDF("term"), "term", 4, 32)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        "additive cells must make the streaming sketch equal the batch sketch")
+    } finally q.stop()
+  }
+
   test("mergeAll unit: merge rules and counts") {
     import StreamingOps.{mergeAll, OpenSession}
     val gap = 600000L // 10 min
