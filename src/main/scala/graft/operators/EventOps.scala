@@ -128,38 +128,41 @@ object EventOps {
     * with the DuckDB oracle, so the sketch — an approximate structure —
     * is bitwise reproducible in any engine.
     *
-    * Row i's bucket for key k = first-15-hex-chars(md5(i || '_' || k))
+    * Row i's bucket for key k = first-15-hex-chars(md5(i || '_' + k))
     * mod width — independent enough across rows for the CM guarantee
-    * (estimate ≥ true count; error ≤ N/width with prob 1−2^−depth). */
+    * (estimate ≥ true count; error ≤ N/width with prob 1−2^−depth).
+    * Null keys are excluded (values-only, the KMV posture). */
   def cmsSketch(df: DataFrame, keyCol: String,
-                depth: Int = 4, width: Int = 256): DataFrame = {
-    val cells = (0 until depth).map { i =>
+                depth: Int = 4, width: Int = 256): DataFrame =
+    df.where(col(keyCol).isNotNull)
+      .select(cmsCells(keyCol, depth, width).as("cell"))
+      .groupBy(col("cell.row"), col("cell.bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The md5 hash family shared by the sketch build and the probe side
+    * — ONE definition so the two can never drift apart (drifted probes
+    * would still inner-join real buckets and corrupt every estimate
+    * silently). */
+  private def cmsCells(keyCol: String, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map { i =>
       struct(lit(i).as("row"),
         (conv(substring(md5(concat(lit(s"${i}_"), col(keyCol))), 1, 15), 16, 10)
           .cast("long") % width).as("bucket"))
-    }
-    df.select(explode(array(cells: _*)).as("cell"))
-      .groupBy(col("cell.row"), col("cell.bucket"))
-      .agg(count(lit(1)).as("cnt"))
-  }
+    }: _*))
 
   /** Heavy hitters via the count-min sketch: each candidate's estimate
     * is the MIN over the sketch's depth rows of its bucket count; the
-    * top `k` by (estimate, key) are returned. Candidates here are the
-    * column's distinct values (one map-side-partial distinct); in the
-    * one-pass production deployment the candidate set is the keys
-    * retained by a SpaceSaving-style buffer instead. Estimates are
-    * upper bounds: collisions only ever inflate a bucket. */
+    * top `k` by (estimate, key) are returned. TWO passes over the
+    * input — sketch build plus the distinct candidate set (both single
+    * hash aggs with map-side partials); the one-pass production
+    * deployment replaces the candidate scan with a SpaceSaving-style
+    * buffer. Estimates are upper bounds: collisions only ever inflate
+    * a bucket. */
   def cmsTopK(df: DataFrame, keyCol: String, k: Int,
               depth: Int = 4, width: Int = 256): DataFrame = {
     val sketch = cmsSketch(df, keyCol, depth, width)
-    val cand = df.select(col(keyCol)).distinct()
-    val probes = (0 until depth).map { i =>
-      struct(lit(i).as("row"),
-        (conv(substring(md5(concat(lit(s"${i}_"), col(keyCol))), 1, 15), 16, 10)
-          .cast("long") % width).as("bucket"))
-    }
-    cand.select(col(keyCol), explode(array(probes: _*)).as("cell"))
+    val cand = df.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+    cand.select(col(keyCol), cmsCells(keyCol, depth, width).as("cell"))
       .select(col(keyCol), col("cell.row").as("row"), col("cell.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("row", "bucket"))
       .groupBy(col(keyCol))

@@ -444,10 +444,13 @@ FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""")),
     // structure hash-checks exactly), then top-20 terms by upper-bound
     // estimate. The exact counterpart is tx02.
     Q("ex11_cms_heavy_hitters",
+      // depth/width passed EXPLICITLY: the oracle hard-codes
+      // generate_series(0, 3) and % 256, so the call site must pin the
+      // same constants rather than ride the defaults.
       (s, d) => graft.operators.EventOps.cmsTopK(
         Tables.documents(s, d)
           .select(explode(TextAnalysis.tokens(col("text"))).as("term")),
-        "term", 20),
+        "term", 20, depth = 4, width = 256),
       Some(s"""WITH terms AS (SELECT unnest($toksSql) AS term FROM documents),
 ii AS (SELECT unnest(generate_series(0, 3)) AS row),
 cells AS (SELECT ii.row,

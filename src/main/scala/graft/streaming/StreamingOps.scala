@@ -128,39 +128,38 @@ object StreamingOps {
   /** One count-min-sketch cell (mirrors the batch sketch's schema). */
   case class CmsCell(row: Int, bucket: Long, cnt: Long)
 
-  /** Host-side mirror of [[graft.operators.EventOps.cmsSketch]]'s
-    * md5-derived bucket function (row i, key k → bucket). */
-  private[graft] def cmsBucket(i: Int, key: String, width: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    java.lang.Long.parseLong(
-      md.digest(s"${i}_$key".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15), 16) % width
-  }
-
   /** Streaming count-min sketch over `events`' event_type keys: state
-    * is ONE width-sized count array per sketch row — depth·width longs
-    * total, forever, regardless of stream length or key cardinality.
-    * Cell counts are SUMS, so the update rule (add this batch's cells)
-    * is exactly mergeable and the streaming sketch equals the batch
-    * [[graft.operators.EventOps.cmsSketch]] over the same prefix no
-    * matter how events were split into micro-batches (spec-pinned).
-    * Emits the refreshed non-zero cells of rows touched in the batch
-    * (update output mode). */
+    * is ONE long per touched (row, bucket) cell — at most depth·width
+    * entries forever, regardless of stream length or key cardinality.
+    * Keying the stateful operator BY CELL (not by sketch row) keeps
+    * parallelism at up-to-depth·width tasks instead of depth. Cell
+    * counts are SUMS, so adding each micro-batch's cells is exactly
+    * mergeable: the streaming sketch equals the batch
+    * [[graft.operators.EventOps.cmsSketch]] over the same prefix on
+    * ANY micro-batch split (spec-pinned). Null keys are excluded on
+    * both variants (values-only, the KMV posture). Emits the refreshed
+    * cells touched in the batch (update output mode). */
   def cmsSketch(events: Dataset[Ev], depth: Int = 4,
                 width: Int = 256): Dataset[CmsCell] = {
     import events.sparkSession.implicits._
-    events.flatMap(e => (0 until depth).map(i =>
-        (i, cmsBucket(i, e.event_type, width))))
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[Array[Long], CmsCell](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (row: Int, it: Iterator[(Int, Long)], state: GroupState[Array[Long]]) =>
-          val counts = state.getOption.getOrElse(new Array[Long](width))
-          it.foreach { case (_, b) => counts(b.toInt) += 1 }
-          state.update(counts)
-          counts.iterator.zipWithIndex
-            .filter(_._1 > 0L)
-            .map { case (c, b) => CmsCell(row, b.toLong, c) }
+    events.mapPartitions { it =>
+      // one digest per partition, not per element
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def bucket(i: Int, key: String): Long = {
+        md.reset()
+        java.lang.Long.parseLong(
+          md.digest(s"${i}_$key".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15), 16) % width
+      }
+      it.filter(_.event_type != null)
+        .flatMap(e => (0 until depth).map(i => (i, bucket(i, e.event_type))))
+    }
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, CmsCell](GroupStateTimeout.NoTimeout) {
+        (cell: (Int, Long), it: Iterator[(Int, Long)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + it.size
+          state.update(c)
+          CmsCell(cell._1, cell._2, c)
       }
   }
 

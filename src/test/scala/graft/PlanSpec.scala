@@ -177,15 +177,20 @@ class PlanSpec extends SparkSpec {
     // denseIdScalable.
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala")
-    val offenders = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .filter { p =>
-        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        "Window\\s*\\.\\s*orderBy".r.findFirstIn(src).isDefined
-      }
-      .map(_.getFileName.toString).toSeq
-    assert(offenders.forall(_ == "Dedup.scala"),
-      s"no-partition windows outside Dedup.scala: ${offenders.filterNot(_ == "Dedup.scala")}")
+    val walk = java.nio.file.Files.walk(root)
+    val offenders =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .filter { p =>
+          val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          // \b so identifiers like rankWindow.orderBy don't false-match
+          "\\bWindow\\s*\\.\\s*orderBy".r.findFirstIn(src).isDefined
+        }
+        .map(_.toString).toList
+      finally walk.close()
+    val allowed = "src/main/scala/graft/operators/Dedup.scala"
+    assert(offenders.forall(_ == allowed),
+      s"no-partition windows outside $allowed: ${offenders.filterNot(_ == allowed)}")
   }
 
   test("no registered query joins without equi-keys outside the broadcast whitelist") {
