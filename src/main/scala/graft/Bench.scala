@@ -16,13 +16,40 @@ import org.apache.spark.sql.SparkSession
   *    run blew past 15 s under load was recorded at 5–10× its
   *    reproducible time. Under contention is exactly when the median
   *    matters most, so there is no exemption;
-  *  - all three raw samples are emitted under "samples" so the reader
-  *    can see per-query variance instead of a bare point estimate.
+  *  - all three raw samples land in `bench_full.json` so the reader can
+  *    see per-query variance instead of a bare point estimate.
+  *
+  * Output contract: the harness that invokes this captures only the LAST
+  * 2000 characters of stdout (BENCH_r01–r04 all show `parsed: null` with
+  * a 2000-char tail — the old all-queries-plus-samples line was ~5 KB and
+  * its head, including the `{"metric":...` prefix, was always cut off).
+  * So the printed line now carries the all-queries TOTAL plus a fixed
+  * HEADLINE subset covering every operator family and every historically
+  * expensive query (~1 KB, fits with sbt's `[success]` suffix), and the
+  * complete per-query medians, raw samples, and errors are written to
+  * `bench_full.json` in the working directory.
   *
   * Failures are NOT swallowed into fast timings: a query whose write
   * throws reports value -1.0 and its error class under "errors".
   */
 object Bench {
+
+  /** Queries named inline in the printed JSON line: every family is
+    * represented and every query that has ever exceeded ~2 s median is
+    * included. The full set is always in bench_full.json. */
+  val headline: Seq[String] = Seq(
+    "his_extract_wide", "his_paciente", "his_turno", "his_prestacion",
+    "his_prestacion_x_turno",
+    "dd02_minhash_signature", "dd03_minhash_candidates", "dd04_jaccard_pairs",
+    "dd09_neardup_cc", "dd10_dedup_pipeline", "dd11_incremental_dedup",
+    "ann01_cosine_topk", "ann04_ivf_topk", "ann05_ivf_nprobe2",
+    "tx01_token_stats", "tx06_quality_filter", "tx08_winnowing",
+    "tx09_bigram_score", "tx13_decontaminate",
+    "op05_project_alias", "op09_join_inner_agg", "op13_repeated_dim_join",
+    "op15_firstwins_dedup", "op18_19_sorted_dense_ids", "op20_unpivot",
+    "ex01_tumbling_window", "ex02_session_window", "ex05_asof_join",
+    "ex10_interval_join", "ex11_cms_heavy_hitters",
+    "mm03_features_ann", "skew01_salted_join")
 
   private def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                       spark: SparkSession, sfDir: String): (Double, Option[String]) = {
@@ -72,15 +99,27 @@ object Bench {
       }
       name -> value
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = { val r = math.rint(v * 100) / 100; if (r == r.toLong) r.toLong.toString else r.toString }
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
-    val ss = samples.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"samples":$ss,"sf":"$sfDir"}""")
+
+    // Full artifact: every query's median + all raw samples + errors.
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val ss = samples.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"errors":$es,"samples":$ss,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (full + "\n").getBytes("UTF-8"))
+
+    // Printed line: total over ALL queries, headline subset inline, so
+    // the whole line survives a 2000-char stdout tail capture.
+    val qsHead = results.filter { case (k, _) => headline.contains(k) }
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsHead,"errors":$es,"n_queries":${results.size},"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -298,17 +298,27 @@ object NearDup {
                    numHashes: Int = 16, shingleSize: Int = 3,
                    rowsPerBand: Int = 2, threshold: Double = 0.5,
                    maxBucketSize: Option[Int] = None): DataFrame = {
-    val fp = docs.select(col(idCol), col(textCol),
-      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
-    val exact = fp.groupBy(col("__fp")).agg(min(col(idCol)).as("__exact"))
-    val em = fp.join(exact, Seq("__fp"))
-    val reps = em.filter(col(idCol) === col("__exact"))
-      .select(col(idCol), col(textCol))
+    // Exact-dup mapping in ONE corpus pass: min(id) over a window
+    // partitioned by fingerprint (the groupBy+self-join alternative
+    // scans+hashes the corpus twice), then STAGED — the mapping is
+    // doc-scale (id + exact id, no text) and has three consumers
+    // (rep-id filter, final join, and the caller's plan), each of
+    // which would otherwise re-run the fingerprint scan. The window
+    // shuffle carries only (id, 16-char fp): doc-scale, not text-scale.
+    val mapping = stage(
+      docs.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+        .select(col(idCol),
+          min(col(idCol)).over(Window.partitionBy(col("__fp"))).as("__exact")))
+    // Representatives re-read the input via a semi-join against the
+    // staged rep ids — a plain scan, no re-fingerprinting.
+    val reps = docs.join(
+      mapping.filter(col(idCol) === col("__exact")).select(col(idCol)),
+      Seq(idCol), "left_semi")
     val pairs = minhashCandidates(reps, idCol, textCol,
       numHashes, shingleSize, rowsPerBand, maxBucketSize)
     val jac = jaccardOnPairs(reps, pairs, idCol, textCol, shingleSize)
     val cc = neardupComponents(reps, jac, idCol, threshold)
-    em.select(col(idCol), col("__exact"))
+    mapping
       .join(cc.select(col(idCol).as("__exact"), col("canonical_id")), Seq("__exact"))
       .select(col(idCol), col("canonical_id"))
   }

@@ -22,4 +22,20 @@ class RegistrySpec extends SparkSpec {
   test("flagship entry returns rows on the smoke fixture") {
     assert(SparkEntry.entry(spark).limit(1).count() == 1)
   }
+
+  test("bench headline names are registered queries") {
+    val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"headline names not in registry: ${missing.mkString(", ")}")
+  }
+
+  test("bench printed line fits the driver's 2000-char stdout tail") {
+    // The driver records only the last 2000 chars of bench stdout, and
+    // sbt appends a ~75-char "[success] Total time..." suffix after our
+    // line. Simulate the worst-case printed line (4-digit medians, no
+    // errors) and assert it leaves room for that suffix.
+    val qsHead = Bench.headline.map(n => s""""$n":9999.99""").mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":$qsHead,"errors":{},"n_queries":${SparkEntry.queries.size},"full":"bench_full.json","sf":"/root/testdata/sf0.1"}"""
+    assert(line.length <= 1850, s"printed bench line too long: ${line.length} chars")
+  }
 }
