@@ -322,6 +322,46 @@ object TextAnalysis {
       .join(fracs(5, top = false, "dup_5gram_frac"), Seq(idCol), "left")
   }
 
+  /** Per-document top-k TF-IDF terms — the keyword-extraction /
+    * feature-weighting pass of a text pipeline: tf = term count in the
+    * doc, idf = ln(N / df) with df = number of docs containing the
+    * term, N = corpus size; top `k` terms per doc by (tfidf desc, term
+    * asc) — ROUNDED to 6 decimals BEFORE ranking so the rank is
+    * float-stable across engines.
+    *
+    * Shape: one token explode → (doc, term) hash agg for tf → vocab-
+    * scale df agg, STAGED once. Term frequency is zipfian, so the
+    * tf⋈df lookup takes the [[bigramLogFreqScore]] split: the top-
+    * `headK` terms are BROADCAST (hot rows resolve map-side, never
+    * shuffle) and only the unskewed tail takes the shuffled equi-join;
+    * any split returns the identical result. The final top-k window
+    * partitions on the doc id. N is one column-pruned count scan
+    * (driver scalar, same trade as [[removeBoilerplateLines]]). Docs
+    * with no tokens have no terms and are absent, matching any SQL
+    * formulation. */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int,
+                    headK: Int = 1024): org.apache.spark.sql.DataFrame = {
+    import graft.operators.NearDup
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = NearDup.stage(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val head = dfreq.orderBy(col("df").desc, col("term").asc).limit(headK)
+    val tagged = tf.join(broadcast(head), Seq("term"), "left")
+    val hot = tagged.filter(col("df").isNotNull)
+    val tail = dfreq.join(broadcast(head.select(col("term"))), Seq("term"), "left_anti")
+    val cold = tagged.filter(col("df").isNull).drop("df").join(tail, Seq("term"))
+    val scored = hot.unionByName(cold).withColumn("tfidf",
+      round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Word n-gram shingles (0-based Spark array indexing), for MinHash /
     * Jaccard. Documents shorter than n yield an empty array. */
   def shingles(toks: Column, n: Int): Column =

@@ -294,6 +294,30 @@ object RelationalQueries {
                 EXCEPT
                 SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t2""")),
 
+    // Bloom-filter runtime pre-filter (semi-join reduction): lineitem
+    // rows whose order is not URGENT are dropped by a broadcast-free
+    // codegen bit test BEFORE the join shuffle; the exact semi-join
+    // then removes false positives, so the result is identical to the
+    // plain semi-join the oracle runs — the explicit form of the
+    // runtime-filter/DPP technique that decides 100 TB join cost.
+    Q("ex12_bloom_prefilter",
+      (s, d) => {
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        graft.operators.RuntimeFilter.bloomSemiJoin(
+            Tables.lineitem(s, d), urgent, "l_orderkey", "o_orderkey")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+              .as("qty"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
+              FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                   WHERE o_orderpriority = '1-URGENT')
+              GROUP BY l_returnflag, l_linestatus""")),
+
     // Rollup (hierarchical subtotals) — beyond the reference's SQL
     // surface but table stakes for an analytics engine; null markers
     // for subtotal rows match ANSI GROUP BY ROLLUP.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextAnalysis
-import graft.operators.NearDup
+import graft.operators.{NearDup, Packing, Sampling}
 
 /** Text-analysis + document-dedup queries over `documents` (SURVEY
   * EX-05/EX-07 and the training-data-pipeline dedup family), each with a
@@ -555,6 +555,68 @@ SELECT d.doc_id, m2.top_bigram_frac, m5.dup_5gram_frac
 FROM documents d
 LEFT JOIN m2 ON m2.doc_id = d.doc_id
 LEFT JOIN m5 ON m5.doc_id = d.doc_id""")),
+
+    // Per-doc top-5 TF-IDF terms (keyword extraction): tf·ln(N/df),
+    // rounded to 6 decimals BEFORE the per-doc rank so ties break
+    // identically across engines; zipfian df lookup head-broadcast.
+    Q("tx15_tfidf_topk",
+      (s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 5)
+        .withColumnRenamed("rank", "rnk"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tm GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term)),
+r AS (SELECT s.*, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk FROM s)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf,
+       CAST(rnk AS INTEGER) AS rnk
+FROM r WHERE rnk <= 5""")),
+
+    // Sequence packing (concat-and-chunk): docs laid out in md5 order
+    // as one token stream cut into 512-token chunks — each doc's
+    // stream offset and starting chunk, via the distributed prefix sum
+    // (range shuffle + per-partition windows; NO single-task sort).
+    Q("tx16_sequence_pack",
+      (s, d) => {
+        val withTok = Tables.documents(s, d).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("__mk"))
+        Packing.packSequences(withTok, Seq(col("__mk"), col("doc_id")),
+            col("n_tokens"), 512)
+          .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("chunk"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+                 CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS mk
+          FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY mk, doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS BIGINT) AS start_offset
+      FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS chunk FROM c""")),
+
+    // Stratified data mix: per-language epoch weights (en ×0.5,
+    // es ×2.5, de ×0.1, others ×1) materialized as deterministic
+    // md5-bucket copies — the reproducible sampling-weights pass of a
+    // training mix; fr/zh exercise the default rate.
+    Q("tx17_data_mix",
+      (s, d) => Sampling.stratifiedMix(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 0.5, "es" -> 2.5, "de" -> 0.1), 1.0),
+      Some("""WITH b AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bk
+          FROM documents),
+c AS (SELECT doc_id, lang,
+             CASE WHEN lang = 'de' THEN (CASE WHEN bk < 1000 THEN 1 ELSE 0 END)
+                  WHEN lang = 'en' THEN (CASE WHEN bk < 5000 THEN 1 ELSE 0 END)
+                  WHEN lang = 'es' THEN 2 + (CASE WHEN bk < 5000 THEN 1 ELSE 0 END)
+                  ELSE 1 END AS copies
+      FROM b)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INTEGER) AS epoch
+FROM c WHERE copies > 0""")),
 
     // SimHash (32-bit, per-bit majority of token hashes).
     Q("dd05_simhash",

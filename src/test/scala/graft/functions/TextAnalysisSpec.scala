@@ -191,4 +191,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"the head lookup must broadcast:\n$plan")
   }
+
+  test("tfidfTopTerms: naive reference match; head/tail split invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana date"),
+      (3L, "apple elderberry"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2, headK = 2)
+      .select($"doc_id", $"term", $"tfidf", $"rank")
+      .as[(Long, String, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    // naive reference: explicit tf/df over the 4-doc corpus (N counts
+    // the empty doc too — corpus size, not indexed-doc count)
+    val n = 4.0
+    val tf = Map((1L, "apple") -> 2L, (1L, "banana") -> 1L, (1L, "cherry") -> 1L,
+      (2L, "banana") -> 2L, (2L, "date") -> 1L,
+      (3L, "apple") -> 1L, (3L, "elderberry") -> 1L)
+    val df = Map("apple" -> 2L, "banana" -> 2L, "cherry" -> 1L,
+      "date" -> 1L, "elderberry" -> 1L)
+    def score(d: Long, t: String): Double =
+      BigDecimal(tf((d, t)) * math.log(n / df(t)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = tf.keys.toSeq
+      .map { case (d, t) => (d, t, score(d, t)) }
+      .groupBy(_._1).toSeq.flatMap { case (_, ts) =>
+        ts.sortBy(x => (-x._3, x._2)).take(2).zipWithIndex
+          .map { case ((d, t, s), i) => (d, t, s, i + 1) }
+      }.sortBy(r => (r._1, r._4))
+    assert(got.toSeq == want)
+    assert(!got.exists(_._1 == 4L), "token-less docs have no terms")
+    // split invariance: all-hot (huge head) == mostly-cold (head of 1)
+    val allHot = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 2, headK = 1000)
+      .select($"doc_id", $"term", $"tfidf", $"rank")
+      .as[(Long, String, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val mostlyCold = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 2, headK = 1)
+      .select($"doc_id", $"term", $"tfidf", $"rank")
+      .as[(Long, String, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(allHot.toSeq == mostlyCold.toSeq)
+  }
 }
