@@ -120,4 +120,27 @@ object Dedup {
     * shuffle of pre-deduped partitions. */
   def distinctTrimmed(df: DataFrame, column: String, as: String): DataFrame =
     df.select(trim(col(column)).as(as)).where(col(as).isNotNull).distinct()
+
+  /** Grouped top-k — [[firstWins]] generalized to "keep the k best per
+    * key": top `k` (id, score) rows per group under (score desc, id
+    * asc), with a 1-based `rnk`. Runs through the bounded-state
+    * [[TopKByScore]] Aggregator: ≤ k rows per group at every stage,
+    * map-side partials shrink hot keys BEFORE the shuffle, and no
+    * per-group sort ever executes — the fact-scale/skew-robust form of
+    * the row_number-window top-k (which sorts every group member). */
+  def topKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                   scoreCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("long"), col(scoreCol).cast("double"),
+        col(idCol).cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, s, i) => TopKRow(s, i) }
+      .agg(new TopKByScore(k).toColumn.name("topk"))
+      .toDF(groupCol, "topk")
+      .select(col(groupCol), posexplode(col("topk.rows")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as(idCol), col("col.score").as(scoreCol))
+  }
 }

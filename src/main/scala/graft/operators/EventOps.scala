@@ -33,6 +33,34 @@ class KmvBottomK(k: Int) extends Aggregator[Long, KmvBuf, KmvSketch] {
   def outputEncoder: Encoder[KmvSketch] = Encoders.product[KmvSketch]
 }
 
+/** One top-k candidate: descending-`score` rank with ascending-`id`
+  * tiebreak (a total order), `id` doubling as the carried payload key. */
+case class TopKRow(score: Double, id: Long)
+
+/** Buffer rows are kept sorted best-first and capped at k. */
+case class TopKBuf(rows: Seq[TopKRow])
+
+/** Grouped top-k as a typed [[Aggregator]]: state is AT MOST k rows per
+  * group at every stage — map-side partial buffers included — so the
+  * shuffle carries ≤ k rows per group instead of the whole group, and
+  * no per-group sort ever runs. This is the fact-scale form of "top n
+  * per key"; the window row_number form shuffles and sorts EVERY group
+  * member (fine at dim scale, the hot-key bottleneck at 100 TB). */
+class TopKByScore(k: Int) extends Aggregator[TopKRow, TopKBuf, TopKBuf] {
+  require(k > 0, s"top-k needs k > 0, got $k")
+  private def better(a: TopKRow, b: TopKRow): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+  def zero: TopKBuf = TopKBuf(Vector.empty)
+  def reduce(b: TopKBuf, r: TopKRow): TopKBuf =
+    if (b.rows.length == k && !better(r, b.rows.last)) b // can't enter
+    else TopKBuf((b.rows :+ r).sortWith(better).take(k))
+  def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+    TopKBuf((a.rows ++ b.rows).sortWith(better).take(k))
+  def finish(b: TopKBuf): TopKBuf = b
+  def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+}
+
 /** Event-stream analytics in batch form (SURVEY EX-01..04, EX-08).
   * Streaming variants (same semantics under a watermark) live in
   * [[graft.streaming.StreamingOps]].

@@ -294,6 +294,39 @@ object RelationalQueries {
                 EXCEPT
                 SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t2""")),
 
+    // Grouped top-k, window form: top-3 orders per customer by price.
+    // Dim-scale-appropriate (row_number sorts every group member).
+    Q("op33_topk_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d).select(
+            col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rnk"))
+          .filter(col("rnk") <= 3)
+          .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+              FROM orders)
+              SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice
+              FROM r WHERE rnk <= 3""")),
+
+    // Grouped top-k, bounded-state Aggregator form: identical result
+    // via ≤ k rows of state per group at every stage (map-side partials
+    // shrink hot keys BEFORE the shuffle; no per-group sort) — the
+    // fact-scale/skew-robust form, same oracle as op33.
+    Q("op33b_topk_agg",
+      (s, d) => graft.operators.Dedup.topKPerGroup(
+        Tables.orders(s, d), "o_custkey", "o_orderkey", "o_totalprice", 3),
+      Some("""WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+              FROM orders)
+              SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice
+              FROM r WHERE rnk <= 3""")),
+
     // Bloom-filter runtime pre-filter (semi-join reduction): lineitem
     // rows whose order is not URGENT are dropped by a broadcast-free
     // codegen bit test BEFORE the join shuffle; the exact semi-join

@@ -78,4 +78,32 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.distinctTrimmed(df, "c", "v").as[String].collect().sorted.toSeq
     assert(out == Seq("x", "y"))
   }
+
+  test("topKPerGroup equals the window top-k, ties broken by id") {
+    val df = (1L to 900L).map(i => (i % 9, i, (i % 13).toDouble))
+      .toDF("g", "id", "score").repartition(7)
+    val got = Dedup.topKPerGroup(df, "g", "id", "score", 4)
+      .select($"g", $"rnk", $"id", $"score")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc, $"id".asc)
+    val want = df.select($"g", row_number().over(w).cast("long").as("rnk"),
+        $"id", $"score")
+      .filter($"rnk" <= 4)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("TopKByScore buffer never exceeds k through reduce and merge") {
+    val agg = new TopKByScore(3)
+    var b = agg.zero
+    (1 to 100).foreach { i =>
+      b = agg.reduce(b, TopKRow((i % 7).toDouble, i.toLong))
+      assert(b.rows.length <= 3)
+    }
+    val merged = agg.merge(b, agg.reduce(agg.zero, TopKRow(99.0, 0L)))
+    assert(merged.rows.length == 3)
+    assert(merged.rows.head == TopKRow(99.0, 0L), "merge must re-rank")
+  }
 }
