@@ -168,6 +168,76 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
   }
 
+  /** Long-form subspace split for product quantization: one row per
+    * (id, sub) carrying that subspace's `subDim`-dim slice. Pure
+    * projection + explode — no shuffle. */
+  private def subspaces(df: DataFrame, idCol: String, m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("embedding"), s * subDim + 1, subDim).as("sub_emb"))): _*)).as("sv"))
+      .select(col(idCol), col("sv.sub").as("sub"), col("sv.sub_emb").as("sub_emb"))
+
+  /** PQ codebook, deterministic sample init: codebook of subspace s =
+    * the s-subvectors of the first `codebookSize` corpus vectors,
+    * rounded to 6 decimals (k-means refinement is orthogonal and
+    * proven in [[kmeansCentroids]]; sample codebooks keep the oracle
+    * tractable while exercising the full encode/ADC machinery).
+    * Staged — (m·codebookSize) rows, consumed by encode, LUT, and
+    * norm branches. */
+  def pqCodebook(corpus: DataFrame, m: Int, subDim: Int, codebookSize: Int): DataFrame =
+    NearDup.stage(subspaces(corpus.filter(col("vec_id") < codebookSize), "vec_id", m, subDim)
+      .select(col("sub"), col("vec_id").as("centroid_id"),
+        transform(col("sub_emb"), x => round(x.cast("double"), 6)).as("c_emb")))
+
+  /** PQ encoding: each vector → m codes, code of subspace s = argmax
+    * rounded cosine against s's codebook (centroid-id tiebreak). ONE
+    * hash aggregation via max_by over a (sim, −id) sort struct — no
+    * per-group sort, map-side partials absorb the m-way fan-out. At
+    * serving scale this is the corpus compression: dim floats → m
+    * small codes per vector. */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, m: Int, subDim: Int): DataFrame =
+    subspaces(vectors, "vec_id", m, subDim)
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("centroid_id"),
+        round(cosine(col("sub_emb"), col("c_emb")), 6).as("__sim"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id")))
+        .as("centroid_id"))
+
+  /** PQ ANN top-k by asymmetric distance computation (ADC): queries
+    * score the COMPRESSED corpus — dot(q,v) ≈ Σ_s lut(q, s, code(v,s))
+    * with one (q_sub · codeword) lookup table per query, and the
+    * similarity normalizes by the reconstructed corpus norm
+    * √(Σ_s ‖codeword‖²). The corpus-side cost is one broadcast-LUT
+    * join over the code table (m small ints per vector — the whole
+    * point at 100 TB: the full-precision corpus is never rescanned at
+    * query time). Deterministic given the sample codebook, so the
+    * approximate structure oracle-checks exactly. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+             subDim: Int = 16, codebookSize: Int = 16): DataFrame = {
+    val cb = pqCodebook(corpus, m, subDim, codebookSize)
+    val codes = pqEncode(corpus.select(col("vec_id"), col("embedding")), cb, m, subDim)
+    val cbn = cb.select(col("sub"), col("centroid_id"),
+      dot(col("c_emb"), col("c_emb")).as("__n2"))
+    val rec = codes.join(broadcast(cbn), Seq("sub", "centroid_id"))
+      .groupBy(col("vec_id")).agg(sum(col("__n2")).as("__rn2"))
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding"))
+    val lut = subspaces(qs, "query_id", m, subDim)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("centroid_id"),
+        dot(col("sub_emb"), col("c_emb")).as("__dp"))
+    val qn = qs.select(col("query_id"), norm(col("embedding")).as("__qn"))
+    val sc = codes.join(broadcast(lut), Seq("sub", "centroid_id"))
+      .groupBy(col("vec_id"), col("query_id")).agg(sum(col("__dp")).as("__adp"))
+    val scored = sc.join(broadcast(qn), Seq("query_id")).join(rec, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(col("__adp") / (col("__qn") * sqrt(col("__rn2"))), 6).as("pq_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("pq_sim"), col("rk").cast("long").as("rk"))
+  }
+
   /** Embedding near-duplicate pairs within an explicit id block —
     * an O(block²) theta-join kept ONLY as the exact-within-block
     * baseline for small blocks; [[embeddingNearDupBucketed]] is the

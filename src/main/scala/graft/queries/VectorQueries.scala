@@ -163,6 +163,55 @@ SELECT * FROM (
   FROM scored) t
 WHERE rk <= 10""")),
 
+    // Product quantization ANN (ADC): 64-dim vectors → 4 subspace
+    // codes against 16-entry sample codebooks; queries score the
+    // COMPRESSED corpus via per-query lookup tables. Approximate
+    // w.r.t. exact cosine but fully deterministic given the sample
+    // codebook — so the codes, reconstructed norms, and ADC ranking
+    // all hash-check exactly.
+    Q("ann06_pq_adc",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 10)
+      },
+      Some("""WITH fl0 AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+                    unnest(embedding)::DOUBLE AS v
+             FROM embeddings),
+sv AS (SELECT vec_id, d // 16 AS sub, d % 16 AS sd, v FROM fl0),
+cb AS (SELECT vec_id AS centroid_id, sub, sd, round(v, 6) AS cv FROM sv WHERE vec_id < 16),
+cd AS (SELECT s.vec_id, s.sub, c.centroid_id, sum(s.v * c.cv) AS dp
+       FROM sv s JOIN cb c ON c.sub = s.sub AND c.sd = s.sd
+       GROUP BY 1, 2, 3),
+svn AS (SELECT vec_id, sub, sqrt(sum(v*v)) AS nrm FROM sv GROUP BY 1, 2),
+cbn AS (SELECT centroid_id, sub, sqrt(sum(cv*cv)) AS nrm, sum(cv*cv) AS n2
+        FROM cb GROUP BY 1, 2),
+codes AS (SELECT vec_id, sub, centroid_id FROM (
+            SELECT d.vec_id, d.sub, d.centroid_id,
+                   row_number() OVER (PARTITION BY d.vec_id, d.sub
+                     ORDER BY round(dp / (sn.nrm * cn.nrm), 6) DESC, d.centroid_id ASC) AS rn
+            FROM cd d
+            JOIN svn sn ON sn.vec_id = d.vec_id AND sn.sub = d.sub
+            JOIN cbn cn ON cn.centroid_id = d.centroid_id AND cn.sub = d.sub) t
+          WHERE rn = 1),
+rec AS (SELECT co.vec_id, sum(cn.n2) AS rn2
+        FROM codes co JOIN cbn cn ON cn.sub = co.sub AND cn.centroid_id = co.centroid_id
+        GROUP BY 1),
+lut AS (SELECT vec_id AS query_id, sub, centroid_id, dp FROM cd WHERE vec_id < 10),
+qn AS (SELECT vec_id AS query_id, sqrt(sum(v*v)) AS nrm FROM fl0 WHERE vec_id < 10 GROUP BY 1),
+sc AS (SELECT l.query_id, co.vec_id, sum(l.dp) AS adp
+       FROM codes co JOIN lut l ON l.sub = co.sub AND l.centroid_id = co.centroid_id
+       GROUP BY 1, 2),
+scored AS (SELECT s.query_id, s.vec_id,
+                  round(s.adp / (q.nrm * sqrt(r.rn2)), 6) AS pq_sim
+           FROM sc s JOIN qn q ON q.query_id = s.query_id
+           JOIN rec r ON r.vec_id = s.vec_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, pq_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY pq_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 10""")),
+
     // Embedding-cosine near-dup pairs (blocked to vec_id < 300; the
     // fixture vectors are i.i.d. random, so the threshold is set at 0.35
     // to exercise a non-empty result).

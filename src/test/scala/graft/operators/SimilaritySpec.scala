@@ -142,4 +142,23 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("centroid_id").collect().map(_.toSeq)
     assert(cents.orderBy("centroid_id").collect().map(_.toSeq).toSeq == again.toSeq)
   }
+
+  test("PQ: codebook vectors self-code and rank themselves first under ADC") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val cb = Similarity.pqCodebook(emb, 4, 16, 16)
+    val codes = Similarity.pqEncode(
+        emb.filter(col("vec_id") < 16).select(col("vec_id"), col("embedding")),
+        cb, 4, 16)
+      .select($"vec_id", $"sub", $"centroid_id").as[(Long, Int, Long)].collect()
+    assert(codes.length == 16 * 4)
+    // a codebook vector's nearest codeword in every subspace is itself
+    assert(codes.forall { case (v, _, c) => c == v },
+      s"self-coding violated: ${codes.filter { case (v, _, c) => c != v }.take(5).toSeq}")
+    // under ADC a codebook-member query reconstructs (almost) exactly →
+    // it must rank itself first
+    val top1 = Similarity.pqTopK(emb, emb.filter($"vec_id" < 8), 1)
+      .filter($"rk" === 1)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toMap
+    (0L until 8L).foreach(q => assert(top1(q) == q, s"query $q top-1 was ${top1(q)}"))
+  }
 }
