@@ -618,6 +618,35 @@ c AS (SELECT doc_id, lang,
 SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INTEGER) AS epoch
 FROM c WHERE copies > 0""")),
 
+    // Per-source governance rollup: the per-provenance profile a
+    // training pipeline reports before mixing sources — doc counts,
+    // mean length, language spread, and the share passing the tx06
+    // quality gate. One scan, one hash agg.
+    Q("tx18_source_stats",
+      (s, d) => {
+        val m = Tables.documents(s, d).select(
+          (Seq(col("source"), col("lang")) ++
+            TextAnalysis.qualityMetrics(col("text"))): _*)
+        m.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens").cast("double")), 6).as("mean_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("n_tokens").between(20, 2000) && col("ttr") >= 0.3 &&
+            col("mean_token_len").between(2.0, 12.0), 1L).otherwise(0L))
+            .as("n_quality"))
+      },
+      Some(s"""WITH t AS (SELECT source, lang, $toksSql AS toks FROM documents),
+m AS (SELECT source, lang, len(toks) AS n_tokens,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+             round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mtl
+      FROM t)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(n_tokens AS DOUBLE)), 6) AS mean_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(CASE WHEN n_tokens BETWEEN 20 AND 2000 AND ttr >= 0.3
+                      AND mtl BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+FROM m GROUP BY source""")),
+
     // SimHash (32-bit, per-bit majority of token hashes).
     Q("dd05_simhash",
       (s, d) => NearDup.simhash(Tables.documents(s, d), "doc_id", "text"),

@@ -77,4 +77,33 @@ object Publish {
       .getOrElse(throw new IllegalStateException(s"no published version under $root"))
     spark.read.parquet(new Path(new Path(root, v), table).toString)
   }
+
+  /** Retention for the stage-and-swap lake: every publish leaves its
+    * full `v-<version>` directory behind, which at 100 TB is the
+    * storage bill doubling with every run. `vacuum` deletes published
+    * version dirs EXCEPT the current one and the `keepLast` most
+    * recent others (time-travel/rollback window). The current version
+    * is never deleted regardless of age — a concurrent reader resolves
+    * through `_CURRENT` and must always find its data — and non-version
+    * paths (manifest, temp files, foreign dirs) are never touched.
+    * Returns the deleted version dir names.
+    *
+    * Ordering note: versions are compared by NAME (descending), so
+    * callers using non-sortable version strings just get a different —
+    * still safe — retention choice, never a deleted current. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 0, s"keepLast must be >= 0: $keepLast")
+    val ctx = fc(spark)
+    val cur = currentVersion(spark, root)
+    val it = ctx.util.listStatus(new Path(root))
+    val versions = it.toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v-"))
+      .filterNot(cur.contains)
+      .sorted(Ordering[String].reverse)
+    val doomed = versions.drop(keepLast)
+    doomed.foreach(v => ctx.delete(new Path(root, v), true))
+    doomed
+  }
 }

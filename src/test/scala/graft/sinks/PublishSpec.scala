@@ -61,4 +61,25 @@ class PublishSpec extends SparkSpec {
     assert(Publish.currentVersion(spark, root).contains("v-002"))
     assert(Publish.readTable(spark, root, "a").as[Int].collect().toSeq == Seq(2))
   }
+
+  test("vacuum keeps current + keepLast versions, never touches foreign paths") {
+    val root = freshRoot()
+    (1 to 5).foreach(i =>
+      Publish.publishTables(spark, Map("a" -> Seq(i).toDF("x")), root, f"00$i"))
+    // a foreign directory and the manifest must survive any vacuum
+    val foreign = new java.io.File(s"$root/not-a-version"); foreign.mkdir()
+    val deleted = Publish.vacuum(spark, root, keepLast = 2)
+    assert(deleted.sorted == Seq("v-001", "v-002"), s"deleted: $deleted")
+    assert(new java.io.File(s"$root/v-005").isDirectory, "current kept")
+    assert(new java.io.File(s"$root/v-004").isDirectory)
+    assert(new java.io.File(s"$root/v-003").isDirectory)
+    assert(!new java.io.File(s"$root/v-001").exists)
+    assert(foreign.isDirectory, "non-version dirs untouched")
+    assert(Publish.readTable(spark, root, "a").as[Int].collect().toSeq == Seq(5))
+    // keepLast = 0 leaves only the current version
+    val deleted2 = Publish.vacuum(spark, root, 0)
+    assert(deleted2.sorted == Seq("v-003", "v-004"))
+    assert(Publish.currentVersion(spark, root).contains("v-005"))
+    assert(Publish.readTable(spark, root, "a").as[Int].collect().toSeq == Seq(5))
+  }
 }

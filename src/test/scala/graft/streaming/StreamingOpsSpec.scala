@@ -245,6 +245,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stratifiedMix is stateless-streaming-safe and equals its batch result") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val rates = Map("en" -> 2.5, "zh" -> 0.5)
+    val q = graft.operators.Sampling
+      .stratifiedMix(input.toDF().toDF("id", "lang"), "id", "lang", rates, 1.0)
+      .writeStream.format("memory").queryName("t_mix").outputMode("append").start()
+    val data = (1L to 200L).map(i => (i, Seq("en", "zh", "de")(i.toInt % 3)))
+    try {
+      // arbitrary micro-batch split: pure projection ⇒ split-invariant
+      input.addData(data.take(77)); q.processAllAvailable()
+      input.addData(data.drop(77)); q.processAllAvailable()
+      val got = spark.table("t_mix").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+      val want = graft.operators.Sampling
+        .stratifiedMix(data.toDF("id", "lang"), "id", "lang", rates, 1.0)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mergeAll unit: merge rules and counts") {
     import StreamingOps.{mergeAll, OpenSession}
     val gap = 600000L // 10 min
