@@ -48,7 +48,7 @@ object Bench {
     "op05_project_alias", "op09_join_inner_agg", "op13_repeated_dim_join",
     "op15_firstwins_dedup", "op18_19_sorted_dense_ids", "op20_unpivot",
     "ex01_tumbling_window", "ex02_session_window", "ex05_asof_join",
-    "ex10_interval_join", "ex11_cms_heavy_hitters",
+    "ex10_interval_join", "ex11_cms_heavy_hitters", "ex12_bloom_prefilter",
     "mm03_features_ann", "skew01_salted_join")
 
   private def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,

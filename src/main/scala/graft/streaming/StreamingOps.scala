@@ -200,6 +200,44 @@ object StreamingOps {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming incremental corpus dedup — the ingest form of
+    * [[graft.operators.NearDup.canonicalizeIncremental]]: each
+    * micro-batch of documents joins the established near-dup clusters
+    * (existing assignments never relabeled), and the updated mapping
+    * snapshot — (id, canonical_id, text), text kept because future
+    * batches re-shingle the cluster representatives — is republished
+    * atomically per batch through the stage-and-swap manifest, so a
+    * crash mid-batch leaves the previous complete mapping current and
+    * the checkpoint replays the batch (the OP-31 invariant on
+    * streaming state). The pipeline IS the fold of
+    * canonicalizeIncremental over the batch sequence; the first batch
+    * folds over an empty mapping. */
+  def dedupIngest(docs: DataFrame, root: String, idCol: String, textCol: String,
+                  checkpoint: Option[String] = None,
+                  threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val w = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        val existing = graft.sinks.Publish.currentVersion(s, root) match {
+          case Some(_) => graft.sinks.Publish.readTable(s, root, "mapping")
+          case None => s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              batch.select(col(idCol), col(idCol).as("canonical_id"), col(textCol))
+                .schema.fields))
+        }
+        val updated = graft.operators.NearDup.canonicalizeIncremental(
+          existing, batch.toDF(), idCol, textCol, threshold = threshold)
+          // re-attach text so the next batch can re-shingle reps
+          .join(existing.select(col(idCol), col(textCol))
+            .unionByName(batch.toDF().select(col(idCol), col(textCol))), Seq(idCol))
+        graft.sinks.Publish.publishTables(s, Map("mapping" -> updated), root, f"$id%09d")
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Merge sorted-by-start open sessions with a batch of event times
     * under the closed-boundary gap rule (`next <= last + gap` merges). */
   private[graft] def mergeAll(sessions: List[OpenSession], eventTs: List[Long],

@@ -267,6 +267,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngest folds incremental dedup over micro-batches, snapshots atomically") {
+    import graft.operators.NearDup
+    import graft.sinks.Publish
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupIngest(
+      input.toDF().toDF("doc_id", "text"), root, "doc_id", "text")
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different content about spark aggregation plans"))
+    val b2 = Seq(
+      (4L, "the quick brown fox jumps over the lazy dog tonight"), // joins cluster 1
+      (5L, "another new unrelated document streaming in later on"))
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = Publish.readTable(spark, root, "mapping")
+      .select($"doc_id", $"canonical_id").as[(Long, Long)].collect().toMap
+    // reference: the explicit fold of canonicalizeIncremental
+    val e0 = Seq.empty[(Long, Long, String)].toDF("doc_id", "canonical_id", "text")
+    val m1 = NearDup.canonicalizeIncremental(e0, b1.toDF("doc_id", "text"), "doc_id", "text")
+      .join(b1.toDF("doc_id", "text"), Seq("doc_id"))
+    val m2 = NearDup.canonicalizeIncremental(m1, b2.toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id", $"canonical_id").as[(Long, Long)].collect().toMap
+    assert(got == m2)
+    assert(got(4L) == got(1L), "cross-batch near-dup must join the existing cluster")
+    assert(got(5L) == 5L, "unlinked newcomer forms its own cluster")
+    assert(got(1L) == got(2L))
+  }
+
   test("mergeAll unit: merge rules and counts") {
     import StreamingOps.{mergeAll, OpenSession}
     val gap = 600000L // 10 min
