@@ -22,14 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object RuntimeFilter {
 
-  /** The k bit positions of a key in an m-bit bloom filter:
-    * position_i = first 15 md5 hex chars of "i_key", mod `bits`
-    * (15 hex = 60 bits, exact in a signed 64-bit long). */
-  def bloomPositions(key: Column, numHashes: Int, bits: Int): Seq[Column] =
+  /** The k bit positions of a key in an m-bit bloom filter: ONE md5 of
+    * the key, sliced into k disjoint 8-hex (32-bit) windows, each mod
+    * `bits` — the standard split-one-hash construction. One digest per
+    * probe row instead of k (the md5 subtree is identical across the k
+    * positions, so whole-stage codegen's subexpression elimination
+    * computes it once); k ≤ 4 covers every practical bloom (FP rate
+    * is minimized near k = m/n·ln2; callers needing more hashes want
+    * more bits first). */
+  def bloomPositions(key: Column, numHashes: Int, bits: Int): Seq[Column] = {
+    require(numHashes >= 1 && numHashes * 8 <= 32,
+      s"numHashes must be in [1, 4] (8 md5 hex chars per position): $numHashes")
+    val h = md5(key.cast("string"))
     (0 until numHashes).map { i =>
-      conv(substring(md5(concat(lit(s"${i}_"), key.cast("string"))), 1, 15), 16, 10)
-        .cast("long") % bits
+      conv(substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % bits
     }
+  }
 
   /** Build the bloom bit-set from the (dim-scale) build side: one
     * explode + distinct caps the collect at `bits` rows regardless of

@@ -363,6 +363,21 @@ object RelationalQueries {
                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // per-flag totals, per-status totals, and the grand total in one
+    // pass — ANSI null markers for the non-grouped columns.
+    Q("op30b_grouping_sets",
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("qty")),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),
+
     // Running windows: cumulative count + sum per customer in a pinned
     // total order (rows-frame, decimal-exact cumulative sum).
     Q("op31_running_window",
