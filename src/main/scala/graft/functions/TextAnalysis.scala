@@ -322,6 +322,28 @@ object TextAnalysis {
       .join(fracs(5, top = false, "dup_5gram_frac"), Seq(idCol), "left")
   }
 
+  /** Per-document character-level Shannon entropy (nats) — the
+    * C4/Gopher-class gibberish gate length and TTR miss: natural text
+    * sits in a stable entropy band, while repeated-character spam
+    * scores low and random byte soup scores high. −Σ (c/n)·ln(c/n)
+    * over the doc's character frequencies; rounded to 6 decimals.
+    * Shape: one char explode → two doc-keyed hash aggs (the
+    * [[repetitionMetrics]] shuffle shape — both aggs share the doc-id
+    * partitioning). Empty docs get null (kept, left join). */
+  def charEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chars = docs.select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+    val counts = chars.groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+    val p = counts
+      .withColumn("__p",
+        col("c") / sum(col("c")).over(Window.partitionBy(col(idCol))))
+    val ent = p.groupBy(col(idCol))
+      .agg(round(-sum(col("__p") * log(col("__p"))), 6).as("char_entropy"))
+    docs.select(col(idCol)).join(ent, Seq(idCol), "left")
+  }
+
   /** Per-document top-k TF-IDF terms — the keyword-extraction /
     * feature-weighting pass of a text pipeline: tf = term count in the
     * doc, idf = ln(N / df) with df = number of docs containing the

@@ -618,6 +618,19 @@ c AS (SELECT doc_id, lang,
 SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INTEGER) AS epoch
 FROM c WHERE copies > 0""")),
 
+    // Character-level Shannon entropy (nats) per doc — the gibberish
+    // gate length/TTR miss: repeated-char spam scores near 0, natural
+    // text sits in a stable band.
+    Q("tx19_char_entropy",
+      (s, d) => TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH ch AS (SELECT doc_id, substr(text, i, 1) AS ch
+       FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+             FROM documents) t),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+p AS (SELECT doc_id, CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY doc_id) AS p FROM cnt),
+e AS (SELECT doc_id, round(-sum(p * ln(p)), 6) AS char_entropy FROM p GROUP BY doc_id)
+SELECT d.doc_id, e.char_entropy FROM documents d LEFT JOIN e USING (doc_id)""")),
+
     // Per-source governance rollup: the per-provenance profile a
     // training pipeline reports before mixing sources — doc counts,
     // mean length, language spread, and the share passing the tx06

@@ -192,6 +192,21 @@ class TextAnalysisSpec extends SparkSpec {
       s"the head lookup must broadcast:\n$plan")
   }
 
+  test("charEntropy: 0 for one repeated char, ln(k) for uniform, null for empty") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaaaa"), (2L, "abab"), (3L, "abcd"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got(1L).contains(0.0))
+    assert(got(2L).contains(BigDecimal(math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got(3L).contains(BigDecimal(math.log(4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got(4L).isEmpty, "empty doc → null entropy")
+  }
+
   test("tfidfTopTerms: naive reference match; head/tail split invariant") {
     import spark.implicits._
     val docs = Seq(
