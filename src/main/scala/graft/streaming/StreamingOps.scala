@@ -211,7 +211,10 @@ object StreamingOps {
     * the checkpoint replays the batch (the OP-31 invariant on
     * streaming state). The pipeline IS the fold of
     * canonicalizeIncremental over the batch sequence; the first batch
-    * folds over an empty mapping. */
+    * folds over an empty mapping. Contract: ids are ingested at most
+    * once across the stream (dedupe upstream with
+    * dropDuplicatesWithinWatermark if the source can repeat ids) —
+    * a re-ingested id would duplicate its mapping row. */
   def dedupIngest(docs: DataFrame, root: String, idCol: String, textCol: String,
                   checkpoint: Option[String] = None,
                   threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
