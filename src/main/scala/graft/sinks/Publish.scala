@@ -88,9 +88,15 @@ object Publish {
     * paths (manifest, temp files, foreign dirs) are never touched.
     * Returns the deleted version dir names.
     *
-    * Ordering note: versions are compared by NAME (descending), so
-    * callers using non-sortable version strings just get a different —
-    * still safe — retention choice, never a deleted current. */
+    * Only versions strictly OLDER than the current one (by name) are
+    * candidates: a concurrent publisher's in-flight staging dir is
+    * always newer than `_CURRENT` (versions increase monotonically), so
+    * the newer-or-equal guard means vacuum can never delete a directory
+    * mid-stage and leave the subsequent manifest flip pointing at
+    * nothing. With no published version at all, nothing is deleted —
+    * an unpublished staging dir is indistinguishable from data. Callers
+    * using non-sortable version strings just get a more conservative —
+    * still safe — retention choice. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 0, s"keepLast must be >= 0: $keepLast")
     val ctx = fc(spark)
@@ -100,7 +106,7 @@ object Publish {
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith("v-"))
-      .filterNot(cur.contains)
+      .filter(v => cur.exists(c => Ordering[String].lt(v, c)))
       .sorted(Ordering[String].reverse)
     val doomed = versions.drop(keepLast)
     doomed.foreach(v => ctx.delete(new Path(root, v), true))
