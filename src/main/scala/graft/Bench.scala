@@ -16,6 +16,15 @@ import org.apache.spark.sql.SparkSession
   *    run blew past 15 s under load was recorded at 5–10× its
   *    reproducible time. Under contention is exactly when the median
   *    matters most, so there is no exemption;
+  *  - samples are INTERLEAVED round-robin across queries: pass 1 runs
+  *    every query once, then pass 2, then pass 3. Back-to-back sampling
+  *    (r5) let a single minutes-long contention window on this shared
+  *    box poison ALL THREE consecutive samples of the queries running
+  *    inside it (op13 recorded 6.2/18.2/37.4 — a monotone contention
+  *    ramp — where the quiet-box median is ~4–6 s), which defeats
+  *    median-of-3 exactly when it's needed. With interleaving the same
+  *    window inflates ONE sample of many queries, and each query's
+  *    median absorbs it;
   *  - all three raw samples land in `bench_full.json` so the reader can
   *    see per-query variance instead of a bare point estimate.
   *
@@ -75,34 +84,46 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // noop sink, not count(): count() lets Catalyst prune away the
+    // projections being measured; noop computes every output row.
+    // Median-of-3 for EVERY query, with samples interleaved round-robin
+    // across queries (pass 1 of all queries, then pass 2, then pass 3)
+    // so a contention window on this shared box lands in at most one
+    // sample per query — absorbed by the median — instead of all three
+    // consecutive samples of the queries unlucky enough to run inside
+    // it. A failing query is skipped in later passes (a slow failure
+    // would otherwise triple the wasted wall-clock) and its failed
+    // sample is recorded NEGATED so the samples array is
+    // self-describing.
+    val names = SparkEntry.queries.keys.toSeq
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val samples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // noop sink, not count(): count() lets Catalyst prune away the
-      // projections being measured; noop computes every output row.
-      // Median-of-3 for EVERY query — no fast-path exemption (see
-      // the scaladoc: single-shot timing under contention recorded
-      // 5–10× outliers as official numbers). A failing query stops
-      // after its FIRST error (a slow failure would otherwise triple
-      // the wasted wall-clock) and its failed sample is recorded
-      // NEGATED so the samples array is self-describing.
-      val runs = scala.collection.mutable.ArrayBuffer[(Double, Option[String])]()
-      while (runs.length < 3 && runs.lastOption.forall(_._2.isEmpty))
-        runs += runOnce(fn, spark, sfDir)
-      samples(name) = runs.toSeq.map { case (t, e) =>
-        val ms = math.rint(t * 1000) / 1000
-        if (e.isDefined) -ms else ms
-      }
-      val value = runs.collectFirst { case (_, Some(err)) => err } match {
-        case Some(err) => errors(name) = err; -1.0
-        case None => runs.map(_._1).sorted.apply(1) // median of 3
-      }
-      name -> value
+    val samples = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]]()
+    names.foreach(n => samples(n) = scala.collection.mutable.ArrayBuffer[Double]())
+    for (pass <- 1 to 3; name <- names if !errors.contains(name)) {
+      val (t, e) = runOnce(SparkEntry.queries(name), spark, sfDir)
+      val ms = math.rint(t * 1000) / 1000
+      samples(name) += (if (e.isDefined) -ms else ms)
+      e.foreach(err => errors(name) = err)
+    }
+    val results: Seq[(String, Double)] = names.map { name =>
+      val v =
+        if (errors.contains(name)) -1.0
+        else samples(name).toSeq.sorted.apply(1) // median of 3
+      name -> v
     }
     def fmt(v: Double): String = { val r = math.rint(v * 100) / 100; if (r == r.toLong) r.toLong.toString else r.toString }
-    val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+    // Inline errors are CAPPED (first 5 + count): a mass-failure run
+    // (e.g. a wrong fixture path erroring all ~85 queries) would emit a
+    // multi-KB errors object that pushes the line head out of the
+    // harness's 2000-char stdout tail — reproducing the exact
+    // `parsed: null` failure this line format exists to avoid, precisely
+    // when the diagnostics matter most. The full map is in
+    // bench_full.json.
+    val esFull = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val ok = results.values.filter(_ >= 0)
+    val es = errors.take(5).map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val ok = results.map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
 
     // Full artifact: every query's median + all raw samples + errors.
@@ -110,7 +131,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ss = samples.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"errors":$es,"samples":$ss,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"errors":$esFull,"samples":$ss,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
 
@@ -119,7 +140,7 @@ object Bench {
     val qsHead = results.filter { case (k, _) => headline.contains(k) }
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsHead,"errors":$es,"n_queries":${results.size},"full":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsHead,"errors":$es,"n_errors":${errors.size},"n_queries":${results.size},"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

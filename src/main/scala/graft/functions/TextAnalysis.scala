@@ -333,8 +333,12 @@ object TextAnalysis {
   def charEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val chars = docs.select(col(idCol), explode(split(col(textCol), "")).as("ch"))
-      .filter(length(col("ch")) > 0)
+    // Segment per CODE POINT, not per UTF-16 code unit: `split(text,"")`
+    // halves any non-BMP char (emoji, rare CJK) into two surrogate
+    // rows, diverging from character-based oracles (DuckDB `substr`).
+    // Java regex `.` matches one code point, surrogate pairs included.
+    val chars = docs.select(col(idCol),
+      explode(regexp_extract_all(col(textCol), lit("(?s)."), lit(0))).as("ch"))
     val counts = chars.groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
     val p = counts
       .withColumn("__p",

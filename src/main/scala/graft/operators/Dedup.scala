@@ -132,6 +132,27 @@ object Dedup {
                    scoreCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // The casts below are non-ANSI: a string key would silently become
+    // null — collapsing every group (or id) into one — instead of
+    // failing. Refuse non-numeric columns up front.
+    import org.apache.spark.sql.types._
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def numeric(dt: DataType): Boolean = dt match {
+      case FloatType | DoubleType | _: DecimalType => true
+      case dt => integral(dt)
+    }
+    Seq(groupCol -> "groupCol", idCol -> "idCol").foreach { case (c, role) =>
+      require(integral(df.schema(c).dataType),
+        s"topKPerGroup: $role '$c' must be an integral type, got " +
+          s"${df.schema(c).dataType.simpleString} — a lossy cast would " +
+          s"null it out and merge groups silently")
+    }
+    require(numeric(df.schema(scoreCol).dataType),
+      s"topKPerGroup: scoreCol '$scoreCol' must be numeric, got " +
+        s"${df.schema(scoreCol).dataType.simpleString}")
     df.select(col(groupCol).cast("long"), col(scoreCol).cast("double"),
         col(idCol).cast("long"))
       .as[(Long, Double, Long)]

@@ -49,19 +49,41 @@ object Reshape {
     * A LocalRelation costs one computation and makes each broadcast a
     * trivial in-memory copy.
     *
-    * `maxDimRows` guards the collect: a "dimension" that turns out to
-    * be fact-sized must fail FAST with a clear message, not OOM the
-    * driver mid-collect. The limit+1 probe keeps the guard one cheap
-    * job instead of a separate count. */
+    * `maxDimRows` + `maxDimBytes` guard the collect: a "dimension" that
+    * turns out to be fact-sized must fail FAST with a clear message,
+    * not OOM the driver mid-collect. Row count alone is not enough —
+    * 2M wide rows can be multi-GB — so a small probe collect estimates
+    * the average row size and converts `maxDimBytes` into a row cap
+    * BEFORE the full collect runs; wide-row dims trip the guard having
+    * collected only the probe. */
   def repeatedDimJoin(df: DataFrame, dim: DataFrame, dimKey: String, dimVal: String,
                       fkCols: Seq[String], outPrefix: String,
-                      maxDimRows: Int = 2000000): DataFrame = {
+                      maxDimRows: Int = 2000000,
+                      maxDimBytes: Long = 256L << 20): DataFrame = {
     val spark = df.sparkSession
     val kv = dim.select(col(dimKey), col(dimVal))
-    val rows = kv.limit(maxDimRows + 1).collect()
-    require(rows.length <= maxDimRows,
-      s"repeatedDimJoin: dim has more than $maxDimRows rows — it is not " +
-        s"broadcast-sized; join the unpivoted long form instead (see unpivotNonEmpty)")
+    val probeN = 4096
+    val probe = kv.limit(probeN + 1).collect()
+    val avgBytes =
+      if (probe.isEmpty) 0L
+      else math.max(16L,
+        org.apache.spark.util.SizeEstimator.estimate(
+          probe.asInstanceOf[AnyRef]) / probe.length)
+    val rowCap = math.min(maxDimRows.toLong,
+      if (avgBytes == 0L) maxDimRows.toLong else maxDimBytes / avgBytes)
+    def fail(n: Long): Nothing = throw new IllegalArgumentException(
+      s"repeatedDimJoin: dim exceeds the broadcast guard (> $n rows at " +
+        s"~$avgBytes bytes/row; caps: $maxDimRows rows, $maxDimBytes bytes) " +
+        s"— it is not broadcast-sized; join the unpivoted long form " +
+        s"instead (see unpivotNonEmpty)")
+    if (probe.length > rowCap) fail(rowCap)
+    val rows =
+      if (probe.length <= probeN) probe
+      else {
+        val all = kv.limit(rowCap.toInt + 1).collect()
+        if (all.length > rowCap) fail(rowCap)
+        all
+      }
     val localDim = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), kv.schema)
     fkCols.zipWithIndex.foldLeft(df) { case (acc, (fk, i)) =>

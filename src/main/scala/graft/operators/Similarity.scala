@@ -89,6 +89,45 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
   }
 
+  /** Materialize the corpus PARTITIONED BY its LSH bucket — the stored
+    * half of the bucketed-ANN design: at 100 TB the bucket id is the
+    * directory key, so a query's scan touches only its bucket's files.
+    * One pure-projection pass (lshBucket is shuffle-free); parquet
+    * `partitionBy` lays each bucket out as its own directory. */
+  def writeBucketedCorpus(corpus: DataFrame, path: String,
+                          numPlanes: Int = 8, dim: Int = 64): Unit =
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** [[bucketedTopK]] against a STORED bucket-partitioned corpus
+    * ([[writeBucketedCorpus]]'s layout): the broadcast-hash join on the
+    * partition column triggers Spark's dynamic partition pruning, so
+    * the corpus scan reads ONLY the buckets the query set hashes into —
+    * the claim PlanSpec gates (DynamicPruningExpression in the scan's
+    * PartitionFilters). Results are identical to the in-flight
+    * [[bucketedTopK]] (ann03's oracle re-checks this form as
+    * ann03b). */
+  def bucketedTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                         queries: DataFrame, k: Int,
+                         numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val corpus = spark.read.parquet(path)
+    // Partition-column type inference yields IntegerType for the
+    // directory values; compute the query bucket in that exact type so
+    // the join key needs no cast (a cast on the partition column would
+    // defeat the pruning).
+    val bucketType = corpus.schema("bucket").dataType
+    val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", lshBucket(col("q_emb"), numPlanes, dim).cast(bucketType))
+    val scored = corpus.join(broadcast(qb), Seq("bucket"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+  }
+
   /** IVF assignment to the `n` nearest centroids by cosine (rounded to
     * 6 decimals, centroid-id tiebreak — deterministic). Centroids are
     * broadcast; the ranking is a per-vector window. Carries the

@@ -59,6 +59,37 @@ c${n + 1} AS (SELECT centroid_id, i, v FROM m$n
     (init +: blocks).mkString(",\n")
   }
 
+  /** Shared oracle for the bucketed-top-k pair: ann03 (in-flight
+    * buckets) and ann03b (stored bucket-partitioned layout) must return
+    * identical rows — the storage layout may not change results. */
+  private val ann03Oracle: String = s"""WITH $planesSql,
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
+bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+${flatCte()},
+prs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+        FROM bk q JOIN bk c ON q.bucket = c.bucket
+        WHERE q.vec_id < 50),
+dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+         FROM prs p
+         JOIN flat f1 ON f1.vec_id = p.query_id
+         JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+         GROUP BY 1, 2),
+scored AS (SELECT d.query_id, d.vec_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+           FROM dots d
+           JOIN norms n1 ON n1.vec_id = d.query_id
+           JOIN norms n2 ON n2.vec_id = d.vec_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 10"""
+
   val all: Seq[Q] = Seq(
 
     // EX-06 baseline: exact brute-force cosine top-10 for 5 query vectors.
@@ -105,33 +136,23 @@ SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id""")
         val emb = Tables.embeddings(s, d)
         Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 50), 10)
       },
-      Some(s"""WITH $planesSql,
-fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
-              unnest(embedding)::DOUBLE AS v
-       FROM embeddings),
-bits AS (SELECT vec_id, p,
-                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
-         FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
-bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
-${flatCte()},
-prs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
-        FROM bk q JOIN bk c ON q.bucket = c.bucket
-        WHERE q.vec_id < 50),
-dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
-         FROM prs p
-         JOIN flat f1 ON f1.vec_id = p.query_id
-         JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
-         GROUP BY 1, 2),
-scored AS (SELECT d.query_id, d.vec_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
-           FROM dots d
-           JOIN norms n1 ON n1.vec_id = d.query_id
-           JOIN norms n2 ON n2.vec_id = d.vec_id)
-SELECT * FROM (
-  SELECT query_id, vec_id, cos_sim,
-         CAST(row_number() OVER (PARTITION BY query_id
-           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
-  FROM scored) t
-WHERE rk <= 10""")),
+      Some(ann03Oracle)),
+
+    // EX-06 stored layout: the SAME bucketed search against a corpus
+    // physically partitioned by its LSH bucket — the 100 TB layout
+    // claim made checkable. The index build (writeBucketedCorpus) runs
+    // inside the query, then the search scans the stored layout with
+    // dynamic partition pruning (PlanSpec gates the pruning; this
+    // oracle row proves result parity with ann03's in-flight form).
+    Q("ann03b_bucketed_stored",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_bucketed_corpus_${new java.io.File(d).getName}").getAbsolutePath
+        Similarity.writeBucketedCorpus(emb, path)
+        Similarity.bucketedTopKStored(s, path, emb.filter(col("vec_id") < 50), 10)
+      },
+      Some(ann03Oracle)),
 
     // EX-06 scale path, IVF variant: inverted lists by nearest k-means
     // centroid (deterministic Lloyd's, 2 iterations, init = first 16

@@ -214,7 +214,17 @@ object StreamingOps {
     * folds over an empty mapping. Contract: ids are ingested at most
     * once across the stream (dedupe upstream with
     * dropDuplicatesWithinWatermark if the source can repeat ids) —
-    * a re-ingested id would duplicate its mapping row. */
+    * a re-ingested id would duplicate its mapping row.
+    *
+    * ENGINE replays (distinct from source repeats) are guarded: Spark's
+    * foreachBatch is at-least-once, so a crash after publishTables
+    * succeeds but before the checkpoint commits re-runs the SAME batch
+    * id on restart. Folding it again would re-insert its ids on top of
+    * the already-published mapping (duplicated + possibly relabeled
+    * rows). Since versions are the zero-padded batch id and the
+    * manifest flip is the last step of a successful fold, a published
+    * version >= this batch's proves the batch already folded — skip it
+    * (the standard idempotent-foreachBatch pattern). */
   def dedupIngest(docs: DataFrame, root: String, idCol: String, textCol: String,
                   checkpoint: Option[String] = None,
                   threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -223,20 +233,25 @@ object StreamingOps {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val s = batch.sparkSession
-        val existing = graft.sinks.Publish.currentVersion(s, root) match {
-          case Some(_) => graft.sinks.Publish.readTable(s, root, "mapping")
-          case None => s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(
-              batch.select(col(idCol), col(idCol).as("canonical_id"), col(textCol))
-                .schema.fields))
+        val current = graft.sinks.Publish.currentVersion(s, root)
+        // Replay of an already-published batch (crash between publish
+        // and checkpoint commit): skip — the mapping already folded it.
+        if (!current.exists(_ >= f"v-$id%09d")) {
+          val existing = current match {
+            case Some(_) => graft.sinks.Publish.readTable(s, root, "mapping")
+            case None => s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(
+                batch.select(col(idCol), col(idCol).as("canonical_id"), col(textCol))
+                  .schema.fields))
+          }
+          val updated = graft.operators.NearDup.canonicalizeIncremental(
+            existing, batch.toDF(), idCol, textCol, threshold = threshold)
+            // re-attach text so the next batch can re-shingle reps
+            .join(existing.select(col(idCol), col(textCol))
+              .unionByName(batch.toDF().select(col(idCol), col(textCol))), Seq(idCol))
+          graft.sinks.Publish.publishTables(s, Map("mapping" -> updated), root, f"$id%09d")
         }
-        val updated = graft.operators.NearDup.canonicalizeIncremental(
-          existing, batch.toDF(), idCol, textCol, threshold = threshold)
-          // re-attach text so the next batch can re-shingle reps
-          .join(existing.select(col(idCol), col(textCol))
-            .unionByName(batch.toDF().select(col(idCol), col(textCol))), Seq(idCol))
-        graft.sinks.Publish.publishTables(s, Map("mapping" -> updated), root, f"$id%09d")
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }

@@ -90,6 +90,16 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("day"), s"day filter must reach partition pruning: $pf")
   }
 
+  test("ann03b stored-corpus scan prunes to the query buckets (dynamic partition pruning)") {
+    val df = q("ann03b_bucketed_stored")
+    df.collect() // finalize the adaptive plan (DPP subquery included)
+    val plan = formatted(df)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.isDefined, s"stored corpus must scan with partition filters:\n$plan")
+    assert(pf.get.toLowerCase.contains("dynamicpruning"),
+      s"the bucket join must dynamically prune the scan to the query buckets: ${pf.get}")
+  }
+
   test("turno paciente-dim join broadcasts via AQE without a forced hint") {
     // TurnosPipeline.turno no longer forces broadcast(pacienteDim) — the
     // dim's cardinality is fact-like at 100 TB. This gate proves AQE still

@@ -207,6 +207,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L).isEmpty, "empty doc → null entropy")
   }
 
+  test("charEntropy counts CODE POINTS: repeated non-BMP char has zero entropy") {
+    import spark.implicits._
+    // A surrogate-pair emoji repeated: code-unit splitting would see two
+    // distinct halves (entropy ln 2); character-based oracles see one.
+    val docs = Seq((1L, "😀😀")).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+  }
+
   test("tfidfTopTerms: naive reference match; head/tail split invariant") {
     import spark.implicits._
     val docs = Seq(

@@ -79,6 +79,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq("x", "y"))
   }
 
+  test("topKPerGroup refuses non-numeric key/score columns instead of nulling them") {
+    val df = Seq(("a", 1L, 0.5), ("b", 2L, 0.7)).toDF("g", "id", "score")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.topKPerGroup(df, "g", "id", "score", 2)
+    }
+    assert(e.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.topKPerGroup(
+        Seq((1L, 2L, "high")).toDF("g", "id", "score"), "g", "id", "score", 2)
+    }
+    assert(e2.getMessage.contains("numeric"))
+  }
+
   test("topKPerGroup equals the window top-k, ties broken by id") {
     val df = (1L to 900L).map(i => (i % 9, i, (i % 13).toDouble))
       .toDF("g", "id", "score").repartition(7)

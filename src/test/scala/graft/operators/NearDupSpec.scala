@@ -136,6 +136,31 @@ class NearDupSpec extends SparkSpec {
     assert(oneStep(3L) == 2L, "one-step propagation stops a hop short — the CC fixpoint exists for this")
   }
 
+  test("starComponents: 1000-node chain converges in logarithmic rounds") {
+    // A path graph is the worst case for one-hop min-label propagation
+    // (O(diameter) ≈ 1000 rounds); alternating large-star/small-star
+    // must collapse it in single-digit rounds.
+    val n = 1000L
+    val nodes = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = NearDup.starComponents(nodes, edges, "doc_id")
+    // ⌈log₂ n⌉ productive rounds + 1 fixpoint-detection round (measured:
+    // 11 for n=1000; one-hop propagation would need ~999).
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 2
+    assert(rounds <= bound, s"expected O(log n) convergence (≤$bound), took $rounds rounds")
+    val out = labels.as[(Long, Long)].collect()
+    assert(out.length == n && out.forall(_._2 == 1L),
+      "every chain member labels to the component minimum")
+  }
+
+  test("starComponents: isolated nodes self-label; mixed orientations and dup edges normalize") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val edges = Seq((2L, 1L), (1L, 2L), (2L, 1L), (3L, 4L)).toDF("src", "dst")
+    val (labels, _) = NearDup.starComponents(nodes, edges, "doc_id")
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+  }
+
   test("simhashNearDup: exact dups found at hamming 0; disjoint docs absent") {
     val out = NearDup.simhashNearDup(docs, "doc_id", "text", 3, 4)
       .as[(Long, Long, Int)].collect().toSet

@@ -55,6 +55,16 @@ class ReshapeSpec extends SparkSpec {
     assert(e.getMessage.contains("not broadcast-sized"))
   }
 
+  test("repeatedDimJoin trips the BYTE guard on wide rows far below the row cap") {
+    val fat = "x" * 10000
+    val fatDim = (1L to 2000L).map(i => (i, fat + i)).toDF("id", "nombre")
+    val e = intercept[IllegalArgumentException] {
+      Reshape.repeatedDimJoin(wide, fatDim, "nombre", "id",
+        Seq("prestacion0"), "p", maxDimRows = 2000000, maxDimBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("not broadcast-sized"))
+  }
+
   test("unpivot→pivot round-trip preserves non-empty slot contents") {
     val clean = Seq((1L, "a", "b", "c"), (2L, "x", "y", "z"))
       .toDF("id", "prestacion0", "prestacion1", "prestacion2")

@@ -32,6 +32,79 @@ class JdbcSchemaSpec extends AnyFunSuite {
     assert(custom(1) == "CREATE SCHEMA staging")
   }
 
+  test("Postgres dialect DDL matches the reference's literal statements table-for-table") {
+    def norm(s: String): String = s.replaceAll("\\s+", " ").trim.stripSuffix(";").stripSuffix(" ")
+    // Expected statements transcribed verbatim from the reference's
+    // schema builder (reference: src/Service/PostgresSchemaBuilder.php:
+    // 52-113) — the exact DDL a user's real PostgreSQL target receives.
+    val expected = Seq(
+      "DROP SCHEMA IF EXISTS public CASCADE",
+      "CREATE SCHEMA public",
+      "GRANT ALL ON SCHEMA public TO PUBLIC",
+      """CREATE TABLE paciente (
+        |    id SERIAL PRIMARY KEY,
+        |    nombre VARCHAR(255) NOT NULL,
+        |    apellido VARCHAR(255) NOT NULL,
+        |    documento_identidad VARCHAR(255) NOT NULL,
+        |    sexo_inferido VARCHAR(255)
+        |);""".stripMargin,
+      "CREATE INDEX idx_paciente_doc ON paciente (documento_identidad)",
+      """CREATE TABLE turno (
+        |    id SERIAL PRIMARY KEY,
+        |    paciente_id INTEGER NOT NULL,
+        |    fecha DATE NOT NULL,
+        |    hora TIME(0) WITHOUT TIME ZONE NOT NULL,
+        |    duracion_minutos INTEGER NOT NULL,
+        |    sobreturno BOOLEAN NOT NULL,
+        |    estado VARCHAR(255) NOT NULL,
+        |    fecha_alta TIMESTAMP(0) WITHOUT TIME ZONE NOT NULL,
+        |    usuario_alta VARCHAR(255) NOT NULL,
+        |    CONSTRAINT fk_turno_paciente FOREIGN KEY (paciente_id)
+        |        REFERENCES paciente (id) ON DELETE RESTRICT
+        |);""".stripMargin,
+      "CREATE INDEX idx_turno_paciente ON turno (paciente_id)",
+      "CREATE INDEX idx_turno_fecha ON turno (fecha)",
+      "CREATE INDEX idx_turno_estado ON turno (estado)",
+      """CREATE TABLE prestacion (
+        |    id SERIAL PRIMARY KEY,
+        |    nombre VARCHAR(255) NOT NULL UNIQUE
+        |);""".stripMargin,
+      """CREATE TABLE prestacion_x_turno (
+        |    id SERIAL PRIMARY KEY,
+        |    turno_id INTEGER NOT NULL,
+        |    prestacion_id INTEGER NOT NULL,
+        |    CONSTRAINT fk_pxt_turno FOREIGN KEY (turno_id) REFERENCES turno (id) ON DELETE CASCADE,
+        |    CONSTRAINT fk_pxt_prestacion FOREIGN KEY (prestacion_id) REFERENCES prestacion (id) ON DELETE RESTRICT
+        |);""".stripMargin,
+      "CREATE INDEX idx_pxt_turno ON prestacion_x_turno (turno_id)",
+      "CREATE INDEX idx_pxt_prestacion ON prestacion_x_turno (prestacion_id)")
+    val got = JdbcSchema.recreateStatements()
+    assert(got.size == expected.size)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(norm(g) == norm(e), s"dialect drift:\n got: $g\nwant: $e")
+    }
+  }
+
+  test("Derby dialect renders the same model with Derby types, qualified names") {
+    val stmts = JdbcSchema.Derby.ddl("stg", JdbcSchema.referenceTables)
+    assert(stmts.head == "CREATE SCHEMA stg")
+    assert(!stmts.exists(_.contains("SERIAL")), "Derby has no SERIAL")
+    assert(!stmts.exists(_.contains("WITHOUT TIME ZONE")))
+    val turno = stmts.find(_.startsWith("CREATE TABLE stg.turno")).get
+    assert(turno.contains("id BIGINT NOT NULL PRIMARY KEY"))
+    assert(turno.contains("hora TIME NOT NULL"))
+    assert(turno.contains("fecha_alta TIMESTAMP NOT NULL"))
+    assert(turno.contains("REFERENCES stg.paciente (id) ON DELETE RESTRICT"))
+    // same column model in both dialects: names line up 1:1
+    def colNames(ddl: Seq[String], t: String) = ddl.find(_.contains(s"TABLE $t") ).get
+      .linesIterator.drop(1).map(_.trim.takeWhile(_ != ' ')).filter(_.nonEmpty)
+      .filterNot(Set("CONSTRAINT", ")")).toSeq
+    JdbcSchema.referenceTables.map(_.name).foreach { t =>
+      assert(colNames(stmts.map(s => s.replace(s"stg.$t", t)), t) ==
+        colNames(JdbcSchema.recreateStatements(), t), s"column drift in $t")
+    }
+  }
+
   /** Proxy-backed fake Connection recording executed SQL and
     * transaction calls; `failOn` makes that statement throw. */
   private class FakeDb(failOn: Option[String] = None) {

@@ -85,6 +85,20 @@ class JdbcWireSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("Derby-dialect rendering of the reference schema is valid DDL on a real database") {
+    val url = "jdbc:derby:memory:graftdialect;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      JdbcSchema.recreate(conn,
+        JdbcSchema.Derby.ddl("graft_ref", JdbcSchema.referenceTables))
+      val rs = conn.getMetaData.getTables(null, "GRAFT_REF", null, null)
+      val tables = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("TABLE_NAME").toLowerCase).toSet
+      rs.close()
+      assert(tables == Set("paciente", "turno", "prestacion", "prestacion_x_turno"))
+    } finally conn.close()
+  }
+
   test("failed DDL batch rolls back atomically, leaving no partial schema") {
     val url = "jdbc:derby:memory:graftbad;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
