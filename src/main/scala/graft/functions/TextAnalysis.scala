@@ -30,10 +30,11 @@ object TextAnalysis {
       .otherwise(split(norm, " "))
   }
 
-  /** BPE-ish token count: words plus standalone non-word symbols —
-    * the usual cheap proxy for subword token counts. */
-  def tokenCountBpeIsh(c: Column): Column =
-    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0)))
+  /** Subword token count — real [[Bpe]] tokenization (fixed learned
+    * merge table applied as column expressions), replacing the earlier
+    * words-plus-symbols regex proxy; packing budgets and quality gates
+    * keyed on "tokens" now count actual subwords. */
+  def tokenCountBpeIsh(c: Column): Column = Bpe.tokenCount(c)
 
   /** Stopword sets for the n-gram language-ID heuristic (tiny,
     * deterministic samples of public stopword lists). */

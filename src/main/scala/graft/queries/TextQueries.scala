@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextAnalysis
+import graft.functions.{Bpe, TextAnalysis}
 import graft.operators.{NearDup, Packing, Sampling}
 
 /** Text-analysis + document-dedup queries over `documents` (SURVEY
@@ -122,13 +122,16 @@ cand$sfx AS $M(
           (col("doc_id") +: TextAnalysis.qualityMetrics(col("text")) :+
             TextAnalysis.tokenCountBpeIsh(col("text")).cast("int").as("n_bpe")): _*)
       },
-      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks, text FROM documents)
+      Some(s"""WITH ${Bpe.sqlCtes("documents")},
+t AS (SELECT doc_id, $toksSql AS toks, text,
+             ${Bpe.sqlTokenCountFromCte} AS __nb
+      FROM ${Bpe.sqlFinalCte})
               SELECT doc_id,
                 CAST(len(toks) AS INTEGER) AS n_tokens,
                 CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_tokens,
                 round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
                 round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_token_len,
-                CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_bpe
+                CAST(__nb AS INTEGER) AS n_bpe
               FROM t""")),
 
     // EX-07: global term frequency (explode + count).
@@ -580,23 +583,41 @@ FROM r WHERE rnk <= 5""")),
     // (range shuffle + per-partition windows; NO single-task sort).
     Q("tx16_sequence_pack",
       (s, d) => {
+        // Budget counts REAL subword tokens (Bpe) — the quantity a
+        // training pipeline actually packs against — not whitespace
+        // words.
         val withTok = Tables.documents(s, d).select(col("doc_id"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+          graft.functions.Bpe.tokenCount(col("text")).cast("long").as("n_tokens"),
           md5(col("doc_id").cast("string")).as("__mk"))
         Packing.packSequences(withTok, Seq(col("__mk"), col("doc_id")),
             col("n_tokens"), 512)
           .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("chunk"))
       },
-      Some(s"""WITH t AS (SELECT doc_id,
-                 CAST(len($toksSql) AS BIGINT) AS n_tokens,
+      Some(s"""WITH ${Bpe.sqlCtes("documents")},
+t AS (SELECT doc_id,
+                 CAST(${Bpe.sqlTokenCountFromCte} AS BIGINT) AS n_tokens,
                  md5(CAST(doc_id AS VARCHAR)) AS mk
-          FROM documents),
+          FROM ${Bpe.sqlFinalCte}),
 c AS (SELECT doc_id, n_tokens,
              CAST(sum(n_tokens) OVER (ORDER BY mk, doc_id ROWS UNBOUNDED PRECEDING)
                   - n_tokens AS BIGINT) AS start_offset
       FROM t)
 SELECT doc_id, n_tokens, start_offset,
        CAST(floor(start_offset / 512.0) AS BIGINT) AS chunk FROM c""")),
+
+    // Real mini-BPE subword tokenization (fixed learned merge table,
+    // applied as a replace chain — Bpe scaladoc): full-encoding
+    // equality per document, not just the count, so any divergence in
+    // merge order or application surfaces as a hash mismatch.
+    Q("tx20_bpe_tokens",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        Bpe.tokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        Bpe.encoded(col("text")).as("bpe_text")),
+      Some(s"""WITH ${Bpe.sqlCtes("documents")}
+SELECT doc_id,
+       CAST(${Bpe.sqlTokenCountFromCte} AS BIGINT) AS n_bpe_tokens,
+       ${Bpe.sqlEncodedFromCte} AS bpe_text
+FROM ${Bpe.sqlFinalCte}""")),
 
     // Stratified data mix: per-language epoch weights (en ×0.5,
     // es ×2.5, de ×0.1, others ×1) materialized as deterministic

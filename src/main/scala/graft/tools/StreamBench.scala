@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.{Sessions, Tables}
+import graft.streaming.StreamingOps
+
+/** Dev tooling (not part of the library surface): micro-benchmark for
+  * the two streaming sinks with no batch analog in the oracle gate —
+  * [[StreamingOps.dedupIngest]] and [[StreamingOps.publishSnapshots]] —
+  * so BASELINE.md's streaming claims carry measured numbers. Drives
+  * MemoryStream micro-batches from the sf fixtures and reports
+  * per-batch `processAllAvailable` wall-clock. Usage:
+  * `runMain graft.tools.StreamBench [sfDir] [nBatches]`. */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
+    val spark = Sessions.builder("local[32]", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def timeBatches[T](label: String)(run: Seq[T] => Unit)(batches: Seq[Seq[T]]): Seq[Double] =
+      batches.zipWithIndex.map { case (b, i) =>
+        val t0 = System.nanoTime()
+        run(b)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[$label] batch $i: ${b.size} rows in $dt%.2f s")
+        math.rint(dt * 100) / 100
+      }
+
+    // 1) dedupIngest: the documents corpus in nBatches slices.
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val docBatches = docs.grouped(math.max(1, docs.size / nBatches)).toSeq.take(nBatches)
+    val dedupRoot = java.nio.file.Files.createTempDirectory("graft_sb_dedup").toString
+    val dIn = MemoryStream[(Long, String)]
+    val dq = StreamingOps.dedupIngest(
+      dIn.toDF().toDF("doc_id", "text"), dedupRoot, "doc_id", "text")
+    val dedupTimes =
+      try timeBatches("dedupIngest") { b: Seq[(Long, String)] =>
+        dIn.addData(b); dq.processAllAvailable()
+      }(docBatches)
+      finally dq.stop()
+
+    // 2) publishSnapshots: complete-mode event-type rollup over the
+    // events stream, one full snapshot version per micro-batch.
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamingOps.Ev].collect().toSeq
+    val evBatches = events.grouped(math.max(1, events.size / nBatches)).toSeq.take(nBatches)
+    val snapRoot = java.nio.file.Files.createTempDirectory("graft_sb_snap").toString
+    val eIn = MemoryStream[StreamingOps.Ev]
+    val agg = eIn.toDF().groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val sq = StreamingOps.publishSnapshots(agg, snapRoot, "rollup")
+    val snapTimes =
+      try timeBatches("publishSnapshots") { b: Seq[StreamingOps.Ev] =>
+        eIn.addData(b); sq.processAllAvailable()
+      }(evBatches)
+      finally sq.stop()
+
+    def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+    println(s"""{"metric":"stream_batch_sec","sf":"$sfDir","n_batches":$nBatches,""" +
+      s""""dedup_ingest":${arr(dedupTimes)},"publish_snapshots":${arr(snapTimes)},""" +
+      s""""dedup_docs_per_batch":${docBatches.head.size},"snap_events_per_batch":${evBatches.head.size}}""")
+    spark.stop()
+  }
+}

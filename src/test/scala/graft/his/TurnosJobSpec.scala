@@ -24,6 +24,27 @@ class TurnosJobSpec extends SparkSpec {
     assert(turno.join(pac, turno("paciente_id") === pac("id"), "left_anti").count() == 0)
   }
 
+  test("published tables row-match the oracle-checked his_* queries (bench-entry parity)") {
+    // his_job_e2e in Bench times THIS job; its outputs must be the same
+    // rows the CORRECTNESS gate already hash-checks via the standalone
+    // his_* queries.
+    val root = freshRoot()
+    TurnosJob.run(spark, sf0001, root, "001")
+    val pairs = Seq(
+      "paciente" -> "his_paciente",
+      "turno" -> "his_turno",
+      "prestacion" -> "his_prestacion",
+      "prestacion_x_turno" -> "his_prestacion_x_turno")
+    pairs.foreach { case (table, query) =>
+      val published = Publish.readTable(spark, root, table)
+      val oracle = graft.SparkEntry.queries(query)(spark, sf0001)
+      val cols = oracle.columns.sorted.map(col)
+      val a = published.select(cols: _*).collect().map(_.toSeq).toSet
+      val b = oracle.select(cols: _*).collect().map(_.toSeq).toSet
+      assert(a == b, s"published $table diverges from $query")
+    }
+  }
+
   test("empty extract short-circuits and leaves the previous version intact") {
     val root = freshRoot()
     TurnosJob.run(spark, sf0001, root, "001")

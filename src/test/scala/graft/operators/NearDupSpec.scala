@@ -136,6 +136,62 @@ class NearDupSpec extends SparkSpec {
     assert(oneStep(3L) == 2L, "one-step propagation stops a hop short — the CC fixpoint exists for this")
   }
 
+  test("LSH candidate self-join under a zipfian hot bucket: AQE skew-split or cap bounds the stage") {
+    // 400 identical boilerplate docs land in ONE bucket of every band
+    // (the k²/2 pair blowup); 100 distinct docs spread out.
+    val boiler = (1L to 400L).map(i =>
+      (i, "identical boilerplate body repeated across the whole corpus every time"))
+    val varied = (1001L to 1100L).map(i =>
+      (i, s"unique content piece number $i talking about subject $i only"))
+    val corpus = (boiler ++ varied).toDF("doc_id", "text").repartition(8)
+
+    // The skew is real: the hot bucket dominates every band.
+    val sig = NearDup.minhashSignature(corpus, "doc_id", "text", 16, 3)
+    val banded = NearDup.lshBands(sig, "doc_id", 16, 2)
+    val maxBucket = banded.groupBy(col("band"), col("band_key"))
+      .count().agg(max("count")).head().getLong(0)
+    assert(maxBucket >= 400L, s"fixture must manufacture a hot bucket, got $maxBucket")
+
+    // Path 1 — cap: with maxBucketSize the oversized bucket never enters
+    // the self-join, so every join partition's input is ≤ cap rows per
+    // bucket (pairs ≤ cap²/2) regardless of corpus skew.
+    val cap = 50
+    val sizes = banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("sz")).filter(col("sz") <= cap)
+    val survivorMax = sizes.agg(max("sz")).head().getLong(0)
+    assert(survivorMax <= cap)
+    val capped = NearDup.minhashCandidates(corpus, "doc_id", "text",
+      16, 3, 2, maxBucketSize = Some(cap))
+    assert(!capped.filter(col("id_a") <= 400L && col("id_b") <= 400L).head(1).nonEmpty,
+      "hot-bucket pairs must be dropped by the cap")
+
+    // Path 2 — AQE skew-split: uncapped, with a shuffle join forced and
+    // spec-scale skew thresholds, the runtime must split the hot
+    // partition (OptimizeSkewedJoin marks the join 'skew=true').
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val uncapped = NearDup.minhashCandidates(corpus, "doc_id", "text", 16, 3, 2)
+      uncapped.collect() // finalize THIS dataset's adaptive plan
+      val plan = uncapped.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must split the hot-bucket join partition:\n${plan.take(4000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("starComponents: 1000-node chain converges in logarithmic rounds") {
     // A path graph is the worst case for one-hop min-label propagation
     // (O(diameter) ≈ 1000 rounds); alternating large-star/small-star

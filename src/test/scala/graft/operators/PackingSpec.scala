@@ -34,6 +34,29 @@ class PackingSpec extends SparkSpec {
     assert(globals.isEmpty, "prefix sum must not funnel into one partition")
   }
 
+  test("packSequences over real BPE token budgets (the tx16 shape)") {
+    // tx16 now budgets on Bpe.tokenCount — verify offsets are the
+    // exclusive prefix sum of the SUBWORD counts, not whitespace words.
+    val docs = Seq(
+      (1L, "the data pipeline reads the table"),
+      (2L, "tokens are counted and packed into sequences"),
+      (3L, "a very small doc"),
+    ).toDF("doc_id", "text")
+    val withTok = docs.select($"doc_id",
+      graft.functions.Bpe.tokenCount($"text").cast("long").as("n"))
+    val counts = withTok.as[(Long, Long)].collect().toMap
+    val packed = Packing.packSequences(withTok, Seq(col("doc_id")), col("n"), 8)
+      .select($"doc_id", $"start_offset").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(packed(id) == acc)
+      acc += counts(id)
+    }
+    val words = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("\\s+").length.toLong }.toMap
+    assert(counts != words, "BPE subword counts must differ from word counts")
+  }
+
   test("packSequences chunks are contiguous and budget-aligned") {
     val packed = Packing.packSequences(fixture, Seq(col("id")), col("n"), 256)
       .select($"id", $"n", $"start_offset", $"chunk")

@@ -62,6 +62,30 @@ class PublishSpec extends SparkSpec {
     assert(Publish.readTable(spark, root, "a").as[Int].collect().toSeq == Seq(2))
   }
 
+  test("vacuum retention: a reader pinned to the PREVIOUS version survives a keepLast vacuum") {
+    // The stage-and-swap retention contract: a long-running reader that
+    // resolved the manifest just before a new publish holds the
+    // previous version's paths; vacuum with keepLast >= 1 must leave
+    // those files resolvable while deleting older versions.
+    val root = freshRoot()
+    Publish.publishTables(spark, Map("a" -> Seq(1, 2).toDF("x")), root, "001")
+    Publish.publishTables(spark, Map("a" -> Seq(3, 4).toDF("x")), root, "002")
+    // reader resolves while v-002 is current…
+    val pinnedVersion = Publish.currentVersion(spark, root).get
+    val pinned = spark.read.parquet(s"$root/$pinnedVersion/a")
+    // …then a new version publishes and retention runs.
+    Publish.publishTables(spark, Map("a" -> Seq(5, 6).toDF("x")), root, "003")
+    val deleted = Publish.vacuum(spark, root, keepLast = 1)
+    assert(deleted == Seq("v-001"), s"only the version beyond the window dies: $deleted")
+    assert(pinned.as[Int].collect().sorted.toSeq == Seq(3, 4),
+      "the pinned reader's files must still resolve after vacuum")
+    assert(!new java.io.File(s"$root/v-001").exists())
+    // keepLast = 0 reclaims the previous version too — the contract's
+    // sharp edge: pinned readers are only protected inside the window.
+    Publish.vacuum(spark, root, keepLast = 0)
+    assert(!new java.io.File(s"$root/v-002").exists())
+  }
+
   test("vacuum keeps current + keepLast versions, never touches foreign paths") {
     val root = freshRoot()
     (1 to 5).foreach(i =>
