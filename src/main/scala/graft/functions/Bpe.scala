@@ -123,12 +123,22 @@ object Bpe {
       call_function("replace", acc, lit(s" $a  $b "), lit(s" $a$b "))
     }
 
-  /** Subword tokens of a text column, in order. */
-  def tokens(c: Column): Column =
+  /** Subword tokens via the REPLACE-CHAIN form — ~numMerges whole-string
+    * passes per document. Kept as the executable spec of the encoding
+    * semantics (BpeSpec pins [[tokens]] to it); production paths use
+    * the native [[graft.plans.BpeEncode]] expression below (~20×). */
+  def chainTokens(c: Column): Column =
     filter(split(trim(foldedRepr(c)), " +"), t => length(t) > 0)
 
-  /** Single-space-joined encoding — handy as a full-equality check. */
-  def encoded(c: Column): Column = array_join(tokens(c), " ")
+  /** Single-space-joined encoding — the native codegen expression
+    * (`graft_bpe_encode`, registered by GraftExtensions): one tight
+    * per-word merge loop instead of the replace chain's ~numMerges
+    * whole-string scans; identical output by construction (BpeSpec). */
+  def encoded(c: Column): Column = call_function("graft_bpe_encode", c)
+
+  /** Subword tokens of a text column, in order. */
+  def tokens(c: Column): Column =
+    filter(split(encoded(c), " "), t => length(t) > 0)
 
   /** BPE token count of a text column. */
   def tokenCount(c: Column): Column = size(tokens(c))

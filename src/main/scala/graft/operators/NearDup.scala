@@ -291,10 +291,14 @@ object NearDup {
           least(col("src"), col("dst")).as("dst"))
         .distinct())
     var rounds = 0
-    var converged = edges.isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     while (!converged && rounds < maxIter) {
       // Large-star over the symmetrized adjacency: m = min(N(u) ∪ {u}),
       // emit (v, m) for v > u. Output stays big→small (v > u ≥ m).
+      // No distinct here — duplicates don't change small-star's min
+      // aggregation and the final distinct absorbs them; skipping it
+      // saves one shuffle per round.
       val sym = edges.unionAll(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       val minsL = sym.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
@@ -303,7 +307,6 @@ object NearDup {
         .select(col("dst").as("src"),
           least(col("src"), col("__mn")).as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
       // Small-star over big→small edges: m = min of u's smaller
       // neighbors; attach those neighbors and u itself to m.
       val minsS = large.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
@@ -315,10 +318,14 @@ object NearDup {
         reattached.unionAll(selfEdge)
           .filter(col("src") =!= col("dst"))
           .distinct())
-      // Fixpoint = edge set unchanged (set equality both ways; edge
-      // lists are staged and pair-scale, so both excepts are cheap).
-      converged = small.exceptAll(edges).isEmpty && edges.exceptAll(small).isEmpty
+      // Fixpoint = edge set unchanged. Counts first (a staged-frame
+      // count is nearly free); only when they match does the one-sided
+      // exceptAll run — equal cardinalities plus an empty A∖B imply
+      // multiset equality, so the second except is never needed.
+      val smallCount = small.count()
+      converged = smallCount == edgeCount && small.exceptAll(edges).isEmpty
       edges = small
+      edgeCount = smallCount
       rounds += 1
     }
     val centers = edges.groupBy(col("src")).agg(min(col("dst")).as("__m"))
@@ -403,35 +410,31 @@ object NearDup {
     val pairs = minhashCandidates(all, idCol, textCol, numHashes, shingleSize, rowsPerBand)
     val strong = jaccardOnPairs(all, pairs, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
-    val edges = stage(
-      strong.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionAll(strong.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    // two-tier label: tier 0 = pinned rep canonical, tier 1 = incoming.
-    // struct min is lexicographic, so any rep label beats any incoming.
-    var labels = stage(
-      reps.select(col(idCol), struct(lit(0).as("tier"), col(idCol).as("lid")).as("lbl"))
-        .unionByName(inc.select(col(idCol),
-          struct(lit(1).as("tier"), col(idCol).as("lid")).as("lbl"))))
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("src") === labels(idCol))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("__nbr"))
-      val updated = stage(
-        labels.join(nbrMin, labels(idCol) === nbrMin("dst"), "left")
-          .select(labels(idCol), col("lbl").as("__old"),
-            // reps stay pinned: their own tier-0 label is already minimal
-            // among labels that could reach them only if no smaller rep
-            // links in — and rep-rep links cannot exist (existing
-            // clusters are final), so only the incoming tier moves.
-            when(col("lbl.tier") === 0, col("lbl"))
-              .otherwise(least(col("lbl"), coalesce(col("__nbr"), col("lbl")))).as("lbl")))
-      converged = updated.filter(col("lbl") =!= col("__old")).isEmpty
-      labels = updated.drop("__old")
-      iter += 1
-    }
-    val incAssigned = labels.join(inc.select(col(idCol)), Seq(idCol), "left_semi")
-      .select(col(idCol), col("lbl.lid").as("canonical_id"))
+    // Two-tier SORT KEY (tier 0 = pinned rep, tier 1 = incoming) as the
+    // node identity for [[starComponents]]: struct ordering is
+    // lexicographic, so a component's MINIMUM node is exactly the
+    // incremental contract — the smallest linked rep canonical when one
+    // exists, else the smallest incoming id. Running the O(log) star
+    // rounds on the surrogate replaces the old one-hop pinned
+    // propagation (O(longest incoming chain) rounds — the same
+    // diameter trap neardupComponents had). Labels are then applied to
+    // INCOMING nodes only, so existing rows never relabel even when a
+    // component contains several reps.
+    def surro(id: Column, tier: Column): Column =
+      struct(tier.as("tier"), id.as("lid"))
+    val tiers = stage(
+      reps.select(col(idCol), lit(0).as("__tier"))
+        .unionByName(inc.select(col(idCol), lit(1).as("__tier"))))
+    val nodes = tiers.select(surro(col(idCol), col("__tier")).as("node"))
+    val sEdges = strong
+      .join(tiers.select(col(idCol).as("id_a"), col("__tier").as("__ta")), Seq("id_a"))
+      .join(tiers.select(col(idCol).as("id_b"), col("__tier").as("__tb")), Seq("id_b"))
+      .select(surro(col("id_a"), col("__ta")).as("src"),
+        surro(col("id_b"), col("__tb")).as("dst"))
+    val (labels, _) = starComponents(nodes, sEdges, "node", maxIter)
+    val incAssigned = labels.filter(col("node").getField("tier") === 1)
+      .select(col("node").getField("lid").as(idCol),
+        col("canonical_id").getField("lid").as("canonical_id"))
     existing.select(col(idCol), col("canonical_id")).unionByName(incAssigned)
   }
 

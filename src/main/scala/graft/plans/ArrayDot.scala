@@ -103,5 +103,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_unicode_normalize"),
       (children: Seq[Expression]) => UnicodeNormalize(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+      (children: Seq[Expression]) => BpeEncode(children.head)))
   }
 }

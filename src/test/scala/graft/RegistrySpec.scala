@@ -23,8 +23,9 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).limit(1).count() == 1)
   }
 
-  test("bench headline names are registered queries") {
-    val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
+  test("bench headline names are registered queries (or the bench-only job entry)") {
+    val missing = Bench.headline
+      .filterNot(n => SparkEntry.queries.contains(n) || n == Bench.JobEntry)
     assert(missing.isEmpty, s"headline names not in registry: ${missing.mkString(", ")}")
   }
 
@@ -34,8 +35,11 @@ class RegistrySpec extends SparkSpec {
     // line. Simulate the worst-case printed line (4-digit medians, no
     // errors) and assert it leaves room for that suffix.
     val qsHead = Bench.headline.map(n => s""""$n":9999.99""").mkString("{", ",", "}")
+    // errors are capped at 5 inline entries (~55 chars each worst case)
+    val errs = (1 to 5).map(i => s""""some_long_query_name_number_$i":"SparkException"""")
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":$qsHead,"errors":{},"n_queries":${SparkEntry.queries.size},"full":"bench_full.json","sf":"/root/testdata/sf0.1"}"""
+      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":$qsHead,"errors":$errs,"n_errors":99,"n_queries":${SparkEntry.queries.size},"full":"bench_full.json","sf":"/root/testdata/sf0.1"}"""
     assert(line.length <= 1850, s"printed bench line too long: ${line.length} chars")
   }
 }

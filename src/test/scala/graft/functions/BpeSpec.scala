@@ -60,6 +60,18 @@ class BpeSpec extends SparkSpec {
     assert(got(5L)._2 == 0 && got(6L)._2 == 0)
   }
 
+  test("native graft_bpe_encode equals the replace-chain form on the documents fixture") {
+    // The chain IS the executable spec (and the DuckDB oracle's shape);
+    // the native expression must be indistinguishable on real corpus
+    // text, punctuation and all.
+    val docs = graft.Tables.documents(spark, sf0001).limit(200)
+    val diff = docs.select(
+        Bpe.tokens(col("text")).as("fast"),
+        Bpe.chainTokens(col("text")).as("chain"))
+      .filter(not(col("fast") === col("chain")))
+    assert(diff.isEmpty, s"divergence: ${diff.head(3).mkString("; ")}")
+  }
+
   test("merges never fire across word boundaries") {
     // The table's first merge (a,b) fuses within a word but must NOT
     // fuse "a b" written as two words.
