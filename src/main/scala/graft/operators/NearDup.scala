@@ -279,11 +279,24 @@ object NearDup {
     * component centered on the component minimum, so labels read off as
     * one `min` aggregation; isolated nodes label themselves.
     *
+    * Small graphs take a driver fast path: when the deduped edge list
+    * fits under `localEdgeLimit` rows (a HARD bound — the collect is
+    * never unbounded, the same guarded-collect class as
+    * [[graft.operators.Reshape.repeatedDimJoin]] and Packing's offsets
+    * pass), union-find runs driver-side in O(E·α) and only the
+    * component-min labeling runs as Spark aggregations. Near-dup edge
+    * sets are pair-scale — orders of magnitude smaller than the
+    * corpus — so this is the common case; a corpus whose candidate
+    * pairs exceed the cap falls back to the distributed star rounds.
+    * Both paths produce identical labels (spec-pinned); the fast path
+    * reports 0 rounds.
+    *
     * Returns (labels = (idCol, canonical_id), rounds). Edges may arrive
     * in any orientation; self-loops and duplicates are normalized away.
     */
   def starComponents(nodes: DataFrame, edges0: DataFrame, idCol: String,
-                     maxIter: Int = 50): (DataFrame, Int) = {
+                     maxIter: Int = 50,
+                     localEdgeLimit: Long = 2000000L): (DataFrame, Int) = {
     // Canonical orientation big→small: src > dst, deduped.
     var edges = stage(
       edges0.filter(col("src") =!= col("dst"))
@@ -293,6 +306,53 @@ object NearDup {
     var rounds = 0
     var edgeCount = edges.count()
     var converged = edgeCount == 0
+    if (!converged && edgeCount <= localEdgeLimit) {
+      // Driver union-find on node INDICES (endpoint values stay opaque —
+      // they may be structs); the component MINIMUM is then computed by
+      // Spark's own min aggregation, so value ordering is identical to
+      // the distributed path's.
+      val spark = nodes.sparkSession
+      val collected = edges.collect()
+      val index = new java.util.HashMap[Any, Integer](collected.length * 2)
+      val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+      def idxOf(v: Any): Int = {
+        val got = index.get(v)
+        if (got != null) got.intValue()
+        else { val i = parent.length; index.put(v, Integer.valueOf(i)); parent += i; i }
+      }
+      def find(i: Int): Int = {
+        var r = i
+        while (parent(r) != r) r = parent(r)
+        var c = i
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      collected.foreach { row =>
+        val a = find(idxOf(row.get(0)))
+        val b = find(idxOf(row.get(1)))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      val nodeType = edges.schema("src").dataType
+      val compRows: java.util.List[org.apache.spark.sql.Row] = {
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](index.size)
+        index.forEach { (v, i) =>
+          out.add(org.apache.spark.sql.Row(v, find(i)))
+        }
+        out
+      }
+      val compDf = spark.createDataFrame(compRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__node", nodeType),
+          org.apache.spark.sql.types.StructField("__comp",
+            org.apache.spark.sql.types.IntegerType))))
+      val compMin = compDf.groupBy(col("__comp")).agg(min(col("__node")).as("__m"))
+      val lbl = compDf.join(compMin, Seq("__comp"))
+        .select(col("__node").as(idCol), col("__m"))
+      val labels = nodes.select(col(idCol))
+        .join(lbl, Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("__m"), col(idCol)).as("canonical_id"))
+      return (labels, 0)
+    }
     while (!converged && rounds < maxIter) {
       // Large-star over the symmetrized adjacency: m = min(N(u) ∪ {u}),
       // emit (v, m) for v > u. Output stays big→small (v > u ≥ m).

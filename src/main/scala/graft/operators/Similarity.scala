@@ -98,6 +98,11 @@ object Similarity {
                           numPlanes: Int = 8, dim: Int = 64): Unit =
     corpus.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
+      // Cluster by bucket before the partitioned write: without it every
+      // task writes a file into every bucket directory (tasks × 2^planes
+      // small files); with it each bucket's rows land in one task → one
+      // file per bucket per write — the layout a 100 TB reader wants.
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** [[bucketedTopK]] against a STORED bucket-partitioned corpus

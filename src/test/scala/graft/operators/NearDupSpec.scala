@@ -199,14 +199,32 @@ class NearDupSpec extends SparkSpec {
     val n = 1000L
     val nodes = (1L to n).toDF("doc_id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
-    val (labels, rounds) = NearDup.starComponents(nodes, edges, "doc_id")
+    // localEdgeLimit = 0 forces the DISTRIBUTED star rounds (the default
+    // would take the bounded driver union-find fast path here).
+    val (labels, rounds) = NearDup.starComponents(nodes, edges, "doc_id",
+      localEdgeLimit = 0L)
     // ⌈log₂ n⌉ productive rounds + 1 fixpoint-detection round (measured:
     // 11 for n=1000; one-hop propagation would need ~999).
     val bound = math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 2
     assert(rounds <= bound, s"expected O(log n) convergence (≤$bound), took $rounds rounds")
+    assert(rounds > 1, "limit 0 must force the distributed path")
     val out = labels.as[(Long, Long)].collect()
     assert(out.length == n && out.forall(_._2 == 1L),
       "every chain member labels to the component minimum")
+  }
+
+  test("starComponents driver fast path ≡ distributed star rounds") {
+    // Random-ish multi-component graph: both paths must label
+    // identically (the fast path reports 0 rounds).
+    val nodes = (1L to 300L).toDF("doc_id")
+    val edges = (1L to 420L).map { i =>
+      val a = i * 37 % 300 + 1; val b = i * 91 % 300 + 1; (a, b)
+    }.toDF("src", "dst")
+    val (fast, r0) = NearDup.starComponents(nodes, edges, "doc_id")
+    val (dist, rD) = NearDup.starComponents(nodes, edges, "doc_id", localEdgeLimit = 0L)
+    assert(r0 == 0 && rD > 0)
+    assert(fast.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      dist.orderBy("doc_id").collect().map(_.toSeq).toSeq)
   }
 
   test("starComponents: isolated nodes self-label; mixed orientations and dup edges normalize") {
