@@ -121,6 +121,45 @@ object Dedup {
   def distinctTrimmed(df: DataFrame, column: String, as: String): DataFrame =
     df.select(trim(col(column)).as(as)).where(col(as).isNotNull).distinct()
 
+  /** Blocked fuzzy string matching — entity-resolution reconciliation of
+    * a dirty name column against a clean catalog (the fuzzy extension of
+    * the reference's exact find-or-insert catalog lookup,
+    * EtlHisTurnosCommand.php:130-147): each dirty row is matched to the
+    * catalog name with the smallest Levenshtein distance ≤ `maxDist`
+    * (ties broken by name ascending); rows with no catalog name within
+    * `maxDist` are dropped.
+    *
+    * NEVER all-pairs: candidates come from multi-pass BLOCKING — a
+    * 2-char-prefix pass unioned with a 2-char-suffix pass — so each
+    * dirty row only meets catalog names sharing a block key. Any single
+    * edit (insert/delete/substitute) on a string of length ≥ 5 preserves
+    * the first two OR the last two characters, so single-edit variants
+    * are never lost to blocking; the classic multi-key blocking tradeoff
+    * (recall vs candidate count) is the tuning lever at 100 TB, where
+    * each pass is a hash equi-join on the block key (catalog side
+    * broadcast when small). Levenshtein runs inside codegen (native
+    * Spark function), only on blocked candidates. */
+  def fuzzyMatch(dirty: DataFrame, catalog: DataFrame, dirtyId: String,
+                 dirtyName: String, catName: String, maxDist: Int): DataFrame = {
+    val d = dirty.select(col(dirtyId), col(dirtyName))
+    val c = catalog.select(col(catName)).where(col(catName).isNotNull).distinct()
+    def pass(keyOf: Column => Column): DataFrame =
+      d.withColumn("__bk", keyOf(col(dirtyName)))
+        .join(c.withColumn("__bk", keyOf(col(catName))), Seq("__bk"))
+        .drop("__bk")
+    val candidates = pass(n => substring(n, 1, 2))
+      .unionByName(pass(n => substring(n, -2, 2)))
+      .distinct()
+    candidates
+      .withColumn("__dist", levenshtein(col(dirtyName), col(catName)).cast(LongType))
+      .filter(col("__dist") <= maxDist)
+      .groupBy(col(dirtyId), col(dirtyName))
+      .agg(min_by(struct(col(catName), col("__dist")),
+        struct(col("__dist"), col(catName))).as("__m"))
+      .select(col(dirtyId), col(dirtyName),
+        col(s"__m.$catName").as(catName), col("__m.__dist").as("dist"))
+  }
+
   /** Grouped top-k — [[firstWins]] generalized to "keep the k best per
     * key": top `k` (id, score) rows per group under (score desc, id
     * asc), with a 1-based `rnk`. Runs through the bounded-state

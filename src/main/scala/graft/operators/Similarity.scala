@@ -282,6 +282,36 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("pq_sim"), col("rk").cast("long").as("rk"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with k-means, then WITHIN
+    * each cluster drop every vector that has a lower-id neighbor above
+    * the cosine threshold — pairwise comparison never crosses a cluster
+    * boundary, so the quadratic step is bounded by the largest cluster,
+    * not the corpus. Deterministic end-to-end ([[kmeansCentroids]] is
+    * fixed-init fixed-iters, similarities rounded to 6 decimals,
+    * min-id keep rule), hence oracle-checkable.
+    *
+    * At 100 TB: centroids are dim·k doubles (broadcast), assignment is
+    * one corpus pass, and the within-cluster self-join is a hash
+    * equi-join on centroid_id — the same Σ cluster² cost profile as the
+    * LSH-bucketed near-dup, with the cluster count as the lever.
+    * Returns (vec_id, centroid_id) of the KEPT vectors. */
+  def semDedup(corpus: DataFrame, threshold: Double,
+               numCentroids: Int = 16, kmeansIters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(corpus, numCentroids, kmeansIters)
+    val assigned = ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("emb_a"), col("emb_b")), 6) > threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
   /** Embedding near-duplicate pairs within an explicit id block —
     * an O(block²) theta-join kept ONLY as the exact-within-block
     * baseline for small blocks; [[embeddingNearDupBucketed]] is the

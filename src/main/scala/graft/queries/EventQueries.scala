@@ -158,6 +158,76 @@ FROM agg""")),
                round(quantile_cont(value, 0.99), 6) AS p99
               FROM events GROUP BY event_type""")),
 
+    // File-level data skipping: events are range-clustered by user_id
+    // into a parquet lake table with a per-file min/max stats manifest;
+    // the selective read prunes files against the manifest BEFORE the
+    // scan (LakeSpec gates the file counts), then re-applies the exact
+    // predicate — so the result must equal the oracle's plain full-scan
+    // filter. The build (writeClustered) runs inside the query like
+    // ann03b's stored-corpus build.
+    Q("lake01_stats_skipping",
+      (s, d) => {
+        import graft.sinks.Lake
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_lake_events_${new java.io.File(d).getName}").getAbsolutePath
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        Lake.writeClustered(ev, path, Seq(col("user_id")), Seq("user_id"))
+        Lake.readPruned(s, path, "user_id", 10, 20)
+          .filter(col("user_id").between(10, 20))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("total"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+              FROM events WHERE user_id BETWEEN 10 AND 20 GROUP BY event_type""")),
+
+    // Z-order (Morton) clustering value: bit-interleave of (user_id,
+    // floor(value)) — the multi-dimensional layout key behind
+    // lake-table OPTIMIZE ZORDER BY. Pure codegen arithmetic; the
+    // oracle recomputes the same interleave from the same shared
+    // constant (11 bits/dimension).
+    Q("lake02_zorder_value",
+      (s, d) => {
+        import graft.sinks.Lake
+        val vb = floor(col("value")).cast("long")
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), vb.as("vb"),
+          Lake.zorderValue(col("user_id"), vb, 11).as("z"))
+      },
+      Some {
+        val zSql = (0 until 11).map(i =>
+          s"((user_id >> $i) & 1) * ${1L << (2 * i)} + " +
+            s"((vb >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+        s"""SELECT event_id, user_id, vb, CAST($zSql AS BIGINT) AS z
+            FROM (SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS vb,
+                         value FROM events) t"""
+      }),
+
+    // Incremental aggregate maintenance: the rollup over ~90% of events
+    // (the "published" state) is updated from the remaining ~10% (the
+    // delta) by MERGING partial-agg states — the base facts are never
+    // rescanned. The oracle recomputes from all facts: merge(state(base),
+    // state(delta)) must equal state(base ∪ delta) exactly.
+    Q("ex13_incremental_rollup",
+      (s, d) => {
+        import graft.operators.IncrementalRollup
+        val ev = Tables.events(s, d)
+        val keys = Seq("event_type", "user_id")
+        val base = IncrementalRollup.state(
+          ev.filter(col("event_id") % 10 =!= 0), keys, "value")
+        val delta = IncrementalRollup.state(
+          ev.filter(col("event_id") % 10 === 0), keys, "value")
+        IncrementalRollup.finalize(IncrementalRollup.merge(base, delta, keys), keys)
+      },
+      Some("""SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+               min(value) AS mn, max(value) AS mx,
+               CAST((CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) * 100)
+                    // count(*) AS DOUBLE) / 10000 AS avg_v
+              FROM events GROUP BY event_type, user_id""")),
+
     Q("ex08_json_extract",
       (s, d) => EventOps.jsonExtractAgg(Tables.events(s, d)),
       // TRY_CAST + count of the casted value so both engines count only

@@ -417,6 +417,116 @@ object RelationalQueries {
         col("p_partkey"), Cleaning.firstToken(col("p_name")).as("primera")),
       Some("SELECT p_partkey, split_part(p_name, ' ', 1) AS primera FROM part")),
 
+    // SCD2 (type-2 slowly-changing-dimension) merge — the
+    // history-preserving extension of the reference's find-or-insert
+    // dims. Fixture: customers as the open rows (plus synthetic closed
+    // history for every 10th key), an update batch with changed
+    // balances (every 7th key), no-op rows (every 7th+1 — must NOT
+    // produce a new version), and brand-new keys (every 13th + 1M).
+    Q("op36_scd2_merge",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        val openRows = c
+          .withColumn("valid_from", lit(java.sql.Date.valueOf("2024-01-01")))
+          .withColumn("valid_to", lit(null).cast("date"))
+          .withColumn("is_current", lit(true))
+        val closedRows = c.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_acctbal", round(col("c_acctbal") - 50, 2))
+          .withColumn("valid_from", lit(java.sql.Date.valueOf("2023-01-01")))
+          .withColumn("valid_to", lit(java.sql.Date.valueOf("2024-01-01")))
+          .withColumn("is_current", lit(false))
+        val updates = c.filter(col("c_custkey") % 7 === 0)
+            .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2))
+          .unionByName(c.filter(col("c_custkey") % 7 === 1))
+          .unionByName(c.filter(col("c_custkey") % 13 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+        graft.operators.Scd2.merge(openRows.unionByName(closedRows), updates,
+          "c_custkey", Seq("c_acctbal", "c_mktsegment"),
+          java.sql.Date.valueOf("2024-06-01"))
+      },
+      Some("""WITH cur AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+               true AS is_current
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, round(c_acctbal - 50, 2), c_mktsegment,
+               DATE '2023-01-01', DATE '2024-01-01', false
+        FROM customer WHERE c_custkey % 10 = 0),
+      upd AS (
+        SELECT c_custkey, round(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 1
+        UNION ALL
+        SELECT c_custkey + 1000000, CAST(0.0 AS DOUBLE), 'NEW'
+        FROM customer WHERE c_custkey % 13 = 0),
+      open_rows AS (SELECT * FROM cur WHERE is_current),
+      closed_rows AS (SELECT * FROM cur WHERE NOT is_current),
+      chg AS (
+        SELECT u.* FROM upd u LEFT JOIN open_rows o ON o.c_custkey = u.c_custkey
+        WHERE o.c_custkey IS NULL
+           OR NOT (u.c_acctbal IS NOT DISTINCT FROM o.c_acctbal
+               AND u.c_mktsegment IS NOT DISTINCT FROM o.c_mktsegment))
+      SELECT * FROM closed_rows
+      UNION ALL
+      SELECT o.* FROM open_rows o
+      WHERE o.c_custkey NOT IN (SELECT c_custkey FROM chg)
+      UNION ALL
+      SELECT o.c_custkey, o.c_acctbal, o.c_mktsegment, o.valid_from,
+             DATE '2024-06-01', false
+      FROM open_rows o WHERE o.c_custkey IN (SELECT c_custkey FROM chg)
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment, DATE '2024-06-01',
+             CAST(NULL AS DATE), true
+      FROM chg""")),
+
+    // Blocked fuzzy matching: every odd part row's name gets a
+    // deterministic one-char deletion (position keyed on p_partkey),
+    // then is reconciled back against the clean p_name catalog via
+    // 2-char-prefix ∪ 2-char-suffix blocking + Levenshtein ≤ 2 —
+    // entity resolution without an all-pairs product.
+    Q("op37_fuzzy_match",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val pos = (col("p_partkey") % length(col("p_name"))).cast("int") + 1
+        val dirty = p.select(
+          col("p_partkey"),
+          when(col("p_partkey") % 2 === 1,
+            concat(col("p_name").substr(lit(1), pos - 1),
+              col("p_name").substr(pos + 1, length(col("p_name")))))
+            .otherwise(col("p_name")).as("sucio"))
+        graft.operators.Dedup.fuzzyMatch(dirty, p, "p_partkey", "sucio", "p_name", 2)
+      },
+      Some("""WITH dirty AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 2 = 1 THEN
+                 substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
+                 || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+               ELSE p_name END AS sucio
+        FROM part),
+      cat AS (SELECT DISTINCT p_name FROM part),
+      cand AS (
+        SELECT d.p_partkey, d.sucio, c.p_name
+        FROM dirty d JOIN cat c ON substr(d.sucio, 1, 2) = substr(c.p_name, 1, 2)
+        UNION
+        SELECT d.p_partkey, d.sucio, c.p_name
+        FROM dirty d JOIN cat c
+          ON substr(d.sucio, length(d.sucio) - 1) = substr(c.p_name, length(c.p_name) - 1)),
+      scored AS (
+        SELECT p_partkey, sucio, p_name,
+               CAST(levenshtein(sucio, p_name) AS BIGINT) AS dist
+        FROM cand)
+      SELECT p_partkey, sucio, p_name, dist FROM (
+        SELECT p_partkey, sucio, p_name, dist,
+               row_number() OVER (PARTITION BY p_partkey
+                 ORDER BY dist ASC, p_name ASC) AS rn
+        FROM scored WHERE dist <= 2) t
+      WHERE rn = 1""")),
+
     // OP-29: inferirSexo dictionary lookup with unknown→null.
     Q("op29_inferir_sexo",
       (s, d) => {

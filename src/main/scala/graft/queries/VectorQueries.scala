@@ -317,6 +317,30 @@ SELECT id_a, id_b, cos_sim FROM (
   JOIN norms n2 ON n2.vec_id = d.id_b) t
 WHERE cos_sim > 0.1""")),
 
+    // SemDeDup (arXiv:2303.09540): k-means cluster (same trained
+    // centroids as ann04 — the oracle reuses the kmeansCtes chain),
+    // then within-cluster cosine near-dup, keep the min id. The
+    // threshold is low (0.3) because the fixture vectors are i.i.d.
+    // random; real embeddings cluster far tighter.
+    Q("dd12_semdedup",
+      (s, d) => Similarity.semDedup(Tables.embeddings(s, d), 0.3, 16, 2),
+      Some(s"""WITH ${flatCte()},
+${kmeansCtes(16, 2)},
+prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM as2 a JOIN as2 b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+dots AS (SELECT p.id_a, p.id_b, sum(f1.v * f2.v) AS dp
+         FROM prs p
+         JOIN flat f1 ON f1.vec_id = p.id_a
+         JOIN flat f2 ON f2.vec_id = p.id_b AND f1.i = f2.i
+         GROUP BY 1, 2),
+dropped AS (SELECT DISTINCT d.id_b AS vec_id
+            FROM dots d
+            JOIN norms n1 ON n1.vec_id = d.id_a
+            JOIN norms n2 ON n2.vec_id = d.id_b
+            WHERE round(dp / (n1.nrm * n2.nrm), 6) > 0.3)
+SELECT a.vec_id, a.centroid_id FROM as2 a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)""")),
+
     // Multimodal: binary payload + metadata decode (dims are the STUB
     // decoder's deterministic fake — see Multimodal.scala).
     Q("mm01_decode_meta",

@@ -108,6 +108,33 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("fuzzyMatch: single edits anywhere in the string survive blocking") {
+    val catalog = Seq("small ring", "red widget", "blue bolt").toDF("name")
+    val dirty = Seq(
+      (1L, "mall ring"),   // first char deleted → prefix block broken, suffix pass catches
+      (2L, "small rin"),   // last char deleted → suffix broken, prefix pass catches
+      (3L, "red wdget"),   // middle deletion → both passes catch
+      (4L, "xxxxxxxxx"),   // nothing within dist 2 → dropped
+      (5L, "blue bolt"),   // exact → dist 0
+    ).toDF("id", "sucio")
+    val out = Dedup.fuzzyMatch(dirty, catalog, "id", "sucio", "name", 2)
+      .select($"id", $"name", $"dist").as[(Long, String, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out == Map(
+      1L -> ("small ring", 1L),
+      2L -> ("small ring", 1L),
+      3L -> ("red widget", 1L),
+      5L -> ("blue bolt", 0L)))
+  }
+
+  test("fuzzyMatch tie-break: equal distance resolves to the lexicographically smaller name") {
+    val catalog = Seq("cat", "car").toDF("name")
+    val dirty = Seq((1L, "caa")).toDF("id", "sucio")
+    val out = Dedup.fuzzyMatch(dirty, catalog, "id", "sucio", "name", 2)
+      .select($"name").as[String].collect().toSeq
+    assert(out == Seq("car"))
+  }
+
   test("TopKByScore buffer never exceeds k through reduce and merge") {
     val agg = new TopKByScore(3)
     var b = agg.zero

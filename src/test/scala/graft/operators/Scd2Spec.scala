@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val d0 = java.sql.Date.valueOf("2024-01-01")
+  private val d1 = java.sql.Date.valueOf("2024-06-01")
+  private val dOld = java.sql.Date.valueOf("2023-01-01")
+
+  // key 1: will change; key 2: no-op update; key 3: no update at all;
+  // key 4: closed history row only (plus its open successor).
+  private def current = Seq(
+    (1L, "a", Option(10.0), Option(d0), Option.empty[java.sql.Date], true),
+    (2L, "b", Option(20.0), Option(d0), Option.empty[java.sql.Date], true),
+    (3L, "c", Option(30.0), Option(d0), Option.empty[java.sql.Date], true),
+    (4L, "old", Option(1.0), Option(dOld), Option(d0), false),
+    (4L, "d", Option(40.0), Option(d0), Option.empty[java.sql.Date], true),
+  ).toDF("k", "v", "bal", "valid_from", "valid_to", "is_current")
+
+  test("scd2 merge: change closes the old row and opens a new one; no-op passes through") {
+    val updates = Seq(
+      (1L, "a2", Option(11.0)),   // changed
+      (2L, "b", Option(20.0)),    // identical → must NOT version
+      (5L, "new", Option(50.0)),  // brand-new key
+    ).toDF("k", "v", "bal")
+    val out = Scd2.merge(current, updates, "k", Seq("v", "bal"), d1)
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, java.sql.Date, Option[java.sql.Date], Boolean)]
+      .collect().toSet
+
+    assert(out == Set(
+      (1L, "a", d0, Some(d1), false),      // closed
+      (1L, "a2", d1, None, true),          // new version
+      (2L, "b", d0, None, true),           // no-op untouched
+      (3L, "c", d0, None, true),           // absent from updates untouched
+      (4L, "old", dOld, Some(d0), false),  // closed history passthrough
+      (4L, "d", d0, None, true),
+      (5L, "new", d1, None, true),         // insert
+    ))
+  }
+
+  test("scd2 merge: null→value and value→null both count as changes (null-safe compare)") {
+    val cur = Seq(
+      (1L, Option.empty[Double], Option(d0), Option.empty[java.sql.Date], true),
+      (2L, Option(2.0), Option(d0), Option.empty[java.sql.Date], true),
+    ).toDF("k", "bal", "valid_from", "valid_to", "is_current")
+    val updates = Seq((1L, Option(9.0)), (2L, Option.empty[Double])).toDF("k", "bal")
+    val out = Scd2.merge(cur, updates, "k", Seq("bal"), d1)
+    assert(out.filter(col("is_current") && !col("valid_from") .eqNullSafe(lit(d1))).count() == 0)
+    assert(out.filter(col("is_current")).count() == 2)
+    assert(out.filter(!col("is_current")).count() == 2)
+  }
+
+  test("scd2 merge is idempotent: replaying the same update batch is a no-op") {
+    val updates = Seq((1L, "a2", Option(11.0))).toDF("k", "v", "bal")
+    val once = Scd2.merge(current, updates, "k", Seq("v", "bal"), d1)
+    val twice = Scd2.merge(once, updates, "k", Seq("v", "bal"), d1)
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+}

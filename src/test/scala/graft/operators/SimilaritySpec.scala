@@ -161,4 +161,36 @@ class SimilaritySpec extends SparkSpec {
       .select($"query_id", $"vec_id").as[(Long, Long)].collect().toMap
     (0L until 8L).foreach(q => assert(top1(q) == q, s"query $q top-1 was ${top1(q)}"))
   }
+
+  test("semDedup: near-parallel vector drops in favor of its lower-id cluster-mate") {
+    // 0 and 1 are near-parallel (cosine ≈ 1) so they land in one k-means
+    // cluster; 2 is orthogonal. With threshold 0.9: id 1 must drop (it
+    // has the lower-id near-dup 0), ids 0 and 2 must survive.
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(corpus, 0.9, numCentroids = 2, kmeansIters = 2)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L))
+  }
+
+  test("semDedup never compares across clusters: identical vectors in different clusters both survive") {
+    // Two exact duplicates forced into DIFFERENT clusters would both be
+    // kept — the operator's documented recall boundary. Build clusters
+    // around orthogonal seeds, then check a pair split across them.
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),   // seed A (init centroid 0)
+      (1L, Array(0.0f, 1.0f)),   // seed B (init centroid 1)
+      (2L, Array(1.0f, 0.3f)),   // near seed A (cos ≈ 0.958 < 0.99)
+      (3L, Array(0.3f, 1.0f)),   // near seed B
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(corpus, 0.99, numCentroids = 2, kmeansIters = 1)
+      .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toMap
+    // all four survive (no within-cluster pair exceeds 0.99), and the
+    // cluster assignment is the expected two-sided split
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(0L) == out(2L) && out(1L) == out(3L) && out(0L) != out(1L))
+  }
 }

@@ -1,0 +1,72 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_lake_$name").toFile.getAbsolutePath
+
+  test("stats manifest skips most files for a selective range, result parity with full scan") {
+    val df = (0L until 3200L).map(i => (i, i % 800, s"t${i % 5}")).toDF("id", "k", "tag")
+    val path = tmp("clustered") + "/t"
+    Lake.writeClustered(df, path, Seq(col("k")), Seq("k"))
+
+    val (kept, total) = Lake.pruneStats(spark, path, "k", 100, 120)
+    assert(total >= 8, s"fixture should spread over many files, got $total")
+    assert(kept < total / 2, s"selective range should skip most files: kept $kept of $total")
+
+    val pruned = Lake.readPruned(spark, path, "k", 100, 120)
+      .filter(col("k").between(100, 120))
+    val full = spark.read.parquet(path).filter(col("k").between(100, 120))
+    assert(pruned.collect().toSet == full.collect().toSet)
+    assert(pruned.count() > 0)
+  }
+
+  test("readPruned with a range outside every file returns empty with the table schema") {
+    val df = (0L until 100L).map(i => (i, i)).toDF("id", "k")
+    val path = tmp("empty") + "/t"
+    Lake.writeClustered(df, path, Seq(col("k")), Seq("k"))
+    val out = Lake.readPruned(spark, path, "k", 5000, 6000)
+    assert(out.columns.toSeq == Seq("id", "k"))
+    assert(out.count() == 0)
+  }
+
+  test("z-order layout skips files on BOTH dimensions; linear layout only on its own") {
+    // 64×64 grid; z-order cluster by interleaved (x, y) vs linear by x.
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+
+    val zpath = tmp("zorder") + "/t"
+    Lake.writeClustered(grid.withColumn("z", Lake.zorderValue(col("x"), col("y"), 6)),
+      zpath, Seq(col("z")), Seq("x", "y"))
+    val (zKeptX, zTotal) = Lake.pruneStats(spark, zpath, "x", 0, 7)
+    val (zKeptY, _) = Lake.pruneStats(spark, zpath, "y", 0, 7)
+    assert(zKeptX < zTotal, s"z-order must skip on x: $zKeptX of $zTotal")
+    assert(zKeptY < zTotal, s"z-order must skip on y: $zKeptY of $zTotal")
+
+    val lpath = tmp("linear") + "/t"
+    Lake.writeClustered(grid, lpath, Seq(col("x")), Seq("x", "y"))
+    val (lKeptY, lTotal) = Lake.pruneStats(spark, lpath, "y", 0, 7)
+    assert(lKeptY == lTotal,
+      s"linear-by-x layout cannot skip on y: kept $lKeptY of $lTotal — " +
+        "this is the contrast that justifies z-order")
+    val (zK, _) = Lake.pruneStats(spark, zpath, "y", 0, 7)
+    assert(zK < lKeptY, "z-order strictly beats linear layout on the non-cluster dimension")
+
+    // and result parity through the pruned path
+    val pruned = Lake.readPruned(spark, zpath, "y", 0, 7).filter(col("y") <= 7)
+    assert(pruned.count() == 64 * 8)
+  }
+
+  test("zorderValue interleaves bits (known values)") {
+    val out = Seq((3L, 5L)).toDF("x", "y")
+      .select(Lake.zorderValue(col("x"), col("y"), 4).as("z"))
+      .as[Long].head()
+    // x=3=0b011 (even positions), y=5=0b101 (odd positions):
+    // z = 1*1 + 1*2 + 1*4 + 0*8 + 0*16 + 1*32 = 39
+    assert(out == 39L)
+  }
+}
