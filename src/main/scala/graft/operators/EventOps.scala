@@ -272,6 +272,60 @@ object EventOps {
       .drop("__bin")
   }
 
+  /** Time-series gap filling (resampling): the per-key hourly rollup,
+    * densified so every key has a row for EVERY hour between its first
+    * and last event — missing hours carry n=0 / total=0. The grid comes
+    * from `sequence(first, last, 1 hour)` exploded per key (output is
+    * bounded by Σ per-key span, never a cross product), then one
+    * co-partitioned left join back onto the sparse rollup — both sides
+    * hash on (key, hour), so at 100 TB this is two shuffles of
+    * rollup-sized data, not of the raw events. */
+  def gapFillHourly(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__s"))
+    val grid = hourly.groupBy(col(keyCol))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col(keyCol),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    grid.join(hourly, Seq(keyCol, "h"), "left")
+      .select(col(keyCol), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("__s"), lit(0)).cast("double"), 2).as("total"))
+  }
+
+  /** Ordered funnel: for each user, the time of stage 1 is the first
+    * `stages(0)` event; stage i+1 is the first `stages(i+1)` event
+    * STRICTLY AFTER the user's stage-i time. Returns one row per user
+    * (all users with any event) with nullable t1..tn — null = never
+    * reached. No windows over the fact table and no self-joins: each
+    * stage is filter → join the (user, t_prev) stage table → hash agg,
+    * all shuffling on the user key, with stage tables user-sized. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val stageTimes = stages.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
+      case (acc, (stage, i)) =>
+        val name = s"t${i + 1}"
+        val filtered = events.filter(col(typeCol) === stage)
+          .select(col(userCol), col(tsCol))
+        val st =
+          if (i == 0)
+            filtered.groupBy(col(userCol)).agg(min(col(tsCol)).as(name))
+          else {
+            val prev = s"t$i"
+            filtered.join(acc.last.select(col(userCol), col(prev)), Seq(userCol))
+              .filter(col(tsCol) > col(prev))
+              .groupBy(col(userCol)).agg(min(col(tsCol)).as(name))
+          }
+        acc :+ st
+    }
+    val users = events.select(col(userCol)).distinct()
+    stageTimes.foldLeft(users)((u, st) => u.join(st, Seq(userCol), "left"))
+  }
+
   /** EX-08: JSON field extraction from a string column. `get_json_object`
     * is codegen'd; for fixed wide schemas prefer `from_json` once. */
   def jsonExtractAgg(events: DataFrame): DataFrame =

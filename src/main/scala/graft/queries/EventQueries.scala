@@ -228,6 +228,44 @@ FROM agg""")),
                     // count(*) AS DOUBLE) / 10000 AS avg_v
               FROM events GROUP BY event_type, user_id""")),
 
+    // Time-series gap filling: per-user hourly rollup densified over
+    // each user's [first, last] hour — missing hours appear with
+    // n=0/total=0. Oracle builds the same grid with generate_series.
+    Q("ex14_gap_fill",
+      (s, d) => EventOps.gapFillHourly(Tables.events(s, d), "user_id", "ts", "value"),
+      Some("""WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(value AS DECIMAL(18,2))) AS s
+        FROM events GROUP BY 1, 2),
+      spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+      grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+               FROM spans)
+      SELECT g.user_id, g.h,
+             coalesce(hh.n, 0) AS n,
+             round(CAST(coalesce(hh.s, 0) AS DOUBLE), 2) AS total
+      FROM grid g LEFT JOIN hourly hh ON hh.user_id = g.user_id AND hh.h = g.h""")),
+
+    // Ordered funnel view → click → purchase: stage i+1 counts only
+    // events strictly after the user's stage-i time. One row per user,
+    // nullable stage times.
+    Q("ex15_funnel",
+      (s, d) => EventOps.funnel(Tables.events(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase")),
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+      s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM events e JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM events e JOIN s2 ON s2.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      SELECT u.user_id, s1.t1, s2.t2, s3.t3
+      FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+             LEFT JOIN s2 ON s2.user_id = u.user_id
+             LEFT JOIN s3 ON s3.user_id = u.user_id""")),
+
     Q("ex08_json_extract",
       (s, d) => EventOps.jsonExtractAgg(Tables.events(s, d)),
       // TRY_CAST + count of the casted value so both engines count only

@@ -184,4 +184,45 @@ class EventOpsSpec extends SparkSpec {
     val allDistinct = (hashes ++ (1L to 200L).map(_ * 3 % 101)).distinct.sorted
     assert(agg.finish(merged) == KmvSketch(k.toLong, allDistinct(k - 1)))
   }
+
+  test("gapFillHourly densifies the hours between a key's first and last event") {
+    import spark.implicits._
+    val ts = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0, 15), 10.0),
+      (1L, ts(3, 45), 2.5),   // hours 1 and 2 are gaps
+      (2L, ts(5, 0), 1.0),    // single-hour key → one row, no gaps
+    ).toDF("user_id", "ts", "value")
+    val out = EventOps.gapFillHourly(ev, "user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, ts(0, 0), 1L, 10.0),
+      (1L, ts(1, 0), 0L, 0.0),
+      (1L, ts(2, 0), 0L, 0.0),
+      (1L, ts(3, 0), 1L, 2.5),
+      (2L, ts(5, 0), 1L, 1.0)))
+  }
+
+  test("funnel: stage i+1 only counts events strictly after stage i") {
+    import spark.implicits._
+    val t = (s: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      // user 1 completes in order
+      (1L, t(1), "view"), (1L, t(2), "click"), (1L, t(3), "purchase"),
+      // user 2: click BEFORE its first view must not count; no purchase
+      (2L, t(1), "click"), (2L, t(2), "view"), (2L, t(3), "click"),
+      // user 3: purchase before click → t3 null even though a purchase exists
+      (3L, t(1), "view"), (3L, t(2), "purchase"), (3L, t(3), "click"),
+      // user 4: never views → all null
+      (4L, t(1), "error"),
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventOps.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp], Option[java.sql.Timestamp])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (Some(t(1)), Some(t(2)), Some(t(3))))
+    assert(out(2L) == (Some(t(2)), Some(t(3)), None))
+    assert(out(3L) == (Some(t(1)), Some(t(3)), None))
+    assert(out(4L) == (None, None, None))
+  }
 }
