@@ -183,6 +183,51 @@ FROM agg""")),
                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
               FROM events WHERE user_id BETWEEN 10 AND 20 GROUP BY event_type""")),
 
+    // Per-file BLOOM skipping: point lookup on event_id — a column
+    // uncorrelated with the user_id clustering, where min/max stats
+    // can't skip anything. The bloom manifest keeps only files whose
+    // filter might contain the key (LakeSpec gates the counts); exact
+    // equality re-applies on top, so the result equals the oracle's
+    // full-scan lookup.
+    Q("lake03_bloom_skipping",
+      (s, d) => {
+        import graft.sinks.Lake
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_lake_bloom_${new java.io.File(d).getName}").getAbsolutePath
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        Lake.writeClustered(ev, path, Seq(col("user_id")), Seq("user_id"),
+          bloomCols = Seq("event_id"))
+        Lake.readPrunedEq(s, path, "event_id", 777L)
+          .filter(col("event_id") === 777L)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      },
+      Some("""SELECT event_id, user_id, event_type, value
+              FROM events WHERE event_id = 777""")),
+
+    // Interval-frame rolling window: per-user trailing-1-hour event
+    // count and decimal-exact value sum at every event (RANGE frame on
+    // the epoch-seconds order key, so co-timed events share a frame
+    // identically in both engines).
+    Q("ex16_rolling_window",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(expr("unix_micros(ts) DIV 1000000"))
+          .rangeBetween(-3600, 0)
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double"), 2).as("total_1h"))
+      },
+      Some("""SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS total_1h
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")),
+
     // Z-order (Morton) clustering value: bit-interleave of (user_id,
     // floor(value)) — the multi-dimensional layout key behind
     // lake-table OPTIMIZE ZORDER BY. Pure codegen arithmetic; the

@@ -527,6 +527,35 @@ object RelationalQueries {
         FROM scored WHERE dist <= 2) t
       WHERE rn = 1""")),
 
+    // Native pivot — the inverse of the reference's unpivot loop
+    // (OP-20): per-customer order counts spread across the five
+    // o_orderpriority columns. Values are PINNED (explicit list), so
+    // the plan is one hash agg with no distinct-values pre-pass — the
+    // form that scales; an unpinned pivot needs an extra job to
+    // discover columns.
+    Q("op38_pivot",
+      (s, d) => {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val pivoted = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .pivot("o_orderpriority", prios)
+          .agg(count(lit(1)))
+        prios.foldLeft(pivoted)((df, p) =>
+          df.withColumn(p, coalesce(col(s"`$p`"), lit(0L))))
+          .withColumnRenamed("1-URGENT", "urgent")
+          .withColumnRenamed("2-HIGH", "high")
+          .withColumnRenamed("3-MEDIUM", "medium")
+          .withColumnRenamed("4-NOT SPECIFIED", "unspecified")
+          .withColumnRenamed("5-LOW", "low")
+      },
+      Some("""SELECT o_custkey,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+               CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+               CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+               CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS unspecified,
+               CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+              FROM orders GROUP BY o_custkey""")),
+
     // OP-29: inferirSexo dictionary lookup with unknown→null.
     Q("op29_inferir_sexo",
       (s, d) => {

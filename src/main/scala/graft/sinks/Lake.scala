@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.RuntimeFilter
 
 /** File-level data skipping for a parquet lake table — the min/max
   * stats manifest that lakehouse formats (Delta/Iceberg/Hudi) keep per
@@ -30,6 +31,12 @@ object Lake {
 
   val StatsDir = "_stats_manifest"
 
+  /** Per-file bloom geometry. 3 hashes × 1024 bits ≈ 1.2% FP at 100
+    * distinct keys/file; FP only costs an extra file read, never a
+    * wrong result (the exact predicate re-applies). */
+  val BloomHashes = 3
+  val BloomBits = 1024
+
   /** Range-cluster `df` by `clusterCols` into `numFiles` files and
     * write parquet + stats manifest for `statsCols`. Each output file
     * covers a contiguous range of the cluster key (range repartition
@@ -39,24 +46,77 @@ object Lake {
     * size it as table_bytes / target_file_bytes (128–512 MB files at
     * 100 TB). */
   def writeClustered(df: DataFrame, path: String, clusterCols: Seq[Column],
-                     statsCols: Seq[String], numFiles: Int = 16): Unit = {
+                     statsCols: Seq[String], numFiles: Int = 16,
+                     bloomCols: Seq[String] = Nil): Unit = {
     df.repartitionByRange(numFiles, clusterCols: _*)
       .sortWithinPartitions(clusterCols: _*)
       .write.mode("overwrite").parquet(path)
-    writeStats(df.sparkSession, path, statsCols)
+    writeStats(df.sparkSession, path, statsCols, bloomCols)
   }
 
   /** (Re)build the stats manifest: one distributed pass grouped by
     * `input_file_name()` — no driver-side data. The manifest itself is
-    * file-count-sized (tiny), coalesced to one file. */
-  def writeStats(spark: SparkSession, path: String, statsCols: Seq[String]): Unit = {
+    * file-count-sized (tiny), coalesced to one file.
+    *
+    * `bloomCols` get a per-file bloom filter for POINT lookups on
+    * non-cluster columns (min/max is useless when the column is
+    * uncorrelated with the layout — the Delta "bloom filter index"
+    * case). The bloom is stored as the sorted array of set bit
+    * positions, built from the same split-one-md5 hash family as
+    * [[graft.operators.RuntimeFilter]] — each collect_set is bounded
+    * by [[BloomBits]] per file regardless of row count. Integral and
+    * string key columns only (the hash is over the string form). */
+  def writeStats(spark: SparkSession, path: String, statsCols: Seq[String],
+                 bloomCols: Seq[String] = Nil): Unit = {
     val data = spark.read.parquet(path)
+    val withPos = bloomCols.foldLeft(data) { (df, c) =>
+      RuntimeFilter.bloomPositions(col(c), BloomHashes, BloomBits).zipWithIndex
+        .foldLeft(df) { case (d, (p, i)) => d.withColumn(s"__pos_${c}_$i", p) }
+    }
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    data.groupBy(input_file_name().as("file"))
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      bloomCols.map(c => array_sort(array_distinct(concat(
+        (0 until BloomHashes).map(i => collect_set(col(s"__pos_${c}_$i"))): _*)))
+        .as(s"bloom_$c"))
+    withPos.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/$StatsDir")
+  }
+
+  /** Driver-side mirror of [[RuntimeFilter.bloomPositions]] (same md5
+    * slicing), for probing the manifest with a literal key. */
+  private[sinks] def bloomPositionsLocal(value: String): Seq[Long] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(value.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until BloomHashes).map(i =>
+      java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) % BloomBits)
+  }
+
+  /** Point-lookup file pruning via the per-file blooms: keep only
+    * files whose bloom has ALL the key's bit positions set. The caller
+    * re-applies the exact equality (bloom FPs read extra files, never
+    * return wrong rows). */
+  def readPrunedEq(spark: SparkSession, path: String, column: String,
+                   value: Any): DataFrame = {
+    val pos = bloomPositionsLocal(String.valueOf(value))
+    val stats = spark.read.parquet(s"$path/$StatsDir")
+    val files = stats
+      .filter(pos.map(p => array_contains(col(s"bloom_$column"), p)).reduce(_ && _))
+      .select(col("file")).collect().map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.parquet(files.toSeq: _*)
+  }
+
+  /** Files the bloom prune keeps for `column = value` vs total. */
+  def pruneStatsEq(spark: SparkSession, path: String, column: String,
+                   value: Any): (Long, Long) = {
+    val pos = bloomPositionsLocal(String.valueOf(value))
+    val stats = spark.read.parquet(s"$path/$StatsDir")
+    val kept = stats
+      .filter(pos.map(p => array_contains(col(s"bloom_$column"), p)).reduce(_ && _))
+      .count()
+    (kept, stats.count())
   }
 
   /** Read only the files whose [min,max] can intersect [lo, hi] on

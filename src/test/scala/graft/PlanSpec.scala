@@ -223,6 +223,9 @@ class PlanSpec extends SparkSpec {
       "ann01_cosine_topk",
       // k-means assignment: corpus × broadcast(16 centroids)
       "ann04_ivf_topk", "ann05_ivf_nprobe2",
+      // SemDeDup rides the same k-means assignment; its pair join is
+      // equi on centroid_id
+      "dd12_semdedup",
       // exact-within-block near-dup baseline (kept as the oracle for
       // the bucketed form): 300-id block, id_a < id_b theta-join
       "dd06_embed_neardup")

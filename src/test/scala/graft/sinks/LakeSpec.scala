@@ -61,6 +61,29 @@ class LakeSpec extends SparkSpec {
     assert(pruned.count() == 64 * 8)
   }
 
+  test("per-file bloom skips files for point lookups on a non-cluster column") {
+    // id is uncorrelated with the cluster key k (bit-reversed ordering),
+    // so min/max on id spans nearly the full range in every file and
+    // range pruning would keep everything — the bloom case.
+    val df = (0L until 3200L).map(i => (java.lang.Long.reverse(i) >>> 32, i % 800))
+      .toDF("id", "k")
+    val path = tmp("bloom") + "/t"
+    Lake.writeClustered(df, path, Seq(col("k")), Seq("k"), bloomCols = Seq("id"))
+
+    val probe = java.lang.Long.reverse(1234L) >>> 32
+    val (kept, total) = Lake.pruneStatsEq(spark, path, "id", probe)
+    assert(total >= 8, s"fixture should spread over many files, got $total")
+    assert(kept < total / 2, s"bloom should skip most files: kept $kept of $total")
+
+    val got = Lake.readPrunedEq(spark, path, "id", probe)
+      .filter(col("id") === probe).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 1234L % 800)
+
+    // absent key: usually zero files survive; correctness either way
+    val miss = Lake.readPrunedEq(spark, path, "id", -99L).filter(col("id") === -99L)
+    assert(miss.count() == 0)
+  }
+
   test("zorderValue interleaves bits (known values)") {
     val out = Seq((3L, 5L)).toDF("x", "y")
       .select(Lake.zorderValue(col("x"), col("y"), 4).as("z"))
