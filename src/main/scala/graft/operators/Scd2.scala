@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * Contract: `current` is the full history table — one OPEN row per
   * live key (`is_current = true`, `valid_to` null) plus any number of
   * CLOSED rows; `updates` carries one row per key with the new tracked
-  * values (enforce uniqueness upstream with [[Dedup.firstWins]]). The
-  * merge:
+  * values for every non-meta column (enforce per-key uniqueness
+  * upstream with [[Dedup.firstWins]]). The merge:
   *
   *  - keys whose tracked values changed (null-safe compare): the open
   *    row is closed (`valid_to = batchDate`, `is_current = false`) and
@@ -21,50 +21,62 @@ import org.apache.spark.sql.functions._
   *  - keys absent from `current`: inserted as new open rows;
   *  - unchanged keys and all closed history rows: pass through as-is.
   *
-  * Everything is equi-joins on the key (broadcast when the update
-  * batch is small, hash otherwise — Catalyst/AQE decide from stats),
-  * so the merge costs one shuffle of the update batch at worst;
-  * closed-history rows are never rewritten, only unioned through —
-  * at 100 TB pair this with a partitioned publish so the untouched
-  * history partitions are not even read.
+  * Plan shape: ONE full-outer equi-join of the update batch against
+  * the open rows (broadcast when the batch is small, hash otherwise —
+  * Catalyst/AQE decide from stats), then a generator that emits 1 or 2
+  * output rows per joined row — no per-class re-joins, so the open
+  * side is scanned once. Closed-history rows are never rewritten, only
+  * unioned through — at 100 TB pair this with a partitioned publish so
+  * untouched history partitions are not even read.
   */
 object Scd2 {
+
+  private val meta = Seq("valid_from", "valid_to", "is_current")
 
   def merge(current: DataFrame, updates: DataFrame, key: String,
             trackedCols: Seq[String], batchDate: java.sql.Date): DataFrame = {
     require(trackedCols.nonEmpty, "trackedCols must not be empty")
-    val meta = Seq("valid_from", "valid_to", "is_current")
     require(meta.forall(current.columns.contains),
       s"current must carry ${meta.mkString(", ")}")
+    val payload = current.columns.filterNot(meta.contains)
+    require(payload.toSet == updates.columns.toSet,
+      s"updates must carry exactly the non-meta columns " +
+        s"(${payload.mkString(", ")}), got (${updates.columns.mkString(", ")})")
 
     val open = current.filter(col("is_current"))
     val closedHistory = current.filter(!col("is_current"))
 
-    // One row per changed-or-new key — a single left join, aliased so a
-    // shared lineage between `updates` and `current` cannot make the
-    // join condition self-referential. Null-safe <=> so null→value and
-    // value→null both count as changes.
+    // Aliased so shared lineage between updates and current cannot make
+    // the join self-referential; <=> so null→value and value→null both
+    // count as changes.
     val u = updates.alias("u")
     val o = open.alias("o")
-    val sameVals = trackedCols.map(c => col(s"u.$c") <=> col(s"o.$c")).reduce(_ and _)
-    val changedOrNew = u.join(o, col(s"u.$key") === col(s"o.$key"), "left")
-      .filter(col(s"o.$key").isNull || !sameVals)
-      .select(updates.columns.map(c => col(s"u.$c")): _*)
-    val changedKeys = changedOrNew.select(col(key))
+    val same = trackedCols.map(c => col(s"u.$c") <=> col(s"o.$c")).reduce(_ and _)
+    val hasU = col(s"u.$key").isNotNull
+    val hasO = col(s"o.$key").isNotNull
 
-    val toClose = open.join(changedKeys, Seq(key), "left_semi")
-      .withColumn("valid_to", lit(batchDate))
-      .withColumn("is_current", lit(false))
-    val unchangedOpen = open.join(changedKeys, Seq(key), "left_anti")
-    val fresh = changedOrNew
-      .withColumn("valid_from", lit(batchDate))
-      .withColumn("valid_to", lit(null).cast("date"))
-      .withColumn("is_current", lit(true))
+    val oRow = struct(current.columns.map(c => col(s"o.$c").as(c)).toSeq: _*)
+    val oClosed = struct(current.columns.map {
+      case "valid_to" => lit(batchDate).as("valid_to")
+      case "is_current" => lit(false).as("is_current")
+      case c => col(s"o.$c").as(c)
+    }.toSeq: _*)
+    val uFresh = struct(current.columns.map {
+      case "valid_from" => lit(batchDate).as("valid_from")
+      case "valid_to" => lit(null).cast("date").as("valid_to")
+      case "is_current" => lit(true).as("is_current")
+      case c => col(s"u.$c").as(c)
+    }.toSeq: _*)
 
-    val cols = current.columns.map(col).toSeq
-    closedHistory.select(cols: _*)
-      .unionByName(unchangedOpen.select(cols: _*))
-      .unionByName(toClose.select(cols: _*))
-      .unionByName(fresh.select(cols: _*))
+    val emitted = when(hasU && hasO && same, array(oRow))
+      .when(hasU && hasO && !same, array(oClosed, uFresh))
+      .when(!hasU, array(oRow)) // no update for this open row
+      .otherwise(array(uFresh)) // brand-new key
+
+    val mergedOpen = u.join(o, col(s"u.$key") === col(s"o.$key"), "full_outer")
+      .select(explode(emitted).as("__r"))
+      .select(current.columns.map(c => col(s"__r.$c")).toSeq: _*)
+
+    closedHistory.unionByName(mergedOpen)
   }
 }

@@ -145,6 +145,34 @@ object Lake {
     (kept, stats.count())
   }
 
+  /** Compact + re-cluster the current published version of a
+    * single-table lake root into a NEW atomic version: read through the
+    * manifest, rewrite as `numFiles` range-clustered files with a fresh
+    * stats manifest, flip `_CURRENT`. Readers see the old complete
+    * layout until the flip (stage-and-swap, same protocol as
+    * [[Publish]]); the old version stays for time travel until
+    * [[Publish.vacuum]]. This is the OPTIMIZE/compaction maintenance
+    * op every streaming ingest needs at 100 TB — micro-batches write
+    * many small files, and scan cost is per-file.
+    *
+    * Scope: the root's versions hold ONE table (the snapshot-publish
+    * shape of [[graft.streaming.StreamingOps.publishSnapshots]]);
+    * multi-table versions would need untouched tables copied or
+    * per-table manifests. */
+  def compactPublished(spark: SparkSession, root: String, table: String,
+                       clusterCols: Seq[Column], statsCols: Seq[String],
+                       newVersion: String, numFiles: Int = 16,
+                       bloomCols: Seq[String] = Nil): Unit = {
+    val cur = Publish.currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no published version under $root"))
+    require(s"v-$newVersion" > cur,
+      s"newVersion v-$newVersion must sort after current $cur (monotonic versions)")
+    val df = Publish.readTable(spark, root, table)
+    writeClustered(df, s"$root/v-$newVersion/$table", clusterCols, statsCols,
+      numFiles, bloomCols)
+    Publish.flipManifest(spark, root, newVersion)
+  }
+
   /** Z-order (Morton) value of two non-negative integer columns: the
     * low `bits` bits of each, interleaved (x in even positions, y in
     * odd). Pure arithmetic inside codegen — shifts, masks, adds — and

@@ -48,6 +48,14 @@ object Publish {
         try ctx.delete(vdir, true) catch { case _: Throwable => () }
         throw e
     }
+    flipManifest(spark, root, version)
+  }
+
+  /** Atomically point `_CURRENT` at `v-<version>` (write-temp +
+    * rename-overwrite). The staged version dir must already be
+    * complete — this is the publication instant. */
+  def flipManifest(spark: SparkSession, root: String, version: String): Unit = {
+    val ctx = fc(spark)
     val tmp = new Path(root, s"_CURRENT.$version.tmp")
     val out = ctx.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,

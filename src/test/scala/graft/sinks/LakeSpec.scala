@@ -84,6 +84,29 @@ class LakeSpec extends SparkSpec {
     assert(miss.count() == 0)
   }
 
+  test("compactPublished: many small files -> few clustered files, atomically versioned") {
+    val root = tmp("compact")
+    val df = (0L until 2000L).map(i => (i, i % 500)).toDF("id", "k")
+    // simulate a streaming ingest's fragmented layout: 50 small files
+    graft.sinks.Publish.publishTables(spark,
+      Map("t" -> df.repartition(50)), root, "000001")
+    val before = spark.read.parquet(s"$root/v-000001/t").inputFiles.length
+    assert(before >= 40, s"fixture should be fragmented, got $before files")
+
+    Lake.compactPublished(spark, root, "t", Seq(col("k")), Seq("k"),
+      newVersion = "000002", numFiles = 8)
+
+    assert(graft.sinks.Publish.currentVersion(spark, root).contains("v-000002"))
+    val compacted = graft.sinks.Publish.readTable(spark, root, "t")
+    assert(compacted.inputFiles.length == 8)
+    assert(compacted.collect().toSet == df.collect().toSet, "compaction preserves data")
+    // the fresh manifest prunes on the new layout
+    val (kept, total) = Lake.pruneStats(spark, s"$root/v-000002/t", "k", 0, 10)
+    assert(total == 8 && kept < total)
+    // old version intact for pinned readers until vacuum
+    assert(spark.read.parquet(s"$root/v-000001/t").count() == 2000)
+  }
+
   test("zorderValue interleaves bits (known values)") {
     val out = Seq((3L, 5L)).toDF("x", "y")
       .select(Lake.zorderValue(col("x"), col("y"), 4).as("z"))
