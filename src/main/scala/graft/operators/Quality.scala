@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates for pipeline boundaries — the engine-level form
+  * of the reference's implicit load-time assumptions (FK integrity,
+  * non-empty keys — EtlHisTurnosCommand.php:130-151 simply trusts its
+  * SELECTs; a 100 TB ingest cannot).
+  *
+  * [[check]] evaluates row-wise expectations in ONE scan (each rule is
+  * a conditional count folded into a single hash-agg, whatever the rule
+  * count), and returns the long-form (rule, violations) report a
+  * quality dashboard ingests. [[uniqueness]] covers the one rule that
+  * is not row-wise. [[tableDigest]] is the cross-engine parity check:
+  * an order-independent row digest (bit_xor of a per-row md5 slice)
+  * that any engine reproduces — the cheap way to answer "did the
+  * migration/backfill produce the SAME table?" without shipping rows.
+  */
+object Quality {
+
+  /** A named row-wise expectation; `violation` must evaluate true on
+    * rows that BREAK the rule. */
+  final case class Expectation(name: String, violation: Column)
+
+  /** All expectations in one pass: SELECT sum(violation)... — a single
+    * hash aggregation, then unpivoted to (rule, violations) rows. */
+  def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    require(expectations.nonEmpty, "need at least one expectation")
+    val counts = expectations.map(e =>
+      sum(when(e.violation, 1L).otherwise(0L)).as(e.name))
+    df.agg(counts.head, counts.tail: _*)
+      .unpivot(Array.empty[Column], expectations.map(e => col(e.name)).toArray,
+        "rule", "violations")
+  }
+
+  /** Duplicate-key violations: rows beyond the first per key. One
+    * hash-agg pair (count minus distinct-count of the key struct). */
+  def uniqueness(df: DataFrame, keyCols: Seq[String], name: String): DataFrame =
+    df.agg((count(lit(1)) - count_distinct(struct(keyCols.map(col): _*)))
+        .as("violations"))
+      .select(lit(name).as("rule"), col("violations"))
+
+  /** Order-independent digest of selected columns: per row, md5 of the
+    * null-tagged '|'-joined string form, sliced to a 60-bit long;
+    * bit_xor across rows (commutative + associative → partition-order
+    * independent, map-side combinable, no overflow). Each column is
+    * tagged 'N' (null) or 'V' + value, so NULL never collides with any
+    * string value. Collisions are birthday-bounded (~2^30 rows for
+    * 2^60 space); callers compare
+    * digests AND counts. Cast-to-string parity holds for integral and
+    * string columns — gate doubles/timestamps behind explicit
+    * formatting at the call site. */
+  def tableDigest(df: DataFrame, cols: Seq[String], groupBy: Seq[String] = Nil): DataFrame = {
+    val canon = concat_ws("|",
+      cols.map(c => when(col(c).isNull, lit("N"))
+        .otherwise(concat(lit("V"), col(c).cast("string")))): _*)
+    val rowHash = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    val aggs = Seq(bit_xor(rowHash).as("digest"), count(lit(1)).as("n_rows"))
+    if (groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

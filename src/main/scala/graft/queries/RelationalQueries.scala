@@ -556,6 +556,122 @@ object RelationalQueries {
                CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
               FROM orders GROUP BY o_custkey""")),
 
+    // Data-quality expectations: four row-wise rules in ONE scan (a
+    // single hash agg + unpivot) plus the non-row-wise uniqueness rule,
+    // long-form (rule, violations) — the load-time gate a 100 TB ingest
+    // runs before publish.
+    Q("dq01_expectations",
+      (s, d) => {
+        import graft.operators.Quality
+        val li = Tables.lineitem(s, d)
+        Quality.check(li, Seq(
+          Quality.Expectation("orderkey_null", col("l_orderkey").isNull),
+          Quality.Expectation("qty_out_of_range", !col("l_quantity").between(1, 50)),
+          Quality.Expectation("discount_gt_5pct", col("l_discount") > 0.05),
+          Quality.Expectation("flag_unknown", !col("l_returnflag").isin("A", "N", "R"))))
+          .unionByName(Quality.uniqueness(li,
+            Seq("l_orderkey", "l_linenumber"), "orderline_dupes"))
+      },
+      Some("""SELECT 'orderkey_null' AS rule,
+               CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+              FROM lineitem
+              UNION ALL
+              SELECT 'qty_out_of_range',
+               CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'discount_gt_5pct',
+               CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'flag_unknown',
+               CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'orderline_dupes',
+               CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+              FROM lineitem""")),
+
+    // Order-independent table digest (bit_xor of a 60-bit md5 slice per
+    // row): the cross-engine parity check for migrations/backfills —
+    // DuckDB reproduces the exact digest from the same rows, any row
+    // order, any partitioning.
+    Q("dq02_table_digest",
+      (s, d) => graft.operators.Quality.tableDigest(
+        Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"),
+        groupBy = Seq("l_returnflag")),
+      Some {
+        def tag(c: String) =
+          s"CASE WHEN $c IS NULL THEN 'N' ELSE 'V' || CAST($c AS VARCHAR) END"
+        val canon = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+          .map(tag).mkString(" || '|' || ")
+        s"""SELECT l_returnflag,
+             bit_xor(CAST(('0x' || substr(md5($canon), 1, 15)) AS BIGINT)) AS digest,
+             CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag"""
+      }),
+
+    // TPC-H Q1 (pricing summary): decimal-exact sums of the classic
+    // derived measures — (12,2)³ products stay inside DECIMAL(38,6), so
+    // both engines sum exactly and the rounded doubles hash-match.
+    Q("tpch_q1",
+      (s, d) => {
+        def dec(c: String) = col(c).cast("decimal(12,2)")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(dec("l_quantity")).cast("double"), 2).as("sum_qty"),
+            round(sum(dec("l_extendedprice")).cast("double"), 2).as("sum_base_price"),
+            round(sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount")))
+              .cast("double"), 2).as("sum_disc_price"),
+            round(sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount"))
+              * (lit(1).cast("decimal(12,2)") + dec("l_tax"))).cast("double"), 2).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) AS sum_disc_price,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                 * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE), 2) AS sum_charge,
+               CAST(count(*) AS BIGINT) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus""")),
+
+    // TPC-H Q3 (shipping priority, adapted to the fixture's columns):
+    // selective dim filter → two fact joins → agg → pinned top-10.
+    Q("tpch_q3",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("double"), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) AS revenue
+              FROM customer, orders, lineitem
+              WHERE c_mktsegment = 'BUILDING'
+                AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+                AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
+
     // OP-29: inferirSexo dictionary lookup with unknown→null.
     Q("op29_inferir_sexo",
       (s, d) => {

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Option(10.0), "A"),
+    (2L, Option(-5.0), "A"),   // range violation
+    (3L, Option.empty[Double], "B"), // null violation
+    (3L, Option(7.0), "Z"),    // dupe key + unknown flag
+  ).toDF("id", "v", "flag")
+
+  test("check: all row-wise rules in one pass, long-form report") {
+    val out = Quality.check(df, Seq(
+      Quality.Expectation("v_null", col("v").isNull),
+      Quality.Expectation("v_negative", col("v") < 0),
+      Quality.Expectation("flag_unknown", !col("flag").isin("A", "B"))))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("v_null" -> 1L, "v_negative" -> 1L, "flag_unknown" -> 1L))
+    // one scan: exactly one aggregate over the source, no joins
+    val plan = Quality.check(df, Seq(Quality.Expectation("x", col("v").isNull)))
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    assert(plan.collect { case j: Join => j }.isEmpty, "check must not join")
+  }
+
+  test("uniqueness counts rows beyond the first per key") {
+    val out = Quality.uniqueness(df, Seq("id"), "id_dupes")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq("id_dupes" -> 1L))
+  }
+
+  test("tableDigest is row-order and partitioning independent, and detects a changed row") {
+    val cols = Seq("id", "flag")
+    val a = Quality.tableDigest(df, cols).as[(Long, Long)].head()
+    val b = Quality.tableDigest(df.orderBy(col("flag").desc).repartition(7), cols)
+      .as[(Long, Long)].head()
+    assert(a == b, "digest must be invariant to order and partitioning")
+    val mutated = df.withColumn("flag",
+      when(col("id") === 2L, lit("MUTATED")).otherwise(col("flag")))
+    val c = Quality.tableDigest(mutated, cols).as[(Long, Long)].head()
+    assert(c._1 != a._1 && c._2 == a._2, "same count, different digest")
+  }
+
+  test("tableDigest: null never collides with any string value (N/V tagging)") {
+    val withNull = Seq((1L, Option.empty[String])).toDF("id", "s")
+    (Seq("N", "null", "", "Nnull") :+ "V").foreach { v =>
+      val withVal = Seq((1L, Option(v))).toDF("id", "s")
+      val dn = Quality.tableDigest(withNull, Seq("id", "s")).as[(Long, Long)].head()
+      val dv = Quality.tableDigest(withVal, Seq("id", "s")).as[(Long, Long)].head()
+      assert(dn._1 != dv._1, s"null must not collide with '$v'")
+    }
+  }
+}
