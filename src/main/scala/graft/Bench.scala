@@ -87,7 +87,11 @@ object Bench {
     "op15_firstwins_dedup", "op18_19_sorted_dense_ids", "op20_unpivot",
     "ex01_tumbling_window", "ex02_session_window", "ex05_asof_join",
     "ex10_interval_join", "ex11_cms_heavy_hitters", "ex12_bloom_prefilter",
-    "mm03_features_ann", "skew01_salted_join")
+    "mm03_features_ann", "skew01_salted_join",
+    // round 6 families
+    "dd12_semdedup", "ex14_gap_fill", "ex16_rolling_window",
+    "lake01_stats_skipping", "op36_scd2_merge", "op37_fuzzy_match",
+    "tpch_q1", "tpch_q3")
 
   private def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                       spark: SparkSession, sfDir: String): (Double, Option[String]) = {
