@@ -12,9 +12,14 @@ object TimeQuery {
     // warm up
     graft.SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     names.foreach { n =>
-      val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      if (n == "his_job_e2e") {
+        val out = java.nio.file.Files.createTempDirectory("graft_time_job").toFile
+        graft.his.TurnosJob.run(spark, sfDir, out.getAbsolutePath, "t")
+      } else {
+        graft.SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
       println(f"TIMED $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
