@@ -41,6 +41,30 @@ object Quality {
         .as("violations"))
       .select(lit(name).as("rule"), col("violations"))
 
+  /** Robust per-group outlier detection (median/MAD, the
+    * quality-filtering workhorse for heavy-tailed pipeline metrics —
+    * unlike mean/stddev, one huge outlier cannot mask the others):
+    * flags rows with |v − median| / MAD > k. Exact interpolated
+    * percentiles (≡ DuckDB quantile_cont — proven by ex09); the ratio
+    * is rounded to 6 decimals so a 1e-15 accumulation difference can't
+    * flip the comparison between engines. Groups with MAD = 0 (over
+    * half the group identical) flag nothing — a deliberate choice:
+    * constant groups have no robust scale to judge against.
+    *
+    * Shape: two fact scans (value pass, deviation pass) + two
+    * group-sized broadcast joins — no windows, no per-group sorts. */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+                  k: Double): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val dev = df.join(broadcast(med), Seq(keyCol))
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), Seq(keyCol))
+      .filter(col("__mad") > 0 && round(col("__dev") / col("__mad"), 6) > k)
+  }
+
   /** Order-independent digest of selected columns: per row, md5 of the
     * null-tagged '|'-joined string form, sliced to a 60-bit long;
     * bit_xor across rows (commutative + associative → partition-order

@@ -311,6 +311,22 @@ FROM agg""")),
              LEFT JOIN s2 ON s2.user_id = u.user_id
              LEFT JOIN s3 ON s3.user_id = u.user_id""")),
 
+    // Robust outlier gate: per-type median/MAD flags events whose
+    // absolute deviation exceeds 4 MADs — the heavy-tail-safe quality
+    // filter (mean/stddev masks under contamination).
+    Q("dq03_mad_outliers",
+      (s, d) => graft.operators.Quality.madOutliers(
+          Tables.events(s, d), "event_type", "value", 4.0)
+        .select(col("event_id"), col("event_type"), col("value")),
+      Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+                FROM events GROUP BY 1),
+      dev AS (SELECT e.event_id, e.event_type, e.value, abs(e.value - m.m) AS d
+              FROM events e JOIN med m USING (event_type)),
+      mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
+      SELECT d.event_id, d.event_type, d.value
+      FROM dev d JOIN mad m USING (event_type)
+      WHERE m.mad > 0 AND round(d.d / m.mad, 6) > 4.0""")),
+
     Q("ex08_json_extract",
       (s, d) => EventOps.jsonExtractAgg(Tables.events(s, d)),
       // TRY_CAST + count of the casted value so both engines count only

@@ -256,6 +256,49 @@ object StreamingOps {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming SCD2 ingest: a stream of dimension-update batches folds
+    * into a published type-2 history via [[graft.operators.Scd2.merge]]
+    * — each micro-batch closes changed rows, inserts new versions, and
+    * republishes the FULL history atomically (stage-and-swap), so
+    * readers always see a complete consistent history and a crash
+    * mid-batch leaves the previous version current. Batch dates come
+    * from `batchDateOf(batchId)` so replays are deterministic. The
+    * same idempotent-foreachBatch guard as [[dedupIngest]]: a replay
+    * of an already-published batch id is a no-op. Updates within one
+    * batch must be unique per key (dedupe upstream —
+    * [[graft.operators.Dedup.firstWins]]); the LAST published history
+    * is the fold state, so the state size is the history, not the
+    * stream. */
+  def scd2Ingest(updates: DataFrame, root: String, key: String,
+                 trackedCols: Seq[String],
+                 batchDateOf: Long => java.sql.Date,
+                 checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val w = updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        val current = graft.sinks.Publish.currentVersion(s, root)
+        if (!current.exists(_ >= f"v-$id%09d")) {
+          val existing = current match {
+            case Some(_) => graft.sinks.Publish.readTable(s, root, "history")
+            case None =>
+              // bootstrap: empty history with the SCD2 meta columns
+              batch.toDF()
+                .withColumn("valid_from", lit(null).cast("date"))
+                .withColumn("valid_to", lit(null).cast("date"))
+                .withColumn("is_current", lit(true))
+                .limit(0)
+          }
+          val merged = graft.operators.Scd2.merge(
+            existing, batch.toDF(), key, trackedCols, batchDateOf(id))
+          graft.sinks.Publish.publishTables(s, Map("history" -> merged),
+            root, f"$id%09d")
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Merge sorted-by-start open sessions with a batch of event times
     * under the closed-boundary gap rule (`next <= last + gap` merges). */
   private[graft] def mergeAll(sessions: List[OpenSession], eventTs: List[Long],

@@ -111,4 +111,58 @@ class PropertySpec extends AnyFunSuite {
     assert(once.select("k").distinct().count() == once.count())
     assert(once.count() == rows.map(_._1).distinct.length)
   }
+
+  test("incremental rollup merge == full recompute for ANY split of the facts (bulk)") {
+    val rows = Gen.listOfN(400,
+      Gen.zip(Gen.chooseNum(0, 15), Gen.chooseNum(0, 99999))).sample.get
+      .map { case (g, cents) => (s"g$g", cents / 100.0) }
+    val df = rows.toDF("g", "value")
+    val keys = Seq("g")
+    def fin(st: org.apache.spark.sql.DataFrame) =
+      operators.IncrementalRollup.finalize(st, keys).collect().map(_.toSeq).toSet
+    val full = operators.IncrementalRollup.state(df, keys, "value")
+    // three arbitrary disjoint splits by hash of the value
+    Seq(2, 3, 5).foreach { m =>
+      val parts = (0 until m).map(i =>
+        operators.IncrementalRollup.state(
+          df.filter(abs(hash(col("value"))) % m === i), keys, "value"))
+      val merged = parts.reduce((a, b) => operators.IncrementalRollup.merge(a, b, keys))
+      assert(fin(merged) == fin(full), s"split into $m shards diverged")
+    }
+  }
+
+  test("zorderValue stays within 2*bits bits and is monotone-safe on known orderings (bulk)") {
+    val pts = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(0L, 1023L), Gen.chooseNum(0L, 1023L))).sample.get
+    val out = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.sinks.Lake.zorderValue(col("x"), col("y"), 10).as("z"))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (x, y, z) =>
+      assert(z >= 0 && z < (1L << 20), s"z out of range for ($x,$y): $z")
+      // decode must invert encode: bit i of x == bit 2i of z, etc.
+      val xd = (0 until 10).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val yd = (0 until 10).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(xd == x && yd == y, s"z-decode mismatch ($x,$y) -> $z -> ($xd,$yd)")
+    }
+  }
+
+  test("scd2 merge conserves keys and open-row uniqueness under random update batches") {
+    val d1 = java.sql.Date.valueOf("2024-06-01")
+    val base = (0L until 40L).map(k => (k, s"v$k")).toDF("k", "v")
+      .withColumn("valid_from", lit(java.sql.Date.valueOf("2024-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    val updates = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 60L), Gen.alphaStr.map(_.take(4))))
+      .sample.get.distinct.groupBy(_._1).map(_._2.head).toSeq // unique per key
+      .toDF("k", "v")
+    val merged = operators.Scd2.merge(base, updates, "k", Seq("v"), d1)
+    // exactly one OPEN row per key, for every key ever seen
+    val openPerKey = merged.filter(col("is_current")).groupBy(col("k")).count()
+    assert(openPerKey.filter(col("count") =!= 1).count() == 0)
+    val allKeys = base.select("k").union(updates.select("k")).distinct().count()
+    assert(openPerKey.count() == allKeys)
+    // closed rows only ever gain valid_to = batch date
+    assert(merged.filter(!col("is_current") && col("valid_to").isNull).count() == 0)
+  }
 }

@@ -267,6 +267,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Ingest folds dimension updates into a published type-2 history") {
+    import graft.sinks.Publish
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2_ingest").toString
+    val d = (id: Long) => java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(id))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.scd2Ingest(
+      input.toDF().toDF("k", "v"), root, "k", Seq("v"), d)
+    try {
+      input.addData(Seq((1L, "a"), (2L, "b"))); q.processAllAvailable()
+      input.addData(Seq((1L, "a2"), (3L, "c"))); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(Publish.currentVersion(spark, root).contains("v-000000001"))
+    val hist = Publish.readTable(spark, root, "history")
+      .select($"k", $"v", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, String, java.sql.Date, Option[java.sql.Date], Boolean)]
+      .collect().toSet
+    assert(hist == Set(
+      (1L, "a", d(0), Some(d(1)), false),  // closed by batch 1
+      (1L, "a2", d(1), None, true),
+      (2L, "b", d(0), None, true),         // untouched across batch 1
+      (3L, "c", d(1), None, true)))
+
+    // previous snapshot still complete for pinned readers
+    assert(spark.read.parquet(s"$root/v-000000000/history").count() == 2)
+  }
+
   test("dedupIngest folds incremental dedup over micro-batches, snapshots atomically") {
     import graft.operators.NearDup
     import graft.sinks.Publish
