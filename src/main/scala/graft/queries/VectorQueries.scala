@@ -90,6 +90,27 @@ SELECT * FROM (
   FROM scored) t
 WHERE rk <= 10"""
 
+  /** mm03/mm04 shared oracle fragment: byte-histogram features of the
+    * fake media payloads, as a `feat(vec_id, embedding)` CTE chain. */
+  private val featCtes: String = {
+    val hexDigits = "0123456789ABCDEF"
+    val hist = (0 until 16)
+      .map(k => s"sum(CASE WHEN hd = '${hexDigits(k)}' THEN 1 ELSE 0 END) AS c$k")
+      .mkString(", ")
+    val featList = (0 until 16)
+      .map(k => s"round(CAST(CAST(CAST(coalesce(h.c$k, 0) AS DOUBLE) / ch.n AS REAL) AS DOUBLE), 6)")
+      .mkString(", ")
+    s"""chars AS (SELECT doc_id, strlen(text) AS sl,
+                  greatest(CAST(strlen(text) AS BIGINT), 1) AS n,
+                  hex(encode(text)) AS hx
+           FROM documents),
+nibs AS (SELECT doc_id, substr(hx, 2 * i - 1, 1) AS hd
+         FROM (SELECT doc_id, hx, unnest(generate_series(1, sl)) AS i FROM chars) t),
+hist AS (SELECT doc_id, $hist FROM nibs GROUP BY doc_id),
+feat AS (SELECT ch.doc_id AS vec_id, [$featList] AS embedding
+         FROM chars ch LEFT JOIN hist h ON h.doc_id = ch.doc_id)"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // EX-06 baseline: exact brute-force cosine top-10 for 5 query vectors.
@@ -380,22 +401,7 @@ WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)""")),
           numPlanes = 8, dim = 16)
       },
       Some {
-        val hexDigits = "0123456789ABCDEF"
-        val hist = (0 until 16)
-          .map(k => s"sum(CASE WHEN hd = '${hexDigits(k)}' THEN 1 ELSE 0 END) AS c$k")
-          .mkString(", ")
-        val featList = (0 until 16)
-          .map(k => s"round(CAST(CAST(CAST(coalesce(h.c$k, 0) AS DOUBLE) / ch.n AS REAL) AS DOUBLE), 6)")
-          .mkString(", ")
-        s"""WITH chars AS (SELECT doc_id, strlen(text) AS sl,
-                  greatest(CAST(strlen(text) AS BIGINT), 1) AS n,
-                  hex(encode(text)) AS hx
-           FROM documents),
-nibs AS (SELECT doc_id, substr(hx, 2 * i - 1, 1) AS hd
-         FROM (SELECT doc_id, hx, unnest(generate_series(1, sl)) AS i FROM chars) t),
-hist AS (SELECT doc_id, $hist FROM nibs GROUP BY doc_id),
-feat AS (SELECT ch.doc_id AS vec_id, [$featList] AS embedding
-         FROM chars ch LEFT JOIN hist h ON h.doc_id = ch.doc_id),
+        s"""WITH $featCtes,
 $planesSql,
 fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
               unnest(embedding)::DOUBLE AS v
@@ -427,5 +433,42 @@ SELECT * FROM (
   FROM scored) t
 WHERE rk <= 5"""
       }),
+
+    // Multimodal dedup index build: the per-media composition of the
+    // two dedup keys — the exact canonical (min media_id per payload
+    // checksum — the reference find-or-insert shape on binary content)
+    // and the feature LSH bucket (byte-histogram features → hyperplane
+    // bucket, the near-dup blocking key). One projection pass each; at
+    // 100 TB both keys become storage layout (checksum for exact-dup
+    // shrink, bucket for the near-dup candidate join).
+    Q("mm04_media_dedup_index",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val media = Multimodal.asBinary(Tables.documents(s, d))
+        val exact = Multimodal.decodeMetaExpr(media)
+          .select(col("media_id"),
+            min(col("media_id")).over(Window.partitionBy(col("checksum")))
+              .as("exact_id"))
+        val feats = Multimodal.extractFeatures(s, media).toDF()
+          .select(col("media_id"),
+            transform(col("features"), x => round(x.cast("double"), 6)).as("embedding"))
+        val buckets = feats.select(col("media_id"),
+          Similarity.lshBucket(col("embedding"), 8, 16).as("feature_bucket"))
+        exact.join(buckets, Seq("media_id"))
+      },
+      Some(s"""WITH $featCtes,
+$planesSql,
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM feat),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
+bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+exact AS (SELECT doc_id AS media_id,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS exact_id
+          FROM documents)
+SELECT e.media_id, e.exact_id, bk.bucket AS feature_bucket
+FROM exact e JOIN bk ON bk.vec_id = e.media_id""")),
   )
 }
