@@ -79,4 +79,20 @@ object Scd2 {
 
     closedHistory.unionByName(mergedOpen)
   }
+
+  /** Point-in-time (temporal) join: each fact row joined to the
+    * dimension VERSION that was valid at the fact's timestamp —
+    * `valid_from <= ts < valid_to` (open rows have null `valid_to`).
+    * The key equality keeps this a hash/broadcast equi-join with the
+    * validity range as a join filter (never a nested loop); facts with
+    * no valid version at their timestamp keep nulls (left join). At
+    * most one version matches per (key, ts) when the history is
+    * well-formed ([[merge]] maintains non-overlapping intervals). */
+  def pointInTime(facts: DataFrame, history: DataFrame, factKey: String,
+                  dimKey: String, tsCol: String): DataFrame =
+    facts.join(history,
+      facts(factKey) === history(dimKey) &&
+        facts(tsCol) >= history("valid_from") &&
+        (history("valid_to").isNull || facts(tsCol) < history("valid_to")),
+      "left")
 }

@@ -672,6 +672,82 @@ object RelationalQueries {
               GROUP BY l_orderkey, o_orderdate, o_orderpriority
               ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
 
+    // CDC apply (type-1 upsert/delete fold): a synthetic change batch —
+    // two ops on the same key (update then delete, seq decides), plain
+    // updates, deletes, and inserts — folded into the customer snapshot.
+    // Last-op-per-key via one max_by hash agg; deletes anti-join out.
+    Q("op39_cdc_apply",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        val updates = c.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2))
+          .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+        val deletes = c.filter(col("c_custkey") % 11 === 0)
+          .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+        val inserts = c.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment"))
+          .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+        graft.operators.Cdc.apply(c,
+          updates.unionByName(deletes).unionByName(inserts), "c_custkey", "seq")
+      },
+      Some("""WITH ch AS (
+        SELECT c_custkey, round(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment,
+               'U' AS op, 1 AS seq FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal, c_mktsegment, 'D', 2
+        FROM customer WHERE c_custkey % 11 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 0.0, 'NEW', 'I', 1
+        FROM customer WHERE c_custkey % 13 = 0),
+      latest AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment, op FROM (
+          SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+          FROM ch) t WHERE rn = 1)
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM latest WHERE op <> 'D'""")),
+
+    // Point-in-time join: each order joined to the customer-history
+    // VERSION valid at its order date (two synthetic versions split at
+    // 1998-01-01; version intervals are half-open). Key equality keeps
+    // the hash join; the validity range rides as a join filter.
+    Q("op40_temporal_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val split = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+        val history = c
+          .select(col("c_custkey"), concat(col("c_mktsegment"), lit("#v1")).as("segment"),
+            lit(java.sql.Timestamp.valueOf("1990-01-01 00:00:00")).as("valid_from"),
+            split.as("valid_to"))
+          .unionByName(c.select(col("c_custkey"),
+            concat(col("c_mktsegment"), lit("#v2")).as("segment"),
+            split.as("valid_from"),
+            lit(null).cast("timestamp").as("valid_to")))
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        graft.operators.Scd2.pointInTime(o, history, "o_custkey", "c_custkey",
+            "o_orderdate")
+          .select(col("o_orderkey"), col("o_custkey"), col("segment"))
+      },
+      Some("""WITH history AS (
+        SELECT c_custkey, c_mktsegment || '#v1' AS segment,
+               TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+               TIMESTAMP '1998-01-01 00:00:00' AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_mktsegment || '#v2', TIMESTAMP '1998-01-01 00:00:00',
+               CAST(NULL AS TIMESTAMP)
+        FROM customer)
+      SELECT o.o_orderkey, o.o_custkey, h.segment
+      FROM orders o LEFT JOIN history h
+        ON h.c_custkey = o.o_custkey
+       AND o.o_orderdate >= h.valid_from
+       AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)""")),
+
     // OP-29: inferirSexo dictionary lookup with unknown→null.
     Q("op29_inferir_sexo",
       (s, d) => {

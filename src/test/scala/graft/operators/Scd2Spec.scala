@@ -54,6 +54,24 @@ class Scd2Spec extends SparkSpec {
     assert(out.filter(!col("is_current")).count() == 2)
   }
 
+  test("pointInTime joins each fact to the version valid at its timestamp") {
+    val hist = Seq(
+      (1L, "v1", Option(d0), Option(d1), false),
+      (1L, "v2", Option(d1), Option.empty[java.sql.Date], true),
+    ).toDF("k", "tag", "valid_from", "valid_to", "is_current")
+    val facts = Seq(
+      (10L, 1L, java.sql.Date.valueOf("2024-03-01")), // inside v1
+      (11L, 1L, java.sql.Date.valueOf("2024-06-01")), // boundary: half-open → v2
+      (12L, 1L, java.sql.Date.valueOf("2025-01-01")), // open row v2
+      (13L, 1L, java.sql.Date.valueOf("2023-01-01")), // before any version → null
+      (14L, 2L, java.sql.Date.valueOf("2024-03-01")), // unknown key → null
+    ).toDF("fact_id", "fk", "ts")
+    val out = Scd2.pointInTime(facts, hist, "fk", "k", "ts")
+      .select("fact_id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(10L -> Some("v1"), 11L -> Some("v2"), 12L -> Some("v2"),
+      13L -> None, 14L -> None))
+  }
+
   test("scd2 merge is idempotent: replaying the same update batch is a no-op") {
     val updates = Seq((1L, "a2", Option(11.0))).toDF("k", "v", "bal")
     val once = Scd2.merge(current, updates, "k", Seq("v", "bal"), d1)
