@@ -299,6 +299,36 @@ object StreamingOps {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming CDC ingest — the type-1 sibling of [[scd2Ingest]]: each
+    * micro-batch of I/U/D changes folds through
+    * [[graft.operators.Cdc.apply]] into a published current-state
+    * snapshot (stage-and-swap; a crash leaves the previous complete
+    * snapshot current; replays of published batch ids are no-ops). The
+    * within-batch op order is the caller's `seqCol`; ACROSS batches
+    * order is batch order — the usual CDC-log contract. */
+  def cdcIngest(changes: DataFrame, root: String, key: String, seqCol: String,
+                checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val w = changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        val current = graft.sinks.Publish.currentVersion(s, root)
+        if (!current.exists(_ >= f"v-$id%09d")) {
+          val payload = batch.columns
+            .filterNot(c => c == graft.operators.Cdc.OpCol || c == seqCol)
+          val existing = current match {
+            case Some(_) => graft.sinks.Publish.readTable(s, root, "snapshot")
+            case None => batch.toDF().select(payload.map(col).toSeq: _*).limit(0)
+          }
+          val updated = graft.operators.Cdc.apply(existing, batch.toDF(), key, seqCol)
+          graft.sinks.Publish.publishTables(s, Map("snapshot" -> updated),
+            root, f"$id%09d")
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Merge sorted-by-start open sessions with a batch of event times
     * under the closed-boundary gap rule (`next <= last + gap` merges). */
   private[graft] def mergeAll(sessions: List[OpenSession], eventTs: List[Long],

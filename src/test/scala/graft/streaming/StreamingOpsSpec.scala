@@ -296,6 +296,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/v-000000000/history").count() == 2)
   }
 
+  test("cdcIngest folds I/U/D batches into a published current-state snapshot") {
+    import graft.sinks.Publish
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_ingest").toString
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q = StreamingOps.cdcIngest(
+      input.toDF().toDF("k", "v", "op", "seq"), root, "k", "seq")
+    try {
+      input.addData(Seq((1L, "a", "I", 1L), (2L, "b", "I", 2L)))
+      q.processAllAvailable()
+      input.addData(Seq((1L, "a2", "U", 1L), (2L, "b", "D", 2L), (3L, "c", "I", 3L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Publish.readTable(spark, root, "snapshot")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2"), (3L, "c")))
+    // batch-0 snapshot still readable for pinned readers
+    assert(spark.read.parquet(s"$root/v-000000000/snapshot").count() == 2)
+  }
+
   test("dedupIngest folds incremental dedup over micro-batches, snapshots atomically") {
     import graft.operators.NearDup
     import graft.sinks.Publish
