@@ -30,8 +30,12 @@ object Cdc {
     require(changes.columns.contains(OpCol) && changes.columns.contains(seqCol),
       s"changes must carry '$OpCol' and '$seqCol'")
 
-    // last op per key: one hash agg, constant state per key
+    // last op per key: one hash agg, constant state per key. Null keys
+    // are dropped first — a null-key row can never equi-join the
+    // snapshot (null matches nothing), so it would otherwise append an
+    // unremovable null-key row per batch.
     val latest = changes
+      .filter(col(key).isNotNull)
       .groupBy(col(key))
       .agg(max_by(struct((changes.columns.filterNot(_ == key)).map(col): _*),
         col(seqCol)).as("__last"))

@@ -76,9 +76,14 @@ object Quality {
     * string columns — gate doubles/timestamps behind explicit
     * formatting at the call site. */
   def tableDigest(df: DataFrame, cols: Seq[String], groupBy: Seq[String] = Nil): DataFrame = {
+    // Length-prefixed values make the encoding prefix-free: without the
+    // length, a '|' inside a value lets different rows canonicalize to
+    // the same string (("x|Vy","z") vs ("x","y|Vz")) — a systematic
+    // false-equal, not a hash collision.
     val canon = concat_ws("|",
       cols.map(c => when(col(c).isNull, lit("N"))
-        .otherwise(concat(lit("V"), col(c).cast("string")))): _*)
+        .otherwise(concat(lit("V"), length(col(c).cast("string")),
+          lit(":"), col(c).cast("string")))): _*)
     val rowHash = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
     val aggs = Seq(bit_xor(rowHash).as("digest"), count(lit(1)).as("n_rows"))
     if (groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)

@@ -46,10 +46,15 @@ object Scd2 {
     val open = current.filter(col("is_current"))
     val closedHistory = current.filter(!col("is_current"))
 
+    // A null-key update row would otherwise fall through the full-outer
+    // join unmatched on BOTH sides (null joins nothing) and the
+    // "no update" branch would fabricate an all-null history row —
+    // null-key updates are structurally meaningless, drop them here.
+    val cleanUpdates = updates.filter(col(key).isNotNull)
     // Aliased so shared lineage between updates and current cannot make
     // the join self-referential; <=> so null→value and value→null both
     // count as changes.
-    val u = updates.alias("u")
+    val u = cleanUpdates.alias("u")
     val o = open.alias("o")
     val same = trackedCols.map(c => col(s"u.$c") <=> col(s"o.$c")).reduce(_ and _)
     val hasU = col(s"u.$key").isNotNull
@@ -89,10 +94,18 @@ object Scd2 {
     * most one version matches per (key, ts) when the history is
     * well-formed ([[merge]] maintains non-overlapping intervals). */
   def pointInTime(facts: DataFrame, history: DataFrame, factKey: String,
-                  dimKey: String, tsCol: String): DataFrame =
-    facts.join(history,
-      facts(factKey) === history(dimKey) &&
-        facts(tsCol) >= history("valid_from") &&
-        (history("valid_to").isNull || facts(tsCol) < history("valid_to")),
+                  dimKey: String, tsCol: String): DataFrame = {
+    // Aliased, like merge: facts and history often share lineage (the
+    // history was derived from the same source), and bare df(col)
+    // references would then resolve to the same attribute ids —
+    // an ambiguous/trivially-true self-join.
+    val f = facts.alias("pit_f")
+    val h = history.alias("pit_h")
+    f.join(h,
+      col(s"pit_f.$factKey") === col(s"pit_h.$dimKey") &&
+        col(s"pit_f.$tsCol") >= col("pit_h.valid_from") &&
+        (col("pit_h.valid_to").isNull ||
+          col(s"pit_f.$tsCol") < col("pit_h.valid_to")),
       "left")
+  }
 }

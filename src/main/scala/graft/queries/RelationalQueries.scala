@@ -603,7 +603,9 @@ object RelationalQueries {
         groupBy = Seq("l_returnflag")),
       Some {
         def tag(c: String) =
-          s"CASE WHEN $c IS NULL THEN 'N' ELSE 'V' || CAST($c AS VARCHAR) END"
+          s"CASE WHEN $c IS NULL THEN 'N' ELSE 'V' || " +
+            s"CAST(length(CAST($c AS VARCHAR)) AS VARCHAR) || ':' || " +
+            s"CAST($c AS VARCHAR) END"
         val canon = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
           .map(tag).mkString(" || '|' || ")
         s"""SELECT l_returnflag,

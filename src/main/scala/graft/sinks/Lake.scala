@@ -68,6 +68,9 @@ object Lake {
     * string key columns only (the hash is over the string form). */
   def writeStats(spark: SparkSession, path: String, statsCols: Seq[String],
                  bloomCols: Seq[String] = Nil): Unit = {
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "writeStats needs at least one stats or bloom column — a manifest " +
+        "with no per-file summaries cannot prune anything")
     val data = spark.read.parquet(path)
     val withPos = bloomCols.foldLeft(data) { (df, c) =>
       RuntimeFilter.bloomPositions(col(c), BloomHashes, BloomBits).zipWithIndex
@@ -167,10 +170,40 @@ object Lake {
       .getOrElse(throw new IllegalStateException(s"no published version under $root"))
     require(s"v-$newVersion" > cur,
       s"newVersion v-$newVersion must sort after current $cur (monotonic versions)")
-    val df = Publish.readTable(spark, root, table)
-    writeClustered(df, s"$root/v-$newVersion/$table", clusterCols, statsCols,
-      numFiles, bloomCols)
+    try {
+      writeClustered(Publish.readTable(spark, root, table),
+        s"$root/v-$newVersion/$table", clusterCols, statsCols, numFiles, bloomCols)
+    } catch {
+      // mirror publishTables: a failed compaction must not leave a
+      // staged dir that sorts newer than current (vacuum only reclaims
+      // versions OLDER than current, so it would linger forever)
+      case e: Throwable =>
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(root, s"v-$newVersion"), true)
+        } catch { case _: Throwable => () }
+        throw e
+    }
     Publish.flipManifest(spark, root, newVersion)
+  }
+
+  /** The maintenance version name to use when compacting a STREAMING
+    * ingest root ([[graft.streaming.StreamingOps]] dedup/SCD2/CDC
+    * ingests): keeps the current version's 9 batch digits — so the
+    * ingest replay guard still sees the true last-folded batch — and
+    * appends/increments a `-c<k>` suffix to stay lexicographically
+    * newer. Using an arbitrary newer version instead would make the
+    * guard skip live batches (it would read the compaction's digits as
+    * an already-folded batch id). */
+  def ingestCompactVersion(currentVersion: String): String = {
+    val m = """^v-(\d{9})(?:-c(\d+))?$""".r
+    currentVersion match {
+      case m(digits, k) =>
+        s"$digits-c${Option(k).map(_.toInt + 1).getOrElse(1)}"
+      case other => throw new IllegalArgumentException(
+        s"not an ingest-formatted version: $other")
+    }
   }
 
   /** Z-order (Morton) value of two non-negative integer columns: the

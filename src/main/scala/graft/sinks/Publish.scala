@@ -109,15 +109,22 @@ object Publish {
     require(keepLast >= 0, s"keepLast must be >= 0: $keepLast")
     val ctx = fc(spark)
     val cur = currentVersion(spark, root)
-    val it = ctx.util.listStatus(new Path(root))
-    val versions = it.toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("v-"))
+    val versions = listVersions(spark, root)
       .filter(v => cur.exists(c => Ordering[String].lt(v, c)))
       .sorted(Ordering[String].reverse)
     val doomed = versions.drop(keepLast)
     doomed.foreach(v => ctx.delete(new Path(root, v), true))
     doomed
+  }
+
+  /** All version dir names (`v-*`) under `root`, published or staged. */
+  def listVersions(spark: SparkSession, root: String): Seq[String] = {
+    val ctx = fc(spark)
+    val p = new Path(root)
+    if (!ctx.util.exists(p)) Seq.empty
+    else ctx.util.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v-"))
   }
 }

@@ -200,6 +200,57 @@ object StreamingOps {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Ingest versions are `v-<9-digit batch id>` with an optional
+    * maintenance suffix (`-c<k>` from [[graft.sinks.Lake
+    * .compactPublished]]): the digits IDENTIFY the last folded batch,
+    * the suffix keeps maintenance republishes lexicographically newer
+    * without claiming a new batch. */
+  private val IngestVersion = """^v-(\d{9})(-.*)?$""".r
+
+  /** The last batch id folded into an ingest root, judged from the
+    * ingest-FORMATTED version dirs only — an out-of-band publish with
+    * a different version format (or a compaction suffix, which
+    * preserves the digits) can therefore never make the guard skip a
+    * live batch. */
+  private def lastFoldedBatch(s: org.apache.spark.sql.SparkSession,
+                              root: String): Option[Long] =
+    graft.sinks.Publish.listVersions(s, root)
+      .collect { case IngestVersion(digits, _) => digits.toLong }
+      .reduceOption(_ max _)
+
+  /** Shared ingest skeleton (dedup/SCD2/CDC): per micro-batch —
+    * idempotent-replay guard, bootstrap-or-read state, fold, atomic
+    * snapshot publish.
+    *
+    * The guard: foreachBatch is at-least-once — a crash after
+    * publishTables succeeds but before the checkpoint commits re-runs
+    * the SAME batch id on restart, and folding it twice corrupts the
+    * state (duplicate/relabeled rows). A published ingest version with
+    * digits >= this batch id proves the batch already folded — skip.
+    * COROLLARY: restarting WITHOUT a checkpoint resets batch ids to 0
+    * while the root still holds higher versions, so every batch is
+    * skipped until ids pass the old maximum — always set `checkpoint`
+    * for a resumable stream, or start a fresh root. */
+  private def guardedFold(changes: DataFrame, root: String, table: String,
+                          checkpoint: Option[String])(
+      bootstrap: DataFrame => DataFrame)(
+      fold: (DataFrame, DataFrame, Long) => DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        if (!lastFoldedBatch(s, root).exists(_ >= id)) {
+          val existing = graft.sinks.Publish.currentVersion(s, root) match {
+            case Some(_) => graft.sinks.Publish.readTable(s, root, table)
+            case None => bootstrap(batch.toDF())
+          }
+          graft.sinks.Publish.publishTables(s,
+            Map(table -> fold(existing, batch.toDF(), id)), root, f"$id%09d")
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Streaming incremental corpus dedup — the ingest form of
     * [[graft.operators.NearDup.canonicalizeIncremental]]: each
     * micro-batch of documents joins the established near-dup clusters
@@ -209,51 +260,26 @@ object StreamingOps {
     * atomically per batch through the stage-and-swap manifest, so a
     * crash mid-batch leaves the previous complete mapping current and
     * the checkpoint replays the batch (the OP-31 invariant on
-    * streaming state). The pipeline IS the fold of
+    * streaming state; replays of already-folded batches are no-ops —
+    * see [[guardedFold]]). The pipeline IS the fold of
     * canonicalizeIncremental over the batch sequence; the first batch
     * folds over an empty mapping. Contract: ids are ingested at most
     * once across the stream (dedupe upstream with
     * dropDuplicatesWithinWatermark if the source can repeat ids) —
-    * a re-ingested id would duplicate its mapping row.
-    *
-    * ENGINE replays (distinct from source repeats) are guarded: Spark's
-    * foreachBatch is at-least-once, so a crash after publishTables
-    * succeeds but before the checkpoint commits re-runs the SAME batch
-    * id on restart. Folding it again would re-insert its ids on top of
-    * the already-published mapping (duplicated + possibly relabeled
-    * rows). Since versions are the zero-padded batch id and the
-    * manifest flip is the last step of a successful fold, a published
-    * version >= this batch's proves the batch already folded — skip it
-    * (the standard idempotent-foreachBatch pattern). */
+    * a re-ingested id would duplicate its mapping row. */
   def dedupIngest(docs: DataFrame, root: String, idCol: String, textCol: String,
                   checkpoint: Option[String] = None,
                   threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
-    val w = docs.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val s = batch.sparkSession
-        val current = graft.sinks.Publish.currentVersion(s, root)
-        // Replay of an already-published batch (crash between publish
-        // and checkpoint commit): skip — the mapping already folded it.
-        if (!current.exists(_ >= f"v-$id%09d")) {
-          val existing = current match {
-            case Some(_) => graft.sinks.Publish.readTable(s, root, "mapping")
-            case None => s.createDataFrame(
-              s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(
-                batch.select(col(idCol), col(idCol).as("canonical_id"), col(textCol))
-                  .schema.fields))
-          }
-          val updated = graft.operators.NearDup.canonicalizeIncremental(
-            existing, batch.toDF(), idCol, textCol, threshold = threshold)
-            // re-attach text so the next batch can re-shingle reps
-            .join(existing.select(col(idCol), col(textCol))
-              .unionByName(batch.toDF().select(col(idCol), col(textCol))), Seq(idCol))
-          graft.sinks.Publish.publishTables(s, Map("mapping" -> updated), root, f"$id%09d")
-        }
-      }
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+    guardedFold(docs, root, "mapping", checkpoint)(
+      batch => batch.select(col(idCol), col(idCol).as("canonical_id"),
+        col(textCol)).limit(0)) { (existing, batch, _) =>
+      graft.operators.NearDup.canonicalizeIncremental(
+        existing, batch, idCol, textCol, threshold = threshold)
+        // re-attach text so the next batch can re-shingle reps
+        .join(existing.select(col(idCol), col(textCol))
+          .unionByName(batch.select(col(idCol), col(textCol))), Seq(idCol))
+    }
   }
 
   /** Streaming SCD2 ingest: a stream of dimension-update batches folds
@@ -273,30 +299,16 @@ object StreamingOps {
                  trackedCols: Seq[String],
                  batchDateOf: Long => java.sql.Date,
                  checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val w = updates.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val s = batch.sparkSession
-        val current = graft.sinks.Publish.currentVersion(s, root)
-        if (!current.exists(_ >= f"v-$id%09d")) {
-          val existing = current match {
-            case Some(_) => graft.sinks.Publish.readTable(s, root, "history")
-            case None =>
-              // bootstrap: empty history with the SCD2 meta columns
-              batch.toDF()
-                .withColumn("valid_from", lit(null).cast("date"))
-                .withColumn("valid_to", lit(null).cast("date"))
-                .withColumn("is_current", lit(true))
-                .limit(0)
-          }
-          val merged = graft.operators.Scd2.merge(
-            existing, batch.toDF(), key, trackedCols, batchDateOf(id))
-          graft.sinks.Publish.publishTables(s, Map("history" -> merged),
-            root, f"$id%09d")
-        }
-      }
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+    import org.apache.spark.sql.functions.lit
+    guardedFold(updates, root, "history", checkpoint)(
+      // bootstrap: empty history with the SCD2 meta columns
+      batch => batch
+        .withColumn("valid_from", lit(null).cast("date"))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+        .limit(0)) { (existing, batch, id) =>
+      graft.operators.Scd2.merge(existing, batch, key, trackedCols, batchDateOf(id))
+    }
   }
 
   /** Streaming CDC ingest — the type-1 sibling of [[scd2Ingest]]: each
@@ -309,24 +321,12 @@ object StreamingOps {
   def cdcIngest(changes: DataFrame, root: String, key: String, seqCol: String,
                 checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
-    val w = changes.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val s = batch.sparkSession
-        val current = graft.sinks.Publish.currentVersion(s, root)
-        if (!current.exists(_ >= f"v-$id%09d")) {
-          val payload = batch.columns
-            .filterNot(c => c == graft.operators.Cdc.OpCol || c == seqCol)
-          val existing = current match {
-            case Some(_) => graft.sinks.Publish.readTable(s, root, "snapshot")
-            case None => batch.toDF().select(payload.map(col).toSeq: _*).limit(0)
-          }
-          val updated = graft.operators.Cdc.apply(existing, batch.toDF(), key, seqCol)
-          graft.sinks.Publish.publishTables(s, Map("snapshot" -> updated),
-            root, f"$id%09d")
-        }
-      }
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+    guardedFold(changes, root, "snapshot", checkpoint)(
+      batch => batch.select(batch.columns
+        .filterNot(c => c == graft.operators.Cdc.OpCol || c == seqCol)
+        .map(col).toSeq: _*).limit(0)) { (existing, batch, _) =>
+      graft.operators.Cdc.apply(existing, batch, key, seqCol)
+    }
   }
 
   /** Merge sorted-by-start open sessions with a batch of event times

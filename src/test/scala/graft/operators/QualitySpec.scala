@@ -45,6 +45,16 @@ class QualitySpec extends SparkSpec {
     assert(c._1 != a._1 && c._2 == a._2, "same count, different digest")
   }
 
+  test("tableDigest: delimiter inside values cannot shift across column boundaries") {
+    // ("x|V1:y", "z") vs ("x", "y|V1:z") — without length prefixes both
+    // canonicalize identically; the digest must distinguish them.
+    val a = Seq((1L, "x|V1:y", "z")).toDF("id", "p", "q")
+    val b = Seq((1L, "x", "y|V1:z")).toDF("id", "p", "q")
+    val da = Quality.tableDigest(a, Seq("p", "q")).as[(Long, Long)].head()
+    val db = Quality.tableDigest(b, Seq("p", "q")).as[(Long, Long)].head()
+    assert(da._1 != db._1, "length-prefixed canon must be prefix-free")
+  }
+
   test("tableDigest: null never collides with any string value (N/V tagging)") {
     val withNull = Seq((1L, Option.empty[String])).toDF("id", "s")
     (Seq("N", "null", "", "Nnull") :+ "V").foreach { v =>

@@ -72,6 +72,28 @@ class Scd2Spec extends SparkSpec {
       13L -> None, 14L -> None))
   }
 
+  test("scd2 merge drops null-key update rows instead of emitting all-null history") {
+    val updates = Seq(
+      (Option(1L), "a2", Option(11.0)),
+      (Option.empty[Long], "junk", Option(99.0)),
+    ).toDF("k", "v", "bal")
+    val out = Scd2.merge(current, updates, "k", Seq("v", "bal"), d1)
+    assert(out.filter(col("k").isNull).count() == 0, "no fabricated null-key rows")
+    assert(out.filter(col("v") === "junk").count() == 0)
+    assert(out.filter(col("v") === "a2" && col("is_current")).count() == 1)
+  }
+
+  test("pointInTime works when facts and history share lineage (self-join safety)") {
+    val base = Seq((1L, "x")).toDF("k", "tag")
+    val hist = base
+      .withColumn("valid_from", lit(d0))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    val facts = base.select(col("k"), lit(java.sql.Date.valueOf("2024-03-01")).as("ts"))
+    val out = Scd2.pointInTime(facts, hist, "k", "k", "ts").collect()
+    assert(out.length == 1)
+  }
+
   test("scd2 merge is idempotent: replaying the same update batch is a no-op") {
     val updates = Seq((1L, "a2", Option(11.0))).toDF("k", "v", "bal")
     val once = Scd2.merge(current, updates, "k", Seq("v", "bal"), d1)

@@ -107,6 +107,20 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/v-000001/t").count() == 2000)
   }
 
+  test("failed compaction cleans its staged dir (vacuum could never reclaim it)") {
+    val root = tmp("compact_fail")
+    val df = (0L until 100L).map(i => (i, i % 10)).toDF("id", "k")
+    graft.sinks.Publish.publishTables(spark, Map("t" -> df), root, "000001")
+    intercept[Exception] {
+      // nonexistent cluster column → writeClustered throws mid-compaction
+      Lake.compactPublished(spark, root, "t", Seq(col("no_such_col")), Seq("k"),
+        newVersion = "000002")
+    }
+    assert(graft.sinks.Publish.currentVersion(spark, root).contains("v-000001"))
+    assert(!new java.io.File(s"$root/v-000002").exists(),
+      "partial staging dir must not linger newer-than-current")
+  }
+
   test("zorderValue interleaves bits (known values)") {
     val out = Seq((3L, 5L)).toDF("x", "y")
       .select(Lake.zorderValue(col("x"), col("y"), 4).as("z"))

@@ -316,6 +316,51 @@ class StreamingOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/v-000000000/snapshot").count() == 2)
   }
 
+  test("ingest replay guard survives an out-of-band compaction (digits preserved)") {
+    import graft.sinks.{Lake, Publish}
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_compact").toString
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q = StreamingOps.cdcIngest(
+      input.toDF().toDF("k", "v", "op", "seq"), root, "k", "seq")
+    try {
+      input.addData(Seq((1L, "a", "I", 1L))); q.processAllAvailable()
+      // ops compacts the ingest root between batches — the maintenance
+      // version keeps batch digits and adds -c1, so the NEXT batch must
+      // still fold (an arbitrary newer version would make it skip)
+      val cur = Publish.currentVersion(spark, root).get
+      val cv = Lake.ingestCompactVersion(cur)
+      assert(cv == "000000000-c1")
+      Lake.compactPublished(spark, root, "snapshot", Seq(col("k")), Seq("k"),
+        newVersion = cv, numFiles = 1)
+      assert(Publish.currentVersion(spark, root).contains("v-000000000-c1"))
+      input.addData(Seq((2L, "b", "I", 1L))); q.processAllAvailable()
+    } finally q.stop()
+    val got = Publish.readTable(spark, root, "snapshot")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")),
+      "batch after compaction must fold, not be skipped by the replay guard")
+  }
+
+  test("cdcIngest drops null-key changes instead of accumulating unremovable rows") {
+    import graft.sinks.Publish
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_null").toString
+    val input = MemoryStream[(Option[Long], String, String, Long)]
+    val q = StreamingOps.cdcIngest(
+      input.toDF().toDF("k", "v", "op", "seq"), root, "k", "seq")
+    try {
+      input.addData(Seq((Some(1L), "a", "I", 1L), (None, "junk", "U", 2L)))
+      q.processAllAvailable()
+      input.addData(Seq((None, "junk2", "U", 1L), (Some(2L), "b", "I", 2L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Publish.readTable(spark, root, "snapshot")
+      .as[(Option[Long], String)].collect().toSet
+    assert(got == Set((Some(1L), "a"), (Some(2L), "b")))
+  }
+
   test("dedupIngest folds incremental dedup over micro-batches, snapshots atomically") {
     import graft.operators.NearDup
     import graft.sinks.Publish
