@@ -42,6 +42,14 @@ class TurnosJobSpec extends SparkSpec {
       val a = published.select(cols: _*).collect().map(_.toSeq).toSet
       val b = oracle.select(cols: _*).collect().map(_.toSeq).toSet
       assert(a == b, s"published $table diverges from $query")
+      // Published schema = oracle schema, plus EXACTLY the declared
+      // partition column on the fact table — pin it so a layout change
+      // can't silently alter the published contract (JDBC loaders and
+      // fecha-filtering readers must know about fecha_mes).
+      val extra = published.columns.toSet -- oracle.columns.toSet
+      val expected = if (table == "turno") Set("fecha_mes") else Set.empty[String]
+      assert(extra == expected,
+        s"unexpected extra columns on published $table: $extra")
     }
   }
 
