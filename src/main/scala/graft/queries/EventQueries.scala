@@ -327,6 +327,27 @@ FROM agg""")),
       FROM dev d JOIN mad m USING (event_type)
       WHERE m.mad > 0 AND round(d.d / m.mad, 6) > 4.0""")),
 
+    // ANSI rank-function family: percent_rank / cume_dist / ntile over
+    // a pinned per-type total order (value, event_id tiebreak). One
+    // window partitioned by type — one shuffle, sorts local per group.
+    Q("ex17_rank_metrics",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").asc, col("event_id").asc)
+        Tables.events(s, d).select(
+          col("event_id"), col("event_type"), col("value"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+      },
+      Some("""SELECT event_id, event_type, value,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""")),
+
     Q("ex08_json_extract",
       (s, d) => EventOps.jsonExtractAgg(Tables.events(s, d)),
       // TRY_CAST + count of the casted value so both engines count only
