@@ -147,6 +147,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzyMatch recalls every single-char deletion of a catalog name (len >= 5, bulk)") {
+    val catalog = Seq("small ring", "red widget", "blue bolt", "hot gear",
+      "green gizmo", "steel plate").toDF("name")
+    // every deletion position of every name
+    val dirty = Seq("small ring", "red widget", "blue bolt", "hot gear",
+      "green gizmo", "steel plate")
+      .flatMap(n => (0 until n.length).map(p => n.substring(0, p) + n.substring(p + 1)))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "sucio")
+    val matched = operators.Dedup.fuzzyMatch(dirty, catalog, "id", "sucio", "name", 2)
+    // blocking (prefix-2 ∪ suffix-2) must never lose a single-edit variant
+    assert(matched.count() == dirty.count(),
+      "every single-deletion variant must find a match within dist 2")
+    assert(matched.filter(col("dist") > 1).count() == 0,
+      "a single deletion is at distance 1 from its source")
+  }
+
+  test("tableDigest: distinct rows give distinct digests under adversarial delimiters (bulk)") {
+    val gen = Gen.listOfN(2, Gen.oneOf("|", "V", "N", ":", "a", "b", ""))
+      .map(_.mkString)
+    val rows = Gen.listOfN(300, Gen.zip(gen, gen)).sample.get.distinct
+    val df = rows.toDF("p", "q")
+    val perRow = df.distinct().collect().length
+    // digest the whole table once per row is overkill; instead digest
+    // each row as its own 1-row table and compare digest distinctness
+    val digests = operators.Quality.tableDigest(
+        df.distinct(), Seq("p", "q"), groupBy = Seq("p", "q"))
+      .select(col("digest")).distinct().count()
+    // distinct (p,q) pairs may share a digest only by 2^-60 accident
+    assert(digests == perRow.toLong,
+      "prefix-free canon must separate all adversarial delimiter rows")
+  }
+
   test("scd2 merge conserves keys and open-row uniqueness under random update batches") {
     val d1 = java.sql.Date.valueOf("2024-06-01")
     val base = (0L until 40L).map(k => (k, s"v$k")).toDF("k", "v")

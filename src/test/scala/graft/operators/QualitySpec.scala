@@ -55,6 +55,24 @@ class QualitySpec extends SparkSpec {
     assert(da._1 != db._1, "length-prefixed canon must be prefix-free")
   }
 
+  test("madOutliers: constant groups abstain; a gross outlier is flagged; inliers are not") {
+    val rows = Seq.tabulate(20)(i => ("g", 10.0 + (i % 5))) ++  // tight cluster
+      Seq(("g", 1000.0)) ++                                      // gross outlier
+      Seq.tabulate(10)(_ => ("const", 7.0))                      // MAD = 0 group
+    val df = rows.toDF("grp", "v")
+    val out = Quality.madOutliers(df, "grp", "v", 4.0)
+      .select($"grp", $"v").as[(String, Double)].collect().toSet
+    assert(out == Set(("g", 1000.0)))
+  }
+
+  test("madOutliers threshold is monotone: higher k flags a subset") {
+    val df = (Seq.tabulate(50)(i => 10.0 + i % 7) ++ Seq(80.0, 200.0, 1000.0))
+      .map(("g", _)).toDF("grp", "v")
+    val at3 = Quality.madOutliers(df, "grp", "v", 3.0).count()
+    val at10 = Quality.madOutliers(df, "grp", "v", 10.0).count()
+    assert(at10 <= at3 && at10 >= 1)
+  }
+
   test("tableDigest: null never collides with any string value (N/V tagging)") {
     val withNull = Seq((1L, Option.empty[String])).toDF("id", "s")
     (Seq("N", "null", "", "Nnull") :+ "V").foreach { v =>
