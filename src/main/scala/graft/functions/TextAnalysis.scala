@@ -221,6 +221,36 @@ object TextAnalysis {
     * shuffle on the doc id. The corpus size is one scalar agg job.
     * Spec-gated (the driver fixture's docs are single-line, so an
     * oracle query would be degenerate). */
+  /** Global exact paragraph dedup (the Dolma/RefinedWeb span-level
+    * pass): every occurrence of a paragraph except the corpus-FIRST —
+    * minimum (doc, position), a pinned total order — is removed, and
+    * documents are reassembled in original order (docs left with
+    * nothing keep an empty text). Complements
+    * [[removeBoilerplateLines]]: that one drops lines by corpus
+    * FREQUENCY (boilerplate), this one drops exact REPEATS wherever
+    * they appear, first occurrence wins.
+    *
+    * Scale shape: paragraphs shuffle by their md5 (16 bytes), never by
+    * content — one hash agg picks winners, one join back, one doc-keyed
+    * reassembly agg. No windows over the corpus. */
+  def dedupParagraphs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val paras = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "para")))
+      .withColumn("__k", md5(col("para")))
+    val winners = paras.groupBy(col("__k"))
+      .agg(min(struct(col(idCol).as("wid"), col("pos").as("wpos"))).as("w"))
+    val kept = paras.join(winners, Seq("__k"))
+      .filter(col(idCol) === col("w.wid") && col("pos") === col("w.wpos"))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+        s => s.getField("para")), "\n").as("text_dedup"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   def removeBoilerplateLines(docs: org.apache.spark.sql.DataFrame, idCol: String,
                              textCol: String,
                              maxDocFrac: Double): org.apache.spark.sql.DataFrame = {

@@ -441,6 +441,39 @@ SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
        coalesce(r.n_removed, 0) AS n_removed
 FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""")),
 
+    // Global exact paragraph dedup (Dolma-style span dedup): a shared
+    // intro on every doc and a shared tail on even ids survive ONLY in
+    // their corpus-first document (min doc, pos); each doc's own text
+    // stays unless it is an exact repeat of an earlier doc's.
+    Q("tx21_paragraph_dedup",
+      (s, d) => {
+        val injected = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("SHARED INTRO\n"), col("text"),
+            when(col("doc_id") % 2 === 0, lit("\nSHARED TAIL")).otherwise(lit("")))
+            .as("text"))
+        TextAnalysis.dedupParagraphs(injected, "doc_id", "text")
+      },
+      Some("""WITH inj AS (SELECT doc_id,
+                'SHARED INTRO' || chr(10) || text ||
+                (CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'SHARED TAIL' ELSE '' END) AS text
+              FROM documents),
+      paras AS (SELECT doc_id,
+                       unnest(generate_series(1, len(ls))) - 1 AS pos,
+                       unnest(ls) AS para
+                FROM (SELECT doc_id, str_split(text, chr(10)) AS ls FROM inj) t),
+      kept AS (SELECT doc_id, pos, para FROM (
+                 SELECT doc_id, pos, para,
+                        row_number() OVER (PARTITION BY md5(para)
+                          ORDER BY doc_id, pos) AS rn
+                 FROM paras) x WHERE rn = 1),
+      rebuilt AS (SELECT doc_id,
+                         string_agg(para, chr(10) ORDER BY pos) AS text_dedup,
+                         CAST(count(*) AS BIGINT) AS n_kept
+                  FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+             coalesce(r.n_kept, 0) AS n_kept
+      FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""")),
+
     // Count-min-sketch heavy hitters over the corpus term distribution:
     // depth×width bounded-memory frequency sketch (md5-derived hash
     // family shared with the oracle — deterministic, so the approximate

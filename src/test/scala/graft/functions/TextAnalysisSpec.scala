@@ -255,4 +255,18 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String, Double, Int)].collect().sortBy(r => (r._1, r._4))
     assert(allHot.toSeq == mostlyCold.toSeq)
   }
+
+  test("dedupParagraphs: corpus-first occurrence wins, within-doc repeats drop, order kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nshared\nbeta\nshared"), // within-doc repeat of 'shared'
+      (2L, "shared\ngamma"),               // cross-doc repeat (doc 1 pos 1 wins)
+      (3L, "shared"),                      // doc emptied entirely
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupParagraphs(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ("alpha\nshared\nbeta", 3L))
+    assert(out(2L) == ("gamma", 1L))
+    assert(out(3L) == ("", 0L))
+  }
 }
