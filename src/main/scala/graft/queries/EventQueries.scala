@@ -330,6 +330,11 @@ FROM agg""")),
     // ANSI rank-function family: percent_rank / cume_dist / ntile over
     // a pinned per-type total order (value, event_id tiebreak). One
     // window partitioned by type — one shuffle, sorts local per group.
+    // Scale note: partitionBy on a LOW-cardinality key concentrates
+    // each group's sort in one task; at extreme per-group volume use
+    // the denseIdScalable pattern (range-partition within group +
+    // offsets) to distribute the rank — the same hazard/remedy pair as
+    // OP-18's global sort, one level down.
     Q("ex17_rank_metrics",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
