@@ -79,6 +79,27 @@ object Dedup {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Per-group row_number WITHOUT a per-group sort task: the grouped
+    * counterpart of [[denseIdScalable]], for when the partition key has
+    * LOW cardinality and huge groups — a window's partitionBy would
+    * funnel each group through one sort task. Range-repartition on
+    * (group, order) puts contiguous runs of each group in order across
+    * partitions, zipWithIndex numbers them globally (one O(partitions)
+    * offsets pass), and subtracting each group's minimum global index
+    * (one hash agg + one broadcastable join) yields the 1-based
+    * per-group rank. Identical to `row_number().over(partitionBy
+    * (group).orderBy(order))` for a total order; every stage is
+    * distributed regardless of group count or size. */
+  def groupedRankScalable(df: DataFrame, grpCol: String, order: Seq[Column],
+                          name: String): DataFrame = {
+    val withIdx = denseIdScalable(df, col(grpCol) +: order, "__gidx")
+    val offsets = withIdx.groupBy(col(grpCol))
+      .agg(min(col("__gidx")).as("__goff"))
+    withIdx.join(offsets, Seq(grpCol))
+      .withColumn(name, (col("__gidx") - col("__goff") + 1L).cast(LongType))
+      .drop("__gidx", "__goff")
+  }
+
   /** Incremental find-or-insert (SURVEY OP-22, incremental mode): keep
     * every existing dim row with its id; append incoming keys not yet
     * present, assigning ids above the current maximum in `order` of

@@ -750,6 +750,22 @@ object RelationalQueries {
        AND o.o_orderdate >= h.valid_from
        AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)""")),
 
+    // Distributed per-group rank over a LOW-cardinality group key (5
+    // priorities × 15k orders — the shape where a window's partitionBy
+    // funnels each group through ONE sort task): range-partition +
+    // zipWithIndex + per-group offset subtraction, every stage
+    // distributed. The oracle is the plain window row_number — the
+    // scalable path must reproduce it exactly.
+    Q("op41_grouped_rank",
+      (s, d) => graft.operators.Dedup.groupedRankScalable(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        "o_orderpriority", Seq(col("o_totalprice").asc, col("o_orderkey").asc), "rnk"),
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS rnk
+              FROM orders""")),
+
     // OP-29: inferirSexo dictionary lookup with unknown→null.
     Q("op29_inferir_sexo",
       (s, d) => {

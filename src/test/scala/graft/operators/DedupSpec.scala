@@ -108,6 +108,19 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("groupedRankScalable equals the window row_number on a total order") {
+    val df = (1L to 500L).map(i => (i, s"g${i % 3}", (i * 7919) % 100))
+      .toDF("id", "g", "score")
+    val got = Dedup.groupedRankScalable(df, "g",
+        Seq(col("score").asc, col("id").asc), "rnk")
+      .select($"id", $"rnk").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".asc, $"id".asc)
+    val want = df.select($"id", row_number().over(w).cast("long").as("rnk"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("fuzzyMatch: single edits anywhere in the string survive blocking") {
     val catalog = Seq("small ring", "red widget", "blue bolt").toDF("name")
     val dirty = Seq(
