@@ -41,6 +41,19 @@ object Quality {
         .as("violations"))
       .select(lit(name).as("rule"), col("violations"))
 
+  /** Referential-integrity violations: fact rows whose foreign key has
+    * no match in the dimension (null FKs are NOT violations — nullable
+    * FKs mean "no reference"; add a [[check]] non-null rule when they
+    * must exist). One anti-join (broadcast for small dims) + a count —
+    * the load-gate form of the FK constraints the reference's Postgres
+    * schema declares (PostgresSchemaBuilder.php FK indexes). */
+  def fkViolations(fact: DataFrame, dim: DataFrame, fk: String, pk: String,
+                   name: String): DataFrame =
+    fact.filter(col(fk).isNotNull)
+      .join(dim.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("rule"), col("violations"))
+
   /** Robust per-group outlier detection (median/MAD, the
     * quality-filtering workhorse for heavy-tailed pipeline metrics —
     * unlike mean/stddev, one huge outlier cannot mask the others):

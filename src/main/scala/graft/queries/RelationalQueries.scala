@@ -592,6 +592,36 @@ object RelationalQueries {
                CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
               FROM lineitem""")),
 
+    // Referential-integrity gate: lineitem→orders and lineitem→part FK
+    // coverage, plus a manufactured broken reference (orderkey + 10^9)
+    // proving a violation actually registers. Long-form (rule,
+    // violations) like dq01.
+    Q("dq04_fk_check",
+      (s, d) => {
+        import graft.operators.Quality
+        val li = Tables.lineitem(s, d)
+        val broken = li.limit(100)
+          .withColumn("l_orderkey", col("l_orderkey") + 1000000000L)
+        Quality.fkViolations(li, Tables.orders(s, d), "l_orderkey", "o_orderkey",
+            "lineitem_orders_fk")
+          .unionByName(Quality.fkViolations(li, Tables.part(s, d), "l_partkey",
+            "p_partkey", "lineitem_part_fk"))
+          .unionByName(Quality.fkViolations(broken, Tables.orders(s, d),
+            "l_orderkey", "o_orderkey", "broken_fk_detected"))
+      },
+      Some("""SELECT 'lineitem_orders_fk' AS rule, CAST(count(*) AS BIGINT) AS violations
+              FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+                AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+              UNION ALL
+              SELECT 'lineitem_part_fk', CAST(count(*) AS BIGINT)
+              FROM lineitem l WHERE l.l_partkey IS NOT NULL
+                AND l.l_partkey NOT IN (SELECT p_partkey FROM part)
+              UNION ALL
+              SELECT 'broken_fk_detected', CAST(count(*) AS BIGINT)
+              FROM (SELECT l_orderkey + 1000000000 AS k FROM lineitem
+                    ORDER BY l_orderkey, l_linenumber LIMIT 100) b
+              WHERE b.k NOT IN (SELECT o_orderkey FROM orders)""")),
+
     // Order-independent table digest (bit_xor of a 60-bit md5 slice per
     // row): the cross-engine parity check for migrations/backfills —
     // DuckDB reproduces the exact digest from the same rows, any row
