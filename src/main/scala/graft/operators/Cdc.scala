@@ -30,11 +30,24 @@ object Cdc {
     require(changes.columns.contains(OpCol) && changes.columns.contains(seqCol),
       s"changes must carry '$OpCol' and '$seqCol'")
 
+    // Fail loudly on malformed op values: a null or unknown op would
+    // otherwise be silently dropped by the `op =!= "D"` upsert filter
+    // (null predicate removes the row) — i.e. treated as a DELETE for
+    // that key, losing snapshot rows with no error. The check rides the
+    // existing scan (a per-row conditional, no extra pass) and fails
+    // the batch at execution time, which in the streaming ingest fails
+    // the micro-batch before anything is published.
+    val validated = changes.withColumn(OpCol,
+      when(col(OpCol).isin("I", "U", "D"), col(OpCol))
+        .otherwise(raise_error(concat(
+          lit(s"malformed CDC $OpCol (want I/U/D): "),
+          coalesce(col(OpCol), lit("NULL"))))))
+
     // last op per key: one hash agg, constant state per key. Null keys
     // are dropped first — a null-key row can never equi-join the
     // snapshot (null matches nothing), so it would otherwise append an
     // unremovable null-key row per batch.
-    val latest = changes
+    val latest = validated
       .filter(col(key).isNotNull)
       .groupBy(col(key))
       .agg(max_by(struct((changes.columns.filterNot(_ == key)).map(col): _*),

@@ -65,29 +65,40 @@ object Quality {
     * constant groups have no robust scale to judge against.
     *
     * Shape: two fact scans (value pass, deviation pass) + two
-    * group-sized broadcast joins — no windows, no per-group sorts. */
+    * group-sized joins — no windows, no per-group sorts. The stats
+    * sides are NOT hint-broadcast: they are one row per group, so with
+    * dashboard-grade group counts AQE broadcasts them anyway, but a
+    * user_id-grade key makes a forced hint a driver OOM — the same
+    * reason TurnosPipeline deliberately leaves its paciente dim
+    * unhinted. High cardinality falls back to a shuffled join
+    * (spec-pinned in QualitySpec). */
   def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
                   k: Double): DataFrame = {
     val med = df.groupBy(col(keyCol))
       .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
-    val dev = df.join(broadcast(med), Seq(keyCol))
+    val dev = df.join(med, Seq(keyCol))
       .withColumn("__dev", abs(col(valueCol) - col("__med")))
     val mad = dev.groupBy(col(keyCol))
       .agg(expr("percentile(__dev, 0.5)").as("__mad"))
-    dev.join(broadcast(mad), Seq(keyCol))
+    dev.join(mad, Seq(keyCol))
       .filter(col("__mad") > 0 && round(col("__dev") / col("__mad"), 6) > k)
   }
 
   /** Order-independent digest of selected columns: per row, md5 of the
     * null-tagged '|'-joined string form, sliced to a 60-bit long;
-    * bit_xor across rows (commutative + associative → partition-order
-    * independent, map-side combinable, no overflow). Each column is
-    * tagged 'N' (null) or 'V' + value, so NULL never collides with any
-    * string value. Collisions are birthday-bounded (~2^30 rows for
-    * 2^60 space); callers compare
-    * digests AND counts. Cast-to-string parity holds for integral and
-    * string columns — gate doubles/timestamps behind explicit
-    * formatting at the call site. */
+    * folded across rows by BOTH bit_xor (`digest`) and a mod-2^60
+    * wrapping sum (`digest_sum`) — each commutative + associative →
+    * partition-order independent and map-side combinable. Two folds
+    * because xor alone is multiplicity-blind: any row with even
+    * multiplicity cancels to zero, so {A,A} and {B,B} xor-collide at
+    * equal n_rows — exactly the duplicate-shuffling migration bug the
+    * digest exists to catch; the sum fold shifts with every extra copy.
+    * Each column is tagged 'N' (null) or 'V' + value, so NULL never
+    * collides with any string value. Collisions are birthday-bounded
+    * (~2^30 rows for 2^60 space); callers compare both digests AND
+    * counts. Cast-to-string parity holds for integral and string
+    * columns — gate doubles/timestamps behind explicit formatting at
+    * the call site. */
   def tableDigest(df: DataFrame, cols: Seq[String], groupBy: Seq[String] = Nil): DataFrame = {
     // Length-prefixed values make the encoding prefix-free: without the
     // length, a '|' inside a value lets different rows canonicalize to
@@ -98,7 +109,15 @@ object Quality {
         .otherwise(concat(lit("V"), length(col(c).cast("string")),
           lit(":"), col(c).cast("string")))): _*)
     val rowHash = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
-    val aggs = Seq(bit_xor(rowHash).as("digest"), count(lit(1)).as("n_rows"))
+    // Sum in decimal(38,0) then reduce mod 2^60: hashes are 60-bit, so
+    // the decimal accumulator cannot overflow below ~1e20 rows and the
+    // reduced value always fits a long — ANSI-safe, and any engine
+    // reproduces it as sum(h) % 2^60 on non-negative h.
+    val two60 = lit(BigDecimal(2).pow(60))
+    val aggs = Seq(
+      bit_xor(rowHash).as("digest"),
+      pmod(sum(rowHash.cast("decimal(38,0)")), two60).cast("long").as("digest_sum"),
+      count(lit(1)).as("n_rows"))
     if (groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }

@@ -622,10 +622,11 @@ object RelationalQueries {
                     ORDER BY l_orderkey, l_linenumber LIMIT 100) b
               WHERE b.k NOT IN (SELECT o_orderkey FROM orders)""")),
 
-    // Order-independent table digest (bit_xor of a 60-bit md5 slice per
-    // row): the cross-engine parity check for migrations/backfills —
-    // DuckDB reproduces the exact digest from the same rows, any row
-    // order, any partitioning.
+    // Order-independent table digest (bit_xor AND mod-2^60 sum of a
+    // 60-bit md5 slice per row — the sum catches even-multiplicity
+    // duplicates that xor cancels): the cross-engine parity check for
+    // migrations/backfills — DuckDB reproduces the exact digests from
+    // the same rows, any row order, any partitioning.
     Q("dq02_table_digest",
       (s, d) => graft.operators.Quality.tableDigest(
         Tables.lineitem(s, d),
@@ -639,9 +640,12 @@ object RelationalQueries {
         val canon = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
           .map(tag).mkString(" || '|' || ")
         s"""SELECT l_returnflag,
-             bit_xor(CAST(('0x' || substr(md5($canon), 1, 15)) AS BIGINT)) AS digest,
+             bit_xor(h) AS digest,
+             CAST(sum(h) % 1152921504606846976 AS BIGINT) AS digest_sum,
              CAST(count(*) AS BIGINT) AS n_rows
-            FROM lineitem GROUP BY l_returnflag"""
+            FROM (SELECT l_returnflag,
+                    CAST(('0x' || substr(md5($canon), 1, 15)) AS BIGINT) AS h
+                  FROM lineitem) GROUP BY l_returnflag"""
       }),
 
     // TPC-H Q1 (pricing summary): decimal-exact sums of the classic

@@ -119,7 +119,11 @@ object StreamingOps {
           state.update(bottom)
           val est =
             if (bottom.length < k) bottom.length.toDouble
-            else BigDecimal((k - 1).toDouble * math.pow(2, 60) / bottom.last)
+            // BigDecimal.valueOf = shortest-decimal representation of the
+            // double, matching Spark's round() in the batch operator —
+            // BigDecimal(double) (exact binary expansion) can tie-round
+            // the 6th decimal differently on the same estimate.
+            else BigDecimal.valueOf((k - 1).toDouble * math.pow(2, 60) / bottom.last)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           KmvEstimate(key, est)
       }
@@ -208,15 +212,23 @@ object StreamingOps {
   private val IngestVersion = """^v-(\d{9})(-.*)?$""".r
 
   /** The last batch id folded into an ingest root, judged from the
-    * ingest-FORMATTED version dirs only — an out-of-band publish with
-    * a different version format (or a compaction suffix, which
-    * preserves the digits) can therefore never make the guard skip a
-    * live batch. */
+    * PUBLISHED version only (`_CURRENT`), never from directory
+    * listings: `Publish.publishTables` stages `v-<id>` BEFORE the
+    * manifest flip, so a hard crash (kill/OOM) in that window leaves an
+    * orphan staged dir whose digits equal the replayed batch id — a
+    * listing-based guard would see it and skip the replay, silently
+    * losing the batch from the fold state. `_CURRENT` only ever names a
+    * COMPLETELY published version, so parsing it cannot over-claim. The
+    * IngestVersion regex tolerates the `-c<k>` compaction suffix (which
+    * preserves the digits), and a version in a foreign format (not
+    * written by this ingest or its compaction) parses to None — the
+    * guard then never skips, which is the safe direction (refolding is
+    * guarded by this very check on the NEXT restart; skipping loses
+    * data forever). */
   private def lastFoldedBatch(s: org.apache.spark.sql.SparkSession,
                               root: String): Option[Long] =
-    graft.sinks.Publish.listVersions(s, root)
+    graft.sinks.Publish.currentVersion(s, root)
       .collect { case IngestVersion(digits, _) => digits.toLong }
-      .reduceOption(_ max _)
 
   /** Shared ingest skeleton (dedup/SCD2/CDC): per micro-batch —
     * idempotent-replay guard, bootstrap-or-read state, fold, atomic

@@ -30,4 +30,20 @@ class CdcSpec extends SparkSpec {
     val twice = Cdc.apply(once, changes, "k", "seq")
     assert(once.collect().toSet == twice.collect().toSet)
   }
+
+  test("cdc apply fails loudly on malformed op values instead of dropping rows") {
+    // A null or unknown op used to be silently filtered by `op != 'D'`
+    // (null predicate), i.e. treated as a delete for that key.
+    for (badOp <- Seq(null.asInstanceOf[String], "X")) {
+      val changes = Seq((1L, "a9", badOp, 5L), (4L, "d", "I", 1L))
+        .toDF("k", "v", "op", "seq")
+      val e = intercept[Exception] {
+        Cdc.apply(snapshot, changes, "k", "seq").collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("malformed CDC op")),
+        s"op=$badOp must raise the malformed-op error, got: $e")
+    }
+  }
 }

@@ -35,14 +35,15 @@ class QualitySpec extends SparkSpec {
 
   test("tableDigest is row-order and partitioning independent, and detects a changed row") {
     val cols = Seq("id", "flag")
-    val a = Quality.tableDigest(df, cols).as[(Long, Long)].head()
+    val a = Quality.tableDigest(df, cols).as[(Long, Long, Long)].head()
     val b = Quality.tableDigest(df.orderBy(col("flag").desc).repartition(7), cols)
-      .as[(Long, Long)].head()
+      .as[(Long, Long, Long)].head()
     assert(a == b, "digest must be invariant to order and partitioning")
     val mutated = df.withColumn("flag",
       when(col("id") === 2L, lit("MUTATED")).otherwise(col("flag")))
-    val c = Quality.tableDigest(mutated, cols).as[(Long, Long)].head()
-    assert(c._1 != a._1 && c._2 == a._2, "same count, different digest")
+    val c = Quality.tableDigest(mutated, cols).as[(Long, Long, Long)].head()
+    assert(c._1 != a._1 && c._2 != a._2 && c._3 == a._3,
+      "same count, different digests")
   }
 
   test("tableDigest: delimiter inside values cannot shift across column boundaries") {
@@ -50,9 +51,25 @@ class QualitySpec extends SparkSpec {
     // canonicalize identically; the digest must distinguish them.
     val a = Seq((1L, "x|V1:y", "z")).toDF("id", "p", "q")
     val b = Seq((1L, "x", "y|V1:z")).toDF("id", "p", "q")
-    val da = Quality.tableDigest(a, Seq("p", "q")).as[(Long, Long)].head()
-    val db = Quality.tableDigest(b, Seq("p", "q")).as[(Long, Long)].head()
+    val da = Quality.tableDigest(a, Seq("p", "q")).as[(Long, Long, Long)].head()
+    val db = Quality.tableDigest(b, Seq("p", "q")).as[(Long, Long, Long)].head()
     assert(da._1 != db._1, "length-prefixed canon must be prefix-free")
+  }
+
+  test("tableDigest: even-multiplicity duplicates do not xor-cancel into a false equal") {
+    // {A,A} vs {B,B}: both xor to 0 at equal n_rows — the sum fold must
+    // tell them apart (the duplicate-shuffling migration bug).
+    val aa = Seq((1L, "A"), (1L, "A")).toDF("id", "s")
+    val bb = Seq((2L, "B"), (2L, "B")).toDF("id", "s")
+    val daa = Quality.tableDigest(aa, Seq("id", "s")).as[(Long, Long, Long)].head()
+    val dbb = Quality.tableDigest(bb, Seq("id", "s")).as[(Long, Long, Long)].head()
+    assert(daa._1 == 0L && dbb._1 == 0L && daa._3 == dbb._3,
+      "precondition: xor digests cancel at equal counts")
+    assert(daa._2 != dbb._2, "sum digest must distinguish duplicate sets")
+    // and one-vs-two copies of the same row at different counts is the
+    // easy case, but the sum must also shift: digest_sum(A) != digest_sum(A,A)
+    val a1 = Quality.tableDigest(aa.limit(1), Seq("id", "s")).as[(Long, Long, Long)].head()
+    assert(a1._2 != daa._2)
   }
 
   test("madOutliers: constant groups abstain; a gross outlier is flagged; inliers are not") {
@@ -63,6 +80,26 @@ class QualitySpec extends SparkSpec {
     val out = Quality.madOutliers(df, "grp", "v", 4.0)
       .select($"grp", $"v").as[(String, Double)].collect().toSet
     assert(out == Set(("g", 1000.0)))
+  }
+
+  test("madOutliers has no forced broadcast: high-cardinality keys fall back to shuffled joins") {
+    // With the old broadcast() hints the stats sides were broadcast
+    // REGARDLESS of size (hints override autoBroadcastJoinThreshold) —
+    // a driver OOM for user_id-grade group keys. Proof the hint is
+    // gone: with the threshold disabled, no broadcast join may appear.
+    val wide = spark.range(100000)
+      .select(col("id").as("grp"), (col("id") % 13).cast("double").as("v"))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val out = Quality.madOutliers(wide.toDF(), "grp", "v", 3.0)
+      out.collect() // materialize so AQE finalizes the physical plan
+      val physical = out.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastHashJoin") &&
+        !physical.contains("BroadcastExchange"),
+        s"stats joins must fall back to shuffled joins when broadcast is off:\n$physical")
+    } finally spark.conf.set(key, prev)
   }
 
   test("madOutliers threshold is monotone: higher k flags a subset") {
@@ -77,8 +114,8 @@ class QualitySpec extends SparkSpec {
     val withNull = Seq((1L, Option.empty[String])).toDF("id", "s")
     (Seq("N", "null", "", "Nnull") :+ "V").foreach { v =>
       val withVal = Seq((1L, Option(v))).toDF("id", "s")
-      val dn = Quality.tableDigest(withNull, Seq("id", "s")).as[(Long, Long)].head()
-      val dv = Quality.tableDigest(withVal, Seq("id", "s")).as[(Long, Long)].head()
+      val dn = Quality.tableDigest(withNull, Seq("id", "s")).as[(Long, Long, Long)].head()
+      val dv = Quality.tableDigest(withVal, Seq("id", "s")).as[(Long, Long, Long)].head()
       assert(dn._1 != dv._1, s"null must not collide with '$v'")
     }
   }

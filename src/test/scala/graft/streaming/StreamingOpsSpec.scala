@@ -343,6 +343,32 @@ class StreamingOpsSpec extends SparkSpec {
       "batch after compaction must fold, not be skipped by the replay guard")
   }
 
+  test("replay guard refolds a batch whose crashed publish left an orphan staged dir") {
+    import graft.sinks.Publish
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_orphan").toString
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q = StreamingOps.cdcIngest(
+      input.toDF().toDF("k", "v", "op", "seq"), root, "k", "seq")
+    try {
+      input.addData(Seq((1L, "a", "I", 1L))); q.processAllAvailable()
+      // Simulate a hard crash (kill/OOM) inside publishTables' stage→flip
+      // window for the NEXT batch: v-000000001 exists fully staged, but
+      // _CURRENT still names v-000000000 — publishTables' exception
+      // cleanup never ran. The replayed batch id 1 must fold anyway; a
+      // listing-based guard sees digits 1 >= 1 and silently loses it.
+      Seq((99L, "ghost")).toDF("k", "v")
+        .write.parquet(s"$root/v-000000001/snapshot")
+      assert(Publish.currentVersion(spark, root).contains("v-000000000"))
+      input.addData(Seq((2L, "b", "I", 1L))); q.processAllAvailable()
+    } finally q.stop()
+    assert(Publish.currentVersion(spark, root).contains("v-000000001"))
+    val got = Publish.readTable(spark, root, "snapshot")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")),
+      "batch staged by a crashed publish must refold on replay, not be skipped")
+  }
+
   test("cdcIngest drops null-key changes instead of accumulating unremovable rows") {
     import graft.sinks.Publish
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
