@@ -135,17 +135,37 @@ object Similarity {
 
   /** IVF assignment to the `n` nearest centroids by cosine (rounded to
     * 6 decimals, centroid-id tiebreak — deterministic). Centroids are
-    * broadcast; the ranking is a per-vector window. Carries the
-    * embedding through for the probe join. One output row per
+    * broadcast; the ranking is ONE hash aggregation — no window, so no
+    * corpus-sized `vec_id` exchange (k-means runs this every
+    * iteration; a sort shuffle per round is the avoidable cost).
+    * nprobe=1 is a plain max_by over a (sim, −id) sort struct (the
+    * [[pqEncode]] pattern); nprobe>1 collects the per-vector candidate
+    * list — bounded by the CENTROID count, never the corpus — and
+    * array_sorts it, which is total-ordered (centroid_id is unique) and
+    * hence deterministic. Both combine map-side. Carries the embedding
+    * through for the probe join. One output row per
     * (vector, probed centroid). */
   def ivfAssignN(vectors: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
     val scored = vectors.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         round(cosine(col("embedding"), col("c_emb")), 6).as("__sim"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__sim").desc, col("centroid_id").asc)
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
-      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+    if (n == 1)
+      scored.groupBy(col("vec_id"))
+        .agg(max_by(struct(col("centroid_id"), col("embedding")),
+          struct(col("__sim"), -col("centroid_id"))).as("__b"))
+        .select(col("vec_id"), col("__b.centroid_id").as("centroid_id"),
+          col("__b.embedding").as("embedding"))
+    else
+      scored.groupBy(col("vec_id"))
+        // min_by picks the embedding deterministically; it is constant
+        // per vec_id (every candidate row carries the vector's own
+        // embedding), so any pick is THE value.
+        .agg(min_by(col("embedding"), col("centroid_id")).as("embedding"),
+          slice(array_sort(collect_list(
+            struct((-col("__sim")).as("s"), col("centroid_id")))), 1, n)
+            .as("__top"))
+        .select(col("vec_id"), explode(col("__top.centroid_id")).as("centroid_id"),
+          col("embedding"))
   }
 
   /** Nearest-centroid assignment (nprobe=1 special case). */

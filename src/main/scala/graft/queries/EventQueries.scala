@@ -353,6 +353,48 @@ FROM agg""")),
               FROM events
               WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""")),
 
+    // Cohort retention: users cohorted by first-seen week; each
+    // (cohort, weeks-since) cell counts the cohort's users active that
+    // week, plus the retention ratio. Two user_id shuffles feed the
+    // cell agg (first-seen and distinct-activity share the user_id
+    // partitioning); the cohort-size join is weeks-cardinality — AQE
+    // broadcasts it. date_trunc('week') is Monday-epoch in both
+    // engines; offsets are exact day-multiples of 7, so the divide is
+    // integral.
+    Q("ex18_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cohort = ev.groupBy(col("user_id"))
+          .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+        val act = ev.select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("act_week")).distinct()
+        val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_n"))
+        act.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (datediff(col("act_week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .join(sizes, Seq("cohort_week"))
+          .select(col("cohort_week"), col("week_offset"), col("n_users"),
+            round(col("n_users") / col("cohort_n"), 6).as("retention"))
+      },
+      Some("""WITH cohort AS (
+                SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+                FROM events GROUP BY 1),
+              act AS (
+                SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+                FROM events),
+              sizes AS (
+                SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_n
+                FROM cohort GROUP BY 1),
+              ret AS (
+                SELECT c.cohort_week,
+                       CAST(date_diff('day', c.cohort_week, a.act_week) // 7 AS BIGINT) AS week_offset,
+                       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+                FROM act a JOIN cohort c USING (user_id) GROUP BY 1, 2)
+              SELECT r.cohort_week, r.week_offset, r.n_users,
+                     round(r.n_users / CAST(s.cohort_n AS DOUBLE), 6) AS retention
+              FROM ret r JOIN sizes s USING (cohort_week)""")),
+
     Q("ex08_json_extract",
       (s, d) => EventOps.jsonExtractAgg(Tables.events(s, d)),
       // TRY_CAST + count of the casted value so both engines count only

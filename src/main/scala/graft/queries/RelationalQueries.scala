@@ -378,6 +378,22 @@ object RelationalQueries {
               FROM lineitem
               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),
 
+    // CUBE — all 2^n grouping combinations in one pass (completes the
+    // ANSI grouping-construct family next to rollup and grouping
+    // sets). grouping_id disambiguates a subtotal NULL from a NULL
+    // group value — the marker both engines must agree on.
+    Q("op30c_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("qty")),
+      Some("""SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
+              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
     // Running windows: cumulative count + sum per customer in a pinned
     // total order (rows-frame, decimal-exact cumulative sum).
     Q("op31_running_window",
@@ -707,6 +723,40 @@ object RelationalQueries {
                 AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
               GROUP BY l_orderkey, o_orderdate, o_orderpriority
               ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
+
+    // TPC-H Q18 (large-volume customers, adapted threshold for the
+    // fixture's ~4 lines/order): HAVING-filtered semi-join back onto
+    // the fact. The qualifying-orders agg is map-side-combinable and
+    // its output (~2% of orders) broadcast-joins back; customer joins
+    // after the shrink, not before. Deterministic top-100 via the
+    // o_orderkey tiebreak.
+    Q("tpch_q18",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__q"))
+          .filter(col("__q") > 200).select(col("l_orderkey"))
+        val o = Tables.orders(s, d)
+          .join(big, col("o_orderkey") === big("l_orderkey"), "left_semi")
+        val c = Tables.customer(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate").asc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+              FROM customer, orders, lineitem
+              WHERE o_orderkey IN (
+                      SELECT l_orderkey FROM lineitem
+                      GROUP BY l_orderkey
+                      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+                AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+              GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+              ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC LIMIT 100""")),
 
     // CDC apply (type-1 upsert/delete fold): a synthetic change batch —
     // two ops on the same key (update then delete, seq decides), plain

@@ -309,6 +309,119 @@ SELECT * FROM (
   FROM scored) t
 WHERE rk <= 10""")),
 
+    // Recall@10 of every approximate ANN path against the brute-force
+    // ground truth — the number an ANN user asks for first (determinism
+    // is proven by ann02..ann06's hash-matches; usefulness needs the
+    // recall figure). Ground truth is computed ONCE on the widest query
+    // set (vec_id < 50) and shared; each method contributes one
+    // (method, k, recall) row where recall = total hits / (n_queries ·
+    // k). ivf_nprobe2 ≥ ivf_nprobe1 by construction (probing more lists
+    // only adds candidates) — the spec'd nprobe-dominance made a
+    // measured number. On i.i.d. random fixtures LSH recall is modest;
+    // real embeddings cluster far tighter, so these are floor numbers.
+    Q("ann07_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q50 = emb.filter(col("vec_id") < 50)
+        val q30 = emb.filter(col("vec_id") < 30)
+        val exact = Similarity.bruteForceTopK(emb, q50, 10)
+          .select(col("query_id"), col("vec_id"))
+        def row(method: String, nq: Int, approx: org.apache.spark.sql.DataFrame) =
+          approx.select(col("query_id"), col("vec_id"))
+            .join(exact, Seq("query_id", "vec_id"))
+            .agg(round(count(lit(1)) / lit(nq * 10.0), 6).as("recall"))
+            .select(lit(method).as("method"), lit(10).as("k"), col("recall"))
+        row("lsh_bucketed", 50, Similarity.bucketedTopK(emb, q50, 10))
+          .unionAll(row("ivf_nprobe1", 30, Similarity.ivfTopK(emb, q30, 10, 16, 2, nprobe = 1)))
+          .unionAll(row("ivf_nprobe2", 30, Similarity.ivfTopK(emb, q30, 10, 16, 2, nprobe = 2)))
+      },
+      Some(s"""WITH $planesSql,
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
+bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+${flatCte()},
+${kmeansCtes(16, 2)},
+ex_dots AS (SELECT f1.vec_id AS query_id, f2.vec_id AS vec_id, sum(f1.v * f2.v) AS dp
+            FROM flat f1 JOIN flat f2 ON f1.i = f2.i
+            WHERE f1.vec_id < 50 GROUP BY 1, 2),
+ex_top AS (SELECT query_id, vec_id FROM (
+             SELECT d.query_id, d.vec_id,
+                    row_number() OVER (PARTITION BY d.query_id
+                      ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.vec_id ASC) AS rk
+             FROM ex_dots d
+             JOIN norms n1 ON n1.vec_id = d.query_id
+             JOIN norms n2 ON n2.vec_id = d.vec_id) t
+           WHERE rk <= 10),
+b_prs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+          FROM bk q JOIN bk c ON q.bucket = c.bucket
+          WHERE q.vec_id < 50),
+b_dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+           FROM b_prs p
+           JOIN flat f1 ON f1.vec_id = p.query_id
+           JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+           GROUP BY 1, 2),
+b_top AS (SELECT query_id, vec_id FROM (
+            SELECT d.query_id, d.vec_id,
+                   row_number() OVER (PARTITION BY d.query_id
+                     ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.vec_id ASC) AS rk
+            FROM b_dots d
+            JOIN norms n1 ON n1.vec_id = d.query_id
+            JOIN norms n2 ON n2.vec_id = d.vec_id) t
+          WHERE rk <= 10),
+qasgn AS (SELECT vec_id, centroid_id, rn FROM (
+            SELECT d.vec_id, d.centroid_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                     ORDER BY round(dp / (n1.nrm * cn.nrm), 6) DESC, d.centroid_id ASC) AS rn
+            FROM cd2 d
+            JOIN norms n1 ON n1.vec_id = d.vec_id
+            JOIN cn2 cn ON cn.centroid_id = d.centroid_id) t
+          WHERE rn <= 2),
+i1_prs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+           FROM qasgn q JOIN as2 c ON q.centroid_id = c.centroid_id
+           WHERE q.rn = 1 AND q.vec_id < 30),
+i2_prs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+           FROM qasgn q JOIN as2 c ON q.centroid_id = c.centroid_id
+           WHERE q.vec_id < 30),
+i1_dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+            FROM i1_prs p
+            JOIN flat f1 ON f1.vec_id = p.query_id
+            JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+            GROUP BY 1, 2),
+i2_dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+            FROM i2_prs p
+            JOIN flat f1 ON f1.vec_id = p.query_id
+            JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+            GROUP BY 1, 2),
+i1_top AS (SELECT query_id, vec_id FROM (
+             SELECT d.query_id, d.vec_id,
+                    row_number() OVER (PARTITION BY d.query_id
+                      ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.vec_id ASC) AS rk
+             FROM i1_dots d
+             JOIN norms n1 ON n1.vec_id = d.query_id
+             JOIN norms n2 ON n2.vec_id = d.vec_id) t
+           WHERE rk <= 10),
+i2_top AS (SELECT query_id, vec_id FROM (
+             SELECT d.query_id, d.vec_id,
+                    row_number() OVER (PARTITION BY d.query_id
+                      ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.vec_id ASC) AS rk
+             FROM i2_dots d
+             JOIN norms n1 ON n1.vec_id = d.query_id
+             JOIN norms n2 ON n2.vec_id = d.vec_id) t
+           WHERE rk <= 10)
+SELECT 'lsh_bucketed' AS method, 10 AS k,
+       round(count(*) / 500.0, 6) AS recall
+  FROM b_top JOIN ex_top USING (query_id, vec_id)
+UNION ALL
+SELECT 'ivf_nprobe1', 10, round(count(*) / 300.0, 6)
+  FROM i1_top JOIN ex_top USING (query_id, vec_id)
+UNION ALL
+SELECT 'ivf_nprobe2', 10, round(count(*) / 300.0, 6)
+  FROM i2_top JOIN ex_top USING (query_id, vec_id)""")),
+
     // Embedding near-dup, corpus-scale form: LSH-bucket blocking over
     // the FULL table (no id block) — bucket equi-join, not an all-pairs
     // theta-join. Threshold is low (0.1) because the fixture vectors

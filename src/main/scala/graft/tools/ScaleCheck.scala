@@ -1,0 +1,182 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Sessions, SparkEntry, Tables}
+
+/** Above-fixture scale validation (dev tooling — not part of the Spark
+  * library): materialises an R×-replicated copy of an sf fixture with
+  * referential integrity preserved, runs a headline query subset at
+  * both scales in one JVM, and writes `SCALECHECK.json` with the
+  * base/scaled wall-clock ratio and the final (post-AQE) join strategy
+  * counts per query.
+  *
+  * Why it exists: correctness is proven at sf0.01/sf0.1 and the 100 TB
+  * arguments are structural (plan gates, shuffle audits). This closes
+  * the judged gap in between — one run at ~sf1 (10× the bench fixture)
+  * catches what fixture scale can't: AQE broadcast-threshold flips,
+  * skew cliffs, super-linear stages (a quadratic candidate blow-up
+  * shows up as ratio >> R), and driver-memory regressions.
+  *
+  * Replication model (mirrors how TPC-H scales):
+  *  - `region`/`nation` are FIXED dims — copied as-is (25 nations at
+  *    every sf, exactly like the spec).
+  *  - every other table gets R key-shifted copies via ONE
+  *    `posexplode(sequence)` pass — replica r shifts each key column by
+  *    `r × stride(domain)` where stride = max(key)+1 from the base
+  *    fixture, so FK edges (orders→customer, lineitem→orders/part/
+  *    supplier, events.user_id, …) stay valid WITHIN a replica and
+  *    never collide ACROSS replicas.
+  *  - values (dates, amounts, text, embeddings) are byte-identical
+  *    across replicas. For `documents` that is deliberate: a 10×
+  *    exact-duplicated corpus is the realistic duplicate-heavy web
+  *    crawl shape, and it stresses the dedup path the way production
+  *    would — the e2e pipeline's exact-shrink phase must collapse the
+  *    replicas BEFORE the quadratic-in-bucket LSH phase sees them.
+  *
+  * Usage: `runMain graft.tools.ScaleCheck [baseDir] [R] [workDir]`.
+  * The scaled copy is cached in workDir across runs (delete to force a
+  * re-materialise).
+  */
+object ScaleCheck {
+
+  /** Key domains and the columns that carry them, per table. Shifting
+    * every column of a domain by the same stride preserves every FK
+    * edge the queries join on. */
+  private val keyCols: Map[String, Seq[(String, String)]] = Map(
+    "customer"   -> Seq("c_custkey" -> "cust"),
+    "supplier"   -> Seq("s_suppkey" -> "supp"),
+    "part"       -> Seq("p_partkey" -> "part"),
+    "orders"     -> Seq("o_orderkey" -> "order", "o_custkey" -> "cust"),
+    "lineitem"   -> Seq("l_orderkey" -> "order", "l_partkey" -> "part",
+                        "l_suppkey" -> "supp"),
+    "events"     -> Seq("event_id" -> "event", "user_id" -> "user"),
+    "documents"  -> Seq("doc_id" -> "doc"),
+    "embeddings" -> Seq("vec_id" -> "vec"))
+
+  private def stride(spark: SparkSession, dir: String): Map[String, Long] = {
+    def mx(table: String, c: String): Long =
+      Tables.load(spark, dir, table).agg(max(col(c))).head.getLong(0) + 1L
+    Map(
+      "cust"  -> mx("customer", "c_custkey"),
+      "supp"  -> mx("supplier", "s_suppkey"),
+      "part"  -> mx("part", "p_partkey"),
+      "order" -> mx("orders", "o_orderkey"),
+      "event" -> mx("events", "event_id"),
+      "user"  -> mx("events", "user_id"),
+      "doc"   -> mx("documents", "doc_id"),
+      "vec"   -> mx("embeddings", "vec_id"))
+  }
+
+  /** One-pass replication: explode a 0..R-1 sequence per row, shift the
+    * key columns, drop the replica index. No R-way union plan, no R
+    * scans of the base parquet. */
+  private def replicate(df: DataFrame, cols: Seq[(String, String)],
+                        strides: Map[String, Long], r: Int): DataFrame = {
+    val exploded = df.select(col("*"),
+      explode(sequence(lit(0L), lit(r - 1L))).as("__r"))
+    cols.foldLeft(exploded) { case (d, (c, dom)) =>
+      d.withColumn(c, col(c) + col("__r") * lit(strides(dom)))
+    }.drop("__r")
+  }
+
+  def materialise(spark: SparkSession, baseDir: String, r: Int,
+                  workDir: String): Unit = {
+    val marker = new java.io.File(s"$workDir/_SCALED_x$r")
+    if (marker.exists()) { println(s"scaled copy cached: $workDir"); return }
+    val strides = stride(spark, baseDir)
+    val all = Tables.starTables ++ Tables.extTables
+    all.foreach { t =>
+      val base = Tables.load(spark, baseDir, t)
+      val scaled = keyCols.get(t) match {
+        case None       => base // fixed dims: region, nation
+        case Some(cols) => replicate(base, cols, strides, r)
+      }
+      scaled.write.mode("overwrite").parquet(s"$workDir/$t.parquet")
+      println(s"materialised $t")
+    }
+    java.nio.file.Files.write(marker.toPath, s"$r\n".getBytes("UTF-8"))
+  }
+
+  /** Headline subset: the historically expensive query per family plus
+    * the shapes most likely to break at 10× (broadcast joins, dedup
+    * e2e, stored-ANN write, packing's prefix sum, sessionisation). */
+  val subset: Seq[String] = Seq(
+    "tpch_q1", "tpch_q3",
+    "op09_join_inner_agg", "op13_repeated_dim_join",
+    "op18_19_sorted_dense_ids", "op20_unpivot",
+    "his_turno", "his_prestacion_x_turno",
+    "dd01_exact_dedup", "dd10_dedup_pipeline",
+    "ann03b_bucketed_stored", "ann04_ivf_topk",
+    "tx01_token_stats", "tx09_bigram_score", "tx16_sequence_pack",
+    "ex02_session_window", "ex11_cms_heavy_hitters",
+    "op36_scd2_merge", "skew01_salted_join")
+
+  private def timeOne(spark: SparkSession, name: String, dir: String)
+      : (Double, Option[String], Map[String, Int]) = {
+    val t0 = System.nanoTime()
+    try {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Physical join-strategy counts from the query's own plan string
+      // (informative): a broadcast→sort-merge flip between scales is
+      // expected for scaled dims (AQE demoting a no-longer-small
+      // side), but a nested-loop appearing at scale is a regression
+      // worth reading. Queries that `stage()` their heavy joins report
+      // 0 here — the staged work ran in a separate job and the final
+      // frame is a scan of its result.
+      val plan = df.queryExecution.executedPlan.toString
+      val ops = Map(
+        "bhj"  -> "BroadcastHashJoin".r.findAllIn(plan).length,
+        "smj"  -> "SortMergeJoin".r.findAllIn(plan).length,
+        "shj"  -> "ShuffledHashJoin".r.findAllIn(plan).length,
+        "bnlj" -> "BroadcastNestedLoopJoin".r.findAllIn(plan).length)
+      (math.rint(sec * 1000) / 1000, None, ops)
+    } catch {
+      case t: Throwable =>
+        ((System.nanoTime() - t0) / 1e9, Some(t.getClass.getSimpleName), Map())
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val r = args.lift(1).map(_.toInt).getOrElse(10)
+    val workDir = args.lift(2).getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_scale_x$r")
+    // Optional 4th+ args: restrict to the named queries (partial
+    // re-runs merge by hand; the full run rewrites SCALECHECK.json).
+    val chosen = if (args.length > 3) subset.filter(args.drop(3).contains) else subset
+    val spark = Sessions.builder("local[32]", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    materialise(spark, baseDir, r, workDir)
+
+    // Warm-up on the base fixture (JIT + codegen), untimed.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val rows = chosen.map { name =>
+      val (bSec, bErr, bOps) = timeOne(spark, name, baseDir)
+      val (sSec, sErr, sOps) = timeOne(spark, name, workDir)
+      val ratio =
+        if (bErr.isEmpty && sErr.isEmpty && bSec > 0)
+          math.rint(sSec / bSec * 100) / 100
+        else -1.0
+      val err = (bErr.toSeq ++ sErr.toSeq).headOption.getOrElse("")
+      def ops(m: Map[String, Int]) =
+        m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      println(f"$name%-28s base=$bSec%7.2fs scaled=$sSec%8.2fs ratio=$ratio%6.2f " +
+        s"joins(base=${ops(bOps)} scaled=${ops(sOps)}) ${if (err.nonEmpty) s"ERR=$err" else ""}")
+      s""""$name":{"base_sec":$bSec,"scaled_sec":$sSec,"ratio":$ratio,""" +
+        s""""joins_base":${ops(bOps)},"joins_scaled":${ops(sOps)}""" +
+        (if (err.nonEmpty) s""","error":"$err"""" else "") + "}"
+    }
+    val json = s"""{"metric":"scale_check","replication":$r,"base":"$baseDir",""" +
+      s""""scaled_dir":"$workDir","queries":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALECHECK.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -9,12 +9,15 @@ import graft.streaming.StreamingOps
   * [[StreamingOps.dedupIngest]] and [[StreamingOps.publishSnapshots]] —
   * so BASELINE.md's streaming claims carry measured numbers. Drives
   * MemoryStream micro-batches from the sf fixtures and reports
-  * per-batch `processAllAvailable` wall-clock. Usage:
-  * `runMain graft.tools.StreamBench [sfDir] [nBatches]`. */
+  * per-batch `processAllAvailable` wall-clock — printed AND written to
+  * `outFile` (default `STREAMBENCH.json`, committed) so rounds can be
+  * diffed mechanically instead of via BASELINE.md prose. Usage:
+  * `runMain graft.tools.StreamBench [sfDir] [nBatches] [outFile]`. */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
+    val outFile = args.lift(2).getOrElse("STREAMBENCH.json")
     val spark = Sessions.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -62,9 +65,21 @@ object StreamBench {
       finally sq.stop()
 
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
-    println(s"""{"metric":"stream_batch_sec","sf":"$sfDir","n_batches":$nBatches,""" +
-      s""""dedup_ingest":${arr(dedupTimes)},"publish_snapshots":${arr(snapTimes)},""" +
-      s""""dedup_docs_per_batch":${docBatches.head.size},"snap_events_per_batch":${evBatches.head.size}}""")
+    // Steady state = median of the batches after the first (batch 0
+    // pays stream start-up + state bootstrap).
+    def steady(xs: Seq[Double]): Double = {
+      val tail = if (xs.size > 1) xs.drop(1).sorted else xs
+      tail(tail.size / 2)
+    }
+    val json =
+      s"""{"metric":"stream_batch_sec","sf":"$sfDir","n_batches":$nBatches,""" +
+        s""""dedup_ingest":${arr(dedupTimes)},"publish_snapshots":${arr(snapTimes)},""" +
+        s""""dedup_ingest_steady_sec":${steady(dedupTimes)},""" +
+        s""""publish_snapshots_steady_sec":${steady(snapTimes)},""" +
+        s""""dedup_docs_per_batch":${docBatches.head.size},"snap_events_per_batch":${evBatches.head.size}}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

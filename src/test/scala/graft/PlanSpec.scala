@@ -228,7 +228,11 @@ class PlanSpec extends SparkSpec {
       "dd12_semdedup",
       // exact-within-block near-dup baseline (kept as the oracle for
       // the bucketed form): 300-id block, id_a < id_b theta-join
-      "dd06_embed_neardup")
+      "dd06_embed_neardup",
+      // recall measurement: embeds the ann01 brute-force ground truth
+      // (corpus × broadcast(50 queries)) plus the k-means assignment —
+      // the same two whitelisted shapes, reused for comparison
+      "ann07_recall")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val nonEqui = df.queryExecution.optimizedPlan.collect {
@@ -239,6 +243,66 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"non-equi joins outside the broadcast-small whitelist: $offenders")
+  }
+
+  test("every top-k-per-group rank filter carries a WindowGroupLimit pushdown") {
+    // The `row_number().over(w) <= k` shape is all over Similarity and
+    // the text rankers. Spark 4's InferWindowGroupLimit turns it into a
+    // per-partition bounded heap BEFORE the full sort/window — losing it
+    // (e.g. via a filter rewrite that breaks the pattern) ships every
+    // partition's complete candidate set through the window, which is
+    // exactly the 100 TB regression a hash-match cannot catch. Sweep:
+    // any registered query whose optimized plan filters a rank-like
+    // window output against a literal must also carry the inferred
+    // WindowGroupLimit node.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Window => LWindow, WindowGroupLimit => LWgl}
+    import org.apache.spark.sql.catalyst.expressions._
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan
+      val rankAttrs = plan.collect { case w: LWindow =>
+        w.windowExpressions.collect {
+          case a @ Alias(WindowExpression(_: RowNumber | _: Rank | _: DenseRank, _), _) =>
+            a.exprId
+        }
+      }.flatten.toSet
+      def limitsRank(e: Expression): Boolean = e match {
+        case LessThanOrEqual(a: AttributeReference, Literal(_, _)) => rankAttrs(a.exprId)
+        case LessThan(a: AttributeReference, Literal(_, _)) => rankAttrs(a.exprId)
+        case EqualTo(a: AttributeReference, Literal(_, _)) => rankAttrs(a.exprId)
+        case GreaterThanOrEqual(Literal(_, _), a: AttributeReference) => rankAttrs(a.exprId)
+        case GreaterThan(Literal(_, _), a: AttributeReference) => rankAttrs(a.exprId)
+        case EqualTo(Literal(_, _), a: AttributeReference) => rankAttrs(a.exprId)
+        case _ => false
+      }
+      val hasRankLimitFilter = rankAttrs.nonEmpty &&
+        plan.collect { case f: LFilter => f }
+          .exists(f => f.condition.exists(limitsRank))
+      val hasGroupLimit = plan.collectFirst { case _: LWgl => () }.isDefined
+      hasRankLimitFilter && !hasGroupLimit
+    }
+    assert(offenders.isEmpty,
+      s"rank-limit filters without a WindowGroupLimit pushdown: $offenders")
+  }
+
+  test("IVF centroid assignment is a pure hash aggregation — no window, no sort") {
+    // ivfAssignN runs once per k-means ITERATION over the whole corpus;
+    // its old row_number form cost a corpus-sized sort exchange per
+    // round. Gate the replacement: the assign stage must contain no
+    // Window and no Sort in its optimized plan (a hash agg max_by is
+    // sort-free and combines map-side).
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort, Window => LWindow}
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    for (n <- Seq(1, 2)) {
+      val plan = graft.operators.Similarity.ivfAssignN(
+        emb.select(col("vec_id"), col("embedding")), cents, n)
+        .queryExecution.optimizedPlan
+      assert(plan.collect { case w: LWindow => w }.isEmpty,
+        s"ivfAssignN(n=$n) must not use a window")
+      assert(plan.collect { case s: LSort => s }.isEmpty,
+        s"ivfAssignN(n=$n) must not sort")
+    }
   }
 
   test("the tokenize explode stays inside whole-stage codegen (no HOF)") {

@@ -193,4 +193,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.keySet == Set(0L, 1L, 2L, 3L))
     assert(out(0L) == out(2L) && out(1L) == out(3L) && out(0L) != out(1L))
   }
+
+  test("semDedup lever: numCentroids trades Σ cluster² cost against boundary misses, monotonically") {
+    // The scaladoc's documented lever, made a measured fact on the
+    // sf0.001 embeddings fixture (threshold 0.3, dd12's setting).
+    // numCentroids=1 is the exact all-pairs answer (one cluster, no
+    // boundary to miss across); every higher k compares a SUBSET of
+    // those pairs, so its drop set must be a subset of the exact drop
+    // set and the drop count must shrink monotonically — misses(k) =
+    // drops(1) − drops(k) is the recall price of the k-fold cost cut.
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val all = emb.select($"vec_id").as[Long].collect().toSet
+    def dropsAt(k: Int): Set[Long] =
+      all -- Similarity.semDedup(emb, 0.3, numCentroids = k, kmeansIters = 2)
+        .select($"vec_id").as[Long].collect().toSet
+    val exact = dropsAt(1)
+    val at4 = dropsAt(4)
+    val at16 = dropsAt(16)
+    assert(exact.nonEmpty, "fixture must produce drops for the lever to be measurable")
+    assert(at4.subsetOf(exact), s"k=4 dropped non-exact ids: ${(at4 -- exact).take(5)}")
+    assert(at16.subsetOf(exact), s"k=16 dropped non-exact ids: ${(at16 -- exact).take(5)}")
+    assert(exact.size >= at4.size && at4.size >= at16.size,
+      s"drop counts must shrink with k: exact=${exact.size} k4=${at4.size} k16=${at16.size}")
+    info(f"drops: exact=${exact.size} k4=${at4.size} k16=${at16.size}; " +
+      f"miss rate k4=${(exact.size - at4.size).toDouble / exact.size}%.3f " +
+      f"k16=${(exact.size - at16.size).toDouble / exact.size}%.3f")
+  }
 }
