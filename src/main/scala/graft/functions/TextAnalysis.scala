@@ -251,6 +251,44 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Sliding-window document chunking (the RAG / long-context
+    * splitter): fixed `window` chars per chunk, `overlap` chars shared
+    * between consecutive chunks (stride = window − overlap). Chunk i
+    * covers chars [i·stride, i·stride + window); n_chunks =
+    * 1 + ⌈max(len − window, 0) / stride⌉, so every doc (including an
+    * empty one) yields ≥ 1 chunk and the tail is never dropped. Exact
+    * char provenance (doc id, chunk index, char_start) travels with
+    * every chunk — retrieval and span-level dedup need the mapping
+    * back to the source to be exact, which is why the split is pure
+    * character arithmetic, not a search for "nice" boundaries (a
+    * boundary-snapping chunker is content-dependent and breaks the
+    * fixed-cost contract; overlap is the standard remedy for mid-word
+    * cuts). A null text yields no chunks.
+    *
+    * Scale shape: pure projection + one Generate whose per-row width
+    * is len/stride — linear, shuffle-free, whole-stage codegen. At
+    * 100 TB this is a map-only pass over the corpus. */
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, window: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    // integer ceil(max(len-window,0)/stride); doc lengths ≪ 2^52 so
+    // the double round-trip under floor() is exact. The isNotNull gate
+    // is load-bearing: greatest() IGNORES nulls (greatest(null, 0) =
+    // 0), so without it a null text would yield one null chunk instead
+    // of propagating to an empty sequence (no chunks).
+    val n = when(col(textCol).isNotNull,
+      (lit(1) + floor((greatest(length(col(textCol)) - window, lit(0))
+        + lit(stride - 1)) / stride)).cast("long"))
+    docs.select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), n - 1)).as("chunk_idx"))
+      .withColumn("char_start", col("chunk_idx") * stride)
+      .select(col(idCol), col("chunk_idx"), col("char_start"),
+        col(textCol).substr(col("char_start") + 1, lit(window)).as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+  }
+
   def removeBoilerplateLines(docs: org.apache.spark.sql.DataFrame, idCol: String,
                              textCol: String,
                              maxDocFrac: Double): org.apache.spark.sql.DataFrame = {

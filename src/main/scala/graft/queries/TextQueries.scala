@@ -474,6 +474,26 @@ FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""")),
              coalesce(r.n_kept, 0) AS n_kept
       FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""")),
 
+    // Sliding-window chunking with exact char provenance — the
+    // RAG/long-context splitter. window=120/overlap=30 yields ~3
+    // chunks per fixture doc; both engines compute the same pure
+    // character arithmetic (n = 1 + ceil(max(len-120,0)/90), chunk i =
+    // substr(text, i*90+1, 120)).
+    Q("tx22_chunking",
+      (s, d) => TextAnalysis.chunkDocs(
+        Tables.documents(s, d), "doc_id", "text", 120, 30),
+      Some("""WITH d AS (SELECT doc_id, text,
+                CAST(1 + (greatest(length(text) - 120, 0) + 89) // 90 AS BIGINT) AS n
+              FROM documents),
+              idx AS (SELECT doc_id, text,
+                unnest(generate_series(0, n - 1)) AS i FROM d)
+              SELECT doc_id,
+                     CAST(i AS BIGINT) AS chunk_idx,
+                     CAST(i * 90 AS BIGINT) AS char_start,
+                     substr(text, CAST(i * 90 AS INT) + 1, 120) AS chunk_text,
+                     CAST(length(substr(text, CAST(i * 90 AS INT) + 1, 120)) AS BIGINT) AS chunk_len
+              FROM idx""")),
+
     // Count-min-sketch heavy hitters over the corpus term distribution:
     // depth×width bounded-memory frequency sketch (md5-derived hash
     // family shared with the oracle — deterministic, so the approximate

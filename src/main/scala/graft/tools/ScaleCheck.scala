@@ -106,7 +106,8 @@ object ScaleCheck {
     "op09_join_inner_agg", "op13_repeated_dim_join",
     "op18_19_sorted_dense_ids", "op20_unpivot",
     "his_turno", "his_prestacion_x_turno",
-    "dd01_exact_dedup", "dd10_dedup_pipeline",
+    "dd01_exact_dedup", "dd03_minhash_candidates", "dd10_dedup_pipeline",
+    "tx21_paragraph_dedup", "tx22_chunking",
     "ann03b_bucketed_stored", "ann04_ivf_topk",
     "tx01_token_stats", "tx09_bigram_score", "tx16_sequence_pack",
     "ex02_session_window", "ex11_cms_heavy_hitters",

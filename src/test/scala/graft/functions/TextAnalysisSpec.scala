@@ -269,4 +269,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ("gamma", 1L))
     assert(out(3L) == ("", 0L))
   }
+
+  test("chunkDocs: full coverage with exact overlap; tail kept; empty→1 chunk; null→0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option("a" * 10)),  // len == window: exactly 1 chunk
+      (2L, Option(('a' to 'z').mkString)), // 26 chars, window 10 stride 7 → 4 chunks
+      (3L, Option("")),        // empty doc: one empty chunk
+      (4L, Option.empty[String]), // null text: no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, "doc_id", "text", 10, 3)
+      .as[(Long, Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out(1L).map(_._4).toSeq == Seq("a" * 10))
+    val c2 = out(2L).map(r => (r._3, r._4)).toSeq
+    assert(c2 == Seq(
+      (0L, "abcdefghij"), (7L, "hijklmnopq"), (14L, "opqrstuvwx"), (21L, "vwxyz")))
+    // consecutive chunks share exactly `overlap` chars; concatenating
+    // each chunk's non-overlapped prefix reconstructs the doc
+    assert(c2.sliding(2).forall {
+      case Seq((_, a), (_, b)) => a.takeRight(3) == b.take(3)
+      case _ => true
+    })
+    assert(c2.init.map(_._2.take(7)).mkString + c2.last._2 == ('a' to 'z').mkString)
+    assert(out(3L).map(r => (r._2, r._4)).toSeq == Seq((0L, "")))
+    assert(!out.contains(4L))
+  }
 }
