@@ -105,6 +105,24 @@ object Similarity {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Incremental maintenance of the stored bucket index: a batch of
+    * new vectors is bucketed with the SAME hyperplanes and appended in
+    * place. Parquet append + `partitionBy` writes files ONLY into the
+    * directories of buckets the batch actually hits — untouched
+    * buckets keep their exact files (spec-pinned), so maintaining a
+    * 100 TB index costs O(batch), never O(corpus), and readers of
+    * other buckets are undisturbed. Pairs with the incremental dedup
+    * ingest: dedup incrementally, index incrementally, no rebuilds.
+    * Queries via [[bucketedTopKStored]] see old ∪ new immediately
+    * (ann03c proves parity with the all-at-once build against ann03's
+    * oracle). */
+  def appendToStoredBuckets(newVectors: DataFrame, path: String,
+                            numPlanes: Int = 8, dim: Int = 64): Unit =
+    newVectors.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
   /** [[bucketedTopK]] against a STORED bucket-partitioned corpus
     * ([[writeBucketedCorpus]]'s layout): the broadcast-hash join on the
     * partition column triggers Spark's dynamic partition pruning, so

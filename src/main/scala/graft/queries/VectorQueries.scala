@@ -175,6 +175,32 @@ SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id""")
       },
       Some(ann03Oracle)),
 
+    // Incremental index maintenance: the corpus arrives in TWO batches
+    // — initial build (vec_id < 1500) then an in-place append of the
+    // rest — and the search result must be byte-identical to the
+    // all-at-once build (same ann03 oracle). The append writes only
+    // the bucket directories its batch hashes into (SimilaritySpec
+    // pins the untouched-bucket file sets), so index maintenance is
+    // O(batch) at any corpus size.
+    Q("ann03c_bucketed_append",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_bucketed_append_${new java.io.File(d).getName}").getAbsolutePath
+        val dir = new java.io.File(path)
+        if (dir.exists()) { // fresh build each run: append is not idempotent
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(dir)
+        }
+        Similarity.writeBucketedCorpus(emb.filter(col("vec_id") < 1500), path)
+        Similarity.appendToStoredBuckets(emb.filter(col("vec_id") >= 1500), path)
+        Similarity.bucketedTopKStored(s, path, emb.filter(col("vec_id") < 50), 10)
+      },
+      Some(ann03Oracle)),
+
     // EX-06 scale path, IVF variant: inverted lists by nearest k-means
     // centroid (deterministic Lloyd's, 2 iterations, init = first 16
     // vectors), nprobe=1. The oracle trains the SAME centroids via the

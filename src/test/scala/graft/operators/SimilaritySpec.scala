@@ -194,6 +194,42 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L) == out(2L) && out(1L) == out(3L) && out(0L) != out(1L))
   }
 
+  test("appendToStoredBuckets: O(batch) maintenance — untouched bucket files are byte-stable") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files.createTempDirectory("graft_append_spec").toString
+    Similarity.writeBucketedCorpus(emb.filter($"vec_id" < 300), path)
+    def fileSet: Map[String, Set[(String, Long)]] =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().map(f => (f.getName, f.length())).toSet).toMap
+    val before = fileSet
+    val batch = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    Similarity.appendToStoredBuckets(batch, path)
+    val after = fileSet
+    // which buckets did the batch actually hash into?
+    val hit = batch.select(Similarity.lshBucket($"embedding", 8, 64).as("b"))
+      .distinct().as[Long].collect().map(b => s"bucket=$b").toSet
+    // untouched buckets: identical (name, size) file sets — the append
+    // never rewrote them; touched buckets gained files without losing any
+    before.keys.filterNot(hit).foreach { b =>
+      assert(after(b) == before(b), s"untouched $b was rewritten")
+    }
+    hit.foreach { b =>
+      assert(before.getOrElse(b, Set.empty).subsetOf(after(b)),
+        s"append lost files in $b")
+      assert(after(b).size > before.getOrElse(b, Set.empty).size,
+        s"append wrote nothing to hit bucket $b")
+    }
+    // and the incremental index answers exactly like a full rebuild
+    val full = java.nio.file.Files.createTempDirectory("graft_append_full").toString
+    Similarity.writeBucketedCorpus(emb.filter($"vec_id" < 400), full)
+    val q = emb.filter($"vec_id" < 10)
+    val a = Similarity.bucketedTopKStored(spark, path, q, 5).collect().toSet
+    val b = Similarity.bucketedTopKStored(spark, full, q, 5).collect().toSet
+    assert(a == b, "incremental index diverges from full rebuild")
+  }
+
   test("semDedup lever: numCentroids trades Σ cluster² cost against boundary misses, monotonically") {
     // The scaladoc's documented lever, made a measured fact on the
     // sf0.001 embeddings fixture (threshold 0.3, dd12's setting).
