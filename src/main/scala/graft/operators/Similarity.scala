@@ -123,6 +123,22 @@ object Similarity {
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
 
+  /** Compaction for an append-maintained bucket index: every
+    * [[appendToStoredBuckets]] batch adds files, and scan cost is
+    * per-file, so an append-heavy index degrades the same way a
+    * streaming lake table does. One clustered rewrite restores the
+    * one-file-per-bucket layout into `dest` (a NEW path — visibility
+    * flips belong to the caller's catalog/manifest protocol, as in
+    * [[graft.sinks.Publish]]; compacting in place would race live
+    * readers). Results are layout-invariant: ann03d hash-matches the
+    * same oracle as ann03/ann03b/ann03c. */
+  def compactStoredBuckets(spark: org.apache.spark.sql.SparkSession,
+                           src: String, dest: String): Unit =
+    spark.read.parquet(src)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dest)
+
   /** [[bucketedTopK]] against a STORED bucket-partitioned corpus
     * ([[writeBucketedCorpus]]'s layout): the broadcast-hash join on the
     * partition column triggers Spark's dynamic partition pruning, so

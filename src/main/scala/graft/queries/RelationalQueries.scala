@@ -724,6 +724,45 @@ object RelationalQueries {
               GROUP BY l_orderkey, o_orderdate, o_orderpriority
               ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
 
+    // TPC-H Q5 (local-supplier revenue): the canonical snowflake
+    // multi-join — fact joins two dim CHAINS (customer→nation and
+    // supplier→nation→region) that must MEET on the same nation.
+    // region/nation/supplier/customer all broadcast (region filter
+    // first shrinks the chain); the only shuffle is lineitem⋈orders
+    // and the final 5-row agg.
+    Q("tpch_q5",
+      (s, d) => {
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val n = Tables.nation(s, d)
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        Tables.lineitem(s, d)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("double"), 2).as("revenue"))
+      },
+      Some("""SELECT n_name,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) AS revenue
+              FROM customer, orders, lineitem, supplier, nation, region
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY n_name""")),
+
     // TPC-H Q18 (large-volume customers, adapted threshold for the
     // fixture's ~4 lines/order): HAVING-filtered semi-join back onto
     // the fact. The qualifying-orders agg is map-side-combinable and

@@ -201,6 +201,33 @@ SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id""")
       },
       Some(ann03Oracle)),
 
+    // Index-maintenance lifecycle, final stage: build → two appends
+    // (small-file accumulation) → clustered compaction to a fresh path
+    // → query the COMPACTED index. Same oracle for the fourth time:
+    // build mode, append count, and file layout must all be invisible
+    // in results. SimilaritySpec pins the operational claim (one file
+    // per bucket after compaction).
+    Q("ann03d_bucketed_compacted",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val tmp = System.getProperty("java.io.tmpdir")
+        val tag = new java.io.File(d).getName
+        val live = s"$tmp/graft_bucketed_lifecycle_$tag"
+        val compacted = s"$tmp/graft_bucketed_compacted_$tag"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(live)); rm(new java.io.File(compacted))
+        Similarity.writeBucketedCorpus(emb.filter(col("vec_id") < 1000), live)
+        Similarity.appendToStoredBuckets(
+          emb.filter(col("vec_id") >= 1000 && col("vec_id") < 1500), live)
+        Similarity.appendToStoredBuckets(emb.filter(col("vec_id") >= 1500), live)
+        Similarity.compactStoredBuckets(s, live, compacted)
+        Similarity.bucketedTopKStored(s, compacted, emb.filter(col("vec_id") < 50), 10)
+      },
+      Some(ann03Oracle)),
+
     // EX-06 scale path, IVF variant: inverted lists by nearest k-means
     // centroid (deterministic Lloyd's, 2 iterations, init = first 16
     // vectors), nprobe=1. The oracle trains the SAME centroids via the

@@ -230,6 +230,29 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b, "incremental index diverges from full rebuild")
   }
 
+  test("compactStoredBuckets: restores one data file per bucket; results unchanged") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val live = java.nio.file.Files.createTempDirectory("graft_compact_live").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_compact_dest").toString
+    Similarity.writeBucketedCorpus(emb.filter($"vec_id" < 200), live)
+    Similarity.appendToStoredBuckets(emb.filter($"vec_id" >= 200 && $"vec_id" < 300), live)
+    Similarity.appendToStoredBuckets(emb.filter($"vec_id" >= 300 && $"vec_id" < 400), live)
+    def dataFiles(root: String): Map[String, Int] =
+      new java.io.File(root).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(dataFiles(live).values.exists(_ > 1),
+      "appends must accumulate multiple files for the test to mean anything")
+    Similarity.compactStoredBuckets(spark, live, dest)
+    assert(dataFiles(dest).values.forall(_ == 1),
+      s"compaction must leave one file per bucket: ${dataFiles(dest)}")
+    val q = emb.filter($"vec_id" < 10)
+    assert(Similarity.bucketedTopKStored(spark, live, q, 5).collect().toSet ==
+      Similarity.bucketedTopKStored(spark, dest, q, 5).collect().toSet,
+      "compaction changed results")
+  }
+
   test("semDedup lever: numCentroids trades Σ cluster² cost against boundary misses, monotonically") {
     // The scaladoc's documented lever, made a measured fact on the
     // sf0.001 embeddings fixture (threshold 0.3, dd12's setting).
