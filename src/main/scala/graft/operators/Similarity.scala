@@ -123,6 +123,29 @@ object Similarity {
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
 
+  /** One ingest batch of the STREAMING index-maintenance path
+    * ([[graft.streaming.StreamingOps.annIndexIngest]]): vectors are
+    * bucketed with the index's hyperplanes and written via DYNAMIC
+    * partition overwrite into `(bucket, ingest_batch)` partitions.
+    * Idempotence comes from the LAYOUT, not a replay guard: a replayed
+    * batch id rewrites exactly its own `ingest_batch=<id>` directories
+    * with identical content (streaming sources replay the same rows
+    * for the same id), so at-least-once delivery converges to
+    * exactly-once state — and a crash mid-write is repaired by the
+    * replay overwriting the same partitions. `bucket` stays the
+    * top-level directory, so query-side dynamic partition pruning is
+    * unaffected; [[compactStoredBuckets]] folds the batch level away.
+    */
+  def writeIndexBatch(vectors: DataFrame, path: String, batchId: Long,
+                      numPlanes: Int = 8, dim: Int = 64): Unit =
+    vectors.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
+      .withColumn("ingest_batch", lit(batchId))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "ingest_batch").parquet(path)
+
   /** Compaction for an append-maintained bucket index: every
     * [[appendToStoredBuckets]] batch adds files, and scan cost is
     * per-file, so an append-heavy index degrades the same way a

@@ -341,6 +341,36 @@ object StreamingOps {
     }
   }
 
+  /** Streaming maintenance of the stored ANN bucket index: each
+    * micro-batch of embeddings lands via
+    * [[graft.operators.Similarity.writeIndexBatch]] — dynamic
+    * partition overwrite into `(bucket, ingest_batch=<id>)`
+    * directories. Unlike the publish-based ingests above, idempotence
+    * here needs NO replay guard and NO version manifest: a replayed
+    * batch id rewrites exactly its own `ingest_batch` partitions with
+    * identical rows (streaming sources replay deterministically), so
+    * at-least-once delivery converges, and a crash mid-write is
+    * repaired by the replay. The trade: readers get per-directory
+    * (eventual) visibility rather than snapshot isolation — right for
+    * an ANN index whose answers are approximate by contract; use the
+    * Publish-versioned ingests when readers need atomic snapshots.
+    * Query with [[graft.operators.Similarity.bucketedTopKStored]]
+    * (the extra partition level projects away; bucket stays top-level
+    * so partition pruning is unaffected); fold the accumulated batch
+    * level away periodically with
+    * [[graft.operators.Similarity.compactStoredBuckets]]. */
+  def annIndexIngest(vectors: DataFrame, indexPath: String,
+                     numPlanes: Int = 8, dim: Int = 64,
+                     checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.Similarity.writeIndexBatch(
+          batch.toDF(), indexPath, id, numPlanes, dim)
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Merge sorted-by-start open sessions with a batch of event times
     * under the closed-boundary gap rule (`next <= last + gap` merges). */
   private[graft] def mergeAll(sessions: List[OpenSession], eventTs: List[Long],

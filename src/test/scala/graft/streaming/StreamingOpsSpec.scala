@@ -420,6 +420,48 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got(1L) == got(2L))
   }
 
+  test("annIndexIngest: streamed index equals batch build; replayed batch converges") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val indexPath = java.nio.file.Files.createTempDirectory("graft_ann_ingest").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.annIndexIngest(
+      input.toDF().toDF("vec_id", "embedding"), indexPath)
+    try {
+      Seq(emb.take(150), emb.slice(150, 300), emb.drop(300)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // streamed index answers exactly like the all-at-once build
+    val full = java.nio.file.Files.createTempDirectory("graft_ann_full").toString
+    Similarity.writeBucketedCorpus(
+      emb.toSeq.toDF("vec_id", "embedding"), full)
+    val queries = emb.take(10).toSeq.toDF("vec_id", "embedding")
+    val a = Similarity.bucketedTopKStored(spark, indexPath, queries, 5).collect().toSet
+    val b = Similarity.bucketedTopKStored(spark, full, queries, 5).collect().toSet
+    assert(a == b, "streamed index diverges from batch build")
+    // at-least-once replay: rewriting an already-ingested batch id with
+    // the same rows (the streaming-source replay contract) must leave
+    // the index row-for-row identical — dynamic partition overwrite
+    // replaces that batch's own directories, never duplicating
+    val before = spark.read.parquet(indexPath)
+      .groupBy($"vec_id").count().as[(Long, Long)].collect().toMap
+    Similarity.writeIndexBatch(
+      emb.slice(150, 300).toSeq.toDF("vec_id", "embedding"), indexPath, 1L)
+    val after = spark.read.parquet(indexPath)
+      .groupBy($"vec_id").count().as[(Long, Long)].collect().toMap
+    assert(after == before, "replayed batch changed the index")
+    assert(after.values.forall(_ == 1L), "every vector indexed exactly once")
+    // the batch level folds away under compaction, results intact
+    val compacted = java.nio.file.Files.createTempDirectory("graft_ann_comp").toString
+    Similarity.compactStoredBuckets(spark, indexPath, compacted)
+    assert(!spark.read.parquet(compacted).columns.contains("ingest_batch"))
+    assert(Similarity.bucketedTopKStored(spark, compacted, queries, 5).collect().toSet == a)
+  }
+
   test("mergeAll unit: merge rules and counts") {
     import StreamingOps.{mergeAll, OpenSession}
     val gap = 600000L // 10 min
