@@ -328,6 +328,38 @@ object EventOps {
 
   /** EX-08: JSON field extraction from a string column. `get_json_object`
     * is codegen'd; for fixed wide schemas prefer `from_json` once. */
+  /** Histogram quantile sketch: per-group fixed-width bin counts →
+    * quantile = upper edge of the first bin whose cumulative count
+    * reaches ⌈q·n⌉. The approximate-percentile shape for 100 TB —
+    * exact interpolated percentiles (ex09) need the group's full value
+    * multiset in one place (a sort), while the sketch state is ≤
+    * range/binWidth longs per group, map-side combinable, mergeable
+    * across partitions/batches, and DETERMINISTIC (same answer every
+    * run and in any engine — unlike rank-statistic samplers, it
+    * hash-checks against an oracle). Error bound: a quantile is off by
+    * at most binWidth (spec-pinned vs the exact percentile); pick
+    * binWidth = tolerated error. First agg shrinks the corpus to
+    * (groups × bins) rows; the cumulative window runs on sketch-sized
+    * data only. */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                         binWidth: Double, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = df
+      .groupBy(col(groupCol), floor(col(valueCol) / binWidth).cast("long").as("__bin"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__bin"))
+    val cum = binned
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(col(groupCol))))
+    cum.select(col(groupCol), col("__bin"), col("__cum"), col("__n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .filter(col("__cum") >= ceil(col("q") * col("__n")))
+      .groupBy(col(groupCol), col("q"))
+      .agg(min(col("__bin")).as("__qbin"))
+      .select(col(groupCol), col("q"),
+        round((col("__qbin") + 1) * binWidth, 6).as("quantile_est"))
+  }
+
   def jsonExtractAgg(events: DataFrame): DataFrame =
     events
       // try_cast, not cast: under ANSI mode (Spark 4 default) a plain

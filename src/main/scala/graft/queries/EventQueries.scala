@@ -395,6 +395,30 @@ FROM agg""")),
                      round(r.n_users / CAST(s.cohort_n AS DOUBLE), 6) AS retention
               FROM ret r JOIN sizes s USING (cohort_week)""")),
 
+    // Histogram quantile sketch (p50/p95/p99 per event type, bin=5.0):
+    // the bounded-state sibling of ex09's exact percentiles — the
+    // sketch never holds more than range/binWidth longs per group, so
+    // it survives any group size; the answer is within one binWidth of
+    // exact (EventOpsSpec pins the bound against ex09's method).
+    Q("ex19_histogram_quantiles",
+      (s, d) => EventOps.histogramQuantiles(
+        Tables.events(s, d), "event_type", "value", 5.0, Seq(0.5, 0.95, 0.99)),
+      Some("""WITH b AS (
+                SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2),
+              c AS (
+                SELECT event_type, bin, cnt,
+                       sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                       sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM b),
+              qs AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q)
+              SELECT event_type, q,
+                     round((min(bin) + 1) * CAST(5.0 AS DOUBLE), 6) AS quantile_est
+              FROM c, qs
+              WHERE cum >= ceil(q * n)
+              GROUP BY event_type, q""")),
+
     Q("ex08_json_extract",
       (s, d) => EventOps.jsonExtractAgg(Tables.events(s, d)),
       // TRY_CAST + count of the casted value so both engines count only

@@ -225,4 +225,28 @@ class EventOpsSpec extends SparkSpec {
     assert(out(3L) == (Some(t(1)), Some(t(3)), None))
     assert(out(4L) == (None, None, None))
   }
+
+  test("histogramQuantiles: estimate within one binWidth above the exact rank statistic") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+    val binWidth = 5.0
+    val qs = Seq(0.5, 0.95, 0.99)
+    val est = EventOps.histogramQuantiles(ev, "event_type", "value", binWidth, qs)
+      .as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val exact = ev.select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((tpe, vals) <- exact; q <- qs) {
+      val v = vals(math.ceil(q * vals.length).toInt - 1) // ⌈qn⌉-th smallest
+      val e = est((tpe, q))
+      // v lands in bin ⌊v/w⌋ and the estimate is that bin's upper edge
+      // (or a lower bin's, never higher than v's bin edge)
+      assert(e > v - binWidth && e <= v + binWidth,
+        s"$tpe q=$q: est $e vs exact rank stat $v (binWidth $binWidth)")
+    }
+    // deterministic: the same call yields identical rows
+    val again = EventOps.histogramQuantiles(ev, "event_type", "value", binWidth, qs)
+      .as[(String, Double, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(again == est)
+  }
 }
