@@ -167,6 +167,28 @@ object StreamingOps {
       }
   }
 
+  /** Streaming histogram sketch — the stateful form of
+    * [[graft.operators.EventOps.histogramQuantiles]]'s first stage:
+    * per (group, bin) running counts, keyed BY CELL like [[cmsSketch]]
+    * (parallelism = live cells, state = one long per cell, bounded by
+    * groups × range/binWidth forever). Bin counts are SUMS, so the
+    * streaming sketch equals the batch bin counts over the same prefix
+    * on ANY micro-batch split (spec-pinned); quantiles finalize from
+    * the emitted cells with the batch rule (upper edge at ⌈q·n⌉). */
+  case class HistCell(group: String, bin: Long, cnt: Long)
+  def histSketch(events: Dataset[Ev], binWidth: Double): Dataset[HistCell] = {
+    import events.sparkSession.implicits._
+    events.filter(_.event_type != null)
+      .map(e => (e.event_type, math.floor(e.value / binWidth).toLong))
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, HistCell](GroupStateTimeout.NoTimeout) {
+        (cell: (String, Long), it: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + it.size
+          state.update(c)
+          HistCell(cell._1, cell._2, c)
+      }
+  }
+
   /** Stream-stream interval join: each left event matched to right
     * events of the same key with `r.ts ∈ [l.ts, l.ts + maxLag]`. Both
     * sides carry watermarks and the time bound is part of the join

@@ -245,6 +245,54 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming histogram sketch equals batch bin counts; quantiles finalize identically") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(i: Long, t: String, v: Double) = Ev(i, ts("2026-01-01 10:00:00"), i, t, v)
+    val all = (1L to 60L).map(i => ev(i, s"t${i % 3}", (i * 7 % 50) + 0.5))
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.histSketch(input.toDS(), binWidth = 5.0)
+      .writeStream.format("memory").queryName("t_hist").outputMode("update").start()
+    try {
+      input.addData(all.take(17)); q.processAllAvailable()
+      input.addData(all.drop(17).take(25)); q.processAllAvailable()
+      input.addData(all.drop(42)); q.processAllAvailable()
+      // counts only grow → final cell state = max emission
+      val streamed = spark.table("t_hist").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).max }
+      val batch = all.map(e => (e.event_type, e.value)).toDF("event_type", "value")
+        .groupBy($"event_type",
+          org.apache.spark.sql.functions.floor($"value" / 5.0).cast("long").as("bin"))
+        .count().collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        "additive bins must make the streaming sketch equal the batch bin counts")
+      // finalizing quantiles from the streamed cells reproduces the
+      // batch histogramQuantiles answer exactly
+      val cells = streamed.toSeq.map { case ((g, b), c) => (g, b, c) }
+        .toDF("event_type", "bin", "cnt")
+      val qs = Seq(0.5, 0.95)
+      val fromStream = {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy($"event_type").orderBy($"bin")
+        cells.withColumn("cum", sum($"cnt").over(w))
+          .withColumn("n", sum($"cnt").over(Window.partitionBy($"event_type")))
+          .select($"event_type", $"cum", $"n", $"bin",
+            explode(array(qs.map(lit): _*)).as("q"))
+          .filter($"cum" >= ceil($"q" * $"n"))
+          .groupBy($"event_type", $"q").agg(min($"bin").as("qb"))
+          .select($"event_type", $"q", round(($"qb" + 1) * 5.0, 6).as("quantile_est"))
+          .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      }
+      val fromBatch = graft.operators.EventOps.histogramQuantiles(
+          all.map(e => (e.event_type, e.value)).toDF("event_type", "value"),
+          "event_type", "value", 5.0, qs)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      assert(fromStream == fromBatch)
+    } finally q.stop()
+  }
+
   test("stratifiedMix is stateless-streaming-safe and equals its batch result") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String)]
