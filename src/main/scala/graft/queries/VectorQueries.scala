@@ -387,6 +387,10 @@ WHERE rk <= 10""")),
         row("lsh_bucketed", 50, Similarity.bucketedTopK(emb, q50, 10))
           .unionAll(row("ivf_nprobe1", 30, Similarity.ivfTopK(emb, q30, 10, 16, 2, nprobe = 1)))
           .unionAll(row("ivf_nprobe2", 30, Similarity.ivfTopK(emb, q30, 10, 16, 2, nprobe = 2)))
+          // PQ scores the COMPRESSED corpus — its recall measures
+          // quantization loss, not candidate pruning (PQ scans all
+          // codes; the other paths scan subsets at full precision)
+          .unionAll(row("pq_adc", 10, Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 10)))
       },
       Some(s"""WITH $planesSql,
 fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
@@ -464,6 +468,40 @@ i2_top AS (SELECT query_id, vec_id FROM (
              FROM i2_dots d
              JOIN norms n1 ON n1.vec_id = d.query_id
              JOIN norms n2 ON n2.vec_id = d.vec_id) t
+           WHERE rk <= 10),
+fl0 AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+sv AS (SELECT vec_id, d // 16 AS sub, d % 16 AS sd, v FROM fl0),
+cb AS (SELECT vec_id AS centroid_id, sub, sd, round(v, 6) AS cv FROM sv WHERE vec_id < 16),
+cd AS (SELECT s.vec_id, s.sub, c.centroid_id, sum(s.v * c.cv) AS dp
+       FROM sv s JOIN cb c ON c.sub = s.sub AND c.sd = s.sd
+       GROUP BY 1, 2, 3),
+svn AS (SELECT vec_id, sub, sqrt(sum(v*v)) AS nrm FROM sv GROUP BY 1, 2),
+cbn AS (SELECT centroid_id, sub, sqrt(sum(cv*cv)) AS nrm, sum(cv*cv) AS n2
+        FROM cb GROUP BY 1, 2),
+codes AS (SELECT vec_id, sub, centroid_id FROM (
+            SELECT d.vec_id, d.sub, d.centroid_id,
+                   row_number() OVER (PARTITION BY d.vec_id, d.sub
+                     ORDER BY round(dp / (sn.nrm * cn.nrm), 6) DESC, d.centroid_id ASC) AS rn
+            FROM cd d
+            JOIN svn sn ON sn.vec_id = d.vec_id AND sn.sub = d.sub
+            JOIN cbn cn ON cn.centroid_id = d.centroid_id AND cn.sub = d.sub) t
+          WHERE rn = 1),
+rec AS (SELECT co.vec_id, sum(cn.n2) AS rn2
+        FROM codes co JOIN cbn cn ON cn.sub = co.sub AND cn.centroid_id = co.centroid_id
+        GROUP BY 1),
+lut AS (SELECT vec_id AS query_id, sub, centroid_id, dp FROM cd WHERE vec_id < 10),
+qn AS (SELECT vec_id AS query_id, sqrt(sum(v*v)) AS nrm FROM fl0 WHERE vec_id < 10 GROUP BY 1),
+sc AS (SELECT l.query_id, co.vec_id, sum(l.dp) AS adp
+       FROM codes co JOIN lut l ON l.sub = co.sub AND l.centroid_id = co.centroid_id
+       GROUP BY 1, 2),
+pq_top AS (SELECT query_id, vec_id FROM (
+             SELECT s.query_id, s.vec_id,
+                    row_number() OVER (PARTITION BY s.query_id
+                      ORDER BY round(s.adp / (q.nrm * sqrt(r.rn2)), 6) DESC, s.vec_id ASC) AS rk
+             FROM sc s JOIN qn q ON q.query_id = s.query_id
+             JOIN rec r ON r.vec_id = s.vec_id) t
            WHERE rk <= 10)
 SELECT 'lsh_bucketed' AS method, 10 AS k,
        round(count(*) / 500.0, 6) AS recall
@@ -473,7 +511,10 @@ SELECT 'ivf_nprobe1', 10, round(count(*) / 300.0, 6)
   FROM i1_top JOIN ex_top USING (query_id, vec_id)
 UNION ALL
 SELECT 'ivf_nprobe2', 10, round(count(*) / 300.0, 6)
-  FROM i2_top JOIN ex_top USING (query_id, vec_id)""")),
+  FROM i2_top JOIN ex_top USING (query_id, vec_id)
+UNION ALL
+SELECT 'pq_adc', 10, round(count(*) / 100.0, 6)
+  FROM pq_top JOIN ex_top USING (query_id, vec_id)""")),
 
     // Embedding near-dup, corpus-scale form: LSH-bucket blocking over
     // the FULL table (no id block) — bucket equi-join, not an all-pairs
