@@ -91,7 +91,11 @@ object Bench {
     // round 6 families
     "dd12_semdedup", "ex14_gap_fill", "ex16_rolling_window",
     "lake01_stats_skipping", "op36_scd2_merge", "op37_fuzzy_match",
-    "tpch_q1", "tpch_q3")
+    "tpch_q1", "tpch_q3",
+    // round 7 families
+    "ann07_recall", "ann03c_bucketed_append", "ann03d_bucketed_compacted",
+    "tpch_q5", "tpch_q18", "ex18_cohort_retention",
+    "ex19_histogram_quantiles", "tx22_chunking", "dq05_drift_psi")
 
   private def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                       spark: SparkSession, sfDir: String): (Double, Option[String]) = {

@@ -121,4 +121,34 @@ object Quality {
     if (groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Population-stability-index drift gate: per group, how far the
+    * `current` side's value distribution has drifted from the
+    * `baseline` side's — PSI = Σ (p−q)·ln(p/q) over fixed-width
+    * histogram bins (the monitoring-industry thumb rule: < 0.1 stable,
+    * 0.1–0.25 moderate, > 0.25 action). The distribution comparison
+    * for ML feature / training-data monitoring: deterministic (same
+    * binning as [[graft.operators.EventOps.histogramQuantiles]], no
+    * sampling), so it hash-checks against an oracle. Laplace-0.5
+    * smoothing over the UNION of observed bins keeps both shares
+    * strictly positive — a bin present on one side only contributes a
+    * finite term instead of ±∞, and the smoothed PSI of two identical
+    * distributions is exactly 0. One scan (both sides counted in one
+    * hash agg via the side flag), one group-sized join (AQE
+    * broadcast); state is bins × groups, never rows. */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+               baselineSide: Column, binWidth: Double): DataFrame = {
+    val binned = df
+      .groupBy(col(groupCol), floor(col(valueCol) / binWidth).cast("long").as("__bin"))
+      .agg(sum(when(baselineSide, 1L).otherwise(0L)).as("__b"),
+        sum(when(baselineSide, 0L).otherwise(1L)).as("__c"))
+    val tot = binned.groupBy(col(groupCol))
+      .agg(sum(col("__b")).as("__tb"), sum(col("__c")).as("__tc"),
+        count(lit(1)).as("__nbins"))
+    binned.join(tot, Seq(groupCol))
+      .withColumn("__p", (col("__b") + 0.5) / (col("__tb") + lit(0.5) * col("__nbins")))
+      .withColumn("__q", (col("__c") + 0.5) / (col("__tc") + lit(0.5) * col("__nbins")))
+      .groupBy(col(groupCol))
+      .agg(round(sum((col("__p") - col("__q")) * log(col("__p") / col("__q"))), 6).as("psi"))
+  }
 }

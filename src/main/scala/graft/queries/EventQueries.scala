@@ -419,6 +419,34 @@ FROM agg""")),
               WHERE cum >= ceil(q * n)
               GROUP BY event_type, q""")),
 
+    // Distribution-drift gate (PSI) between the first and second half
+    // of the month, per event type — the fixture's value distribution
+    // is stationary, so PSI lands near 0 (the interesting check is
+    // that both engines agree bit-for-bit on the smoothed formula; the
+    // drift-detection spec injects a real shift).
+    Q("dq05_drift_psi",
+      (s, d) => graft.operators.Quality.psiDrift(
+        Tables.events(s, d), "event_type", "value",
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")), 25.0),
+      Some("""WITH b AS (
+                SELECT event_type,
+                       CAST(floor(value / 25.0) AS BIGINT) AS bin,
+                       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS bc,
+                       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS cc
+                FROM events GROUP BY 1, 2),
+              t AS (
+                SELECT event_type, CAST(sum(bc) AS BIGINT) AS tb,
+                       CAST(sum(cc) AS BIGINT) AS tc,
+                       CAST(count(*) AS BIGINT) AS nbins
+                FROM b GROUP BY 1),
+              sh AS (
+                SELECT b.event_type,
+                       (bc + CAST(0.5 AS DOUBLE)) / (tb + CAST(0.5 AS DOUBLE) * nbins) AS p,
+                       (cc + CAST(0.5 AS DOUBLE)) / (tc + CAST(0.5 AS DOUBLE) * nbins) AS q
+                FROM b JOIN t USING (event_type))
+              SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi
+              FROM sh GROUP BY event_type""")),
+
     Q("ex08_json_extract",
       (s, d) => EventOps.jsonExtractAgg(Tables.events(s, d)),
       // TRY_CAST + count of the casted value so both engines count only

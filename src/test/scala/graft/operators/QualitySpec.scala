@@ -119,4 +119,25 @@ class QualitySpec extends SparkSpec {
       assert(dn._1 != dv._1, s"null must not collide with '$v'")
     }
   }
+
+  test("psiDrift: identical halves score 0; a shifted distribution crosses the action threshold") {
+    import org.apache.spark.sql.functions.col
+    // 'stable': current ≡ baseline (same 200 values) → smoothed PSI exactly 0.
+    // 'shifted': baseline uniform on [0,100), current on [100,200) → disjoint
+    // bins, PSI far above the 0.25 action threshold.
+    val rows =
+      (0 until 200).map(i => ("stable", (i % 100) + 0.5, i < 100)) ++
+      (0 until 200).map(i => ("shifted", (i % 100) + (if (i < 100) 0.5 else 100.5), i < 100))
+    val df = rows.toDF("grp", "value", "is_base")
+    val psi = Quality.psiDrift(df, "grp", "value", col("is_base"), 10.0)
+      .as[(String, Double)].collect().toMap
+    assert(psi("stable") == 0.0, s"identical halves must score exactly 0, got ${psi("stable")}")
+    assert(psi("shifted") > 0.25, s"disjoint shift must cross 0.25, got ${psi("shifted")}")
+    // monotone sanity: a PARTIAL shift lands between the two
+    val partial = (0 until 200).map(i =>
+      ("p", (i % 100) + (if (i < 100) 0.5 else if (i % 2 == 0) 100.5 else 0.5), i < 100))
+    val pp = Quality.psiDrift(partial.toDF("grp", "value", "is_base"), "grp", "value",
+      col("is_base"), 10.0).as[(String, Double)].collect().head._2
+    assert(pp > 0.0 && pp < psi("shifted"))
+  }
 }
