@@ -344,7 +344,10 @@ object EventOps {
   def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                          binWidth: Double, qs: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val binned = df
+    // null values are EXCLUDED (the aggregate-function posture: count
+    // over known values) — without the filter they'd pool into a null
+    // bin that sorts first and silently shifts every quantile's rank
+    val binned = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), floor(col(valueCol) / binWidth).cast("long").as("__bin"))
       .agg(count(lit(1)).as("__cnt"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__bin"))

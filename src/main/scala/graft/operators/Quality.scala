@@ -138,7 +138,11 @@ object Quality {
     * broadcast); state is bins × groups, never rows. */
   def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
                baselineSide: Column, binWidth: Double): DataFrame = {
-    val binned = df
+    // null values excluded, as in histogramQuantiles — they'd form a
+    // shared null bin that dilutes both shares. A null side flag
+    // counts as current (`when` falls through) — pass a null-safe
+    // predicate if the split column is nullable.
+    val binned = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), floor(col(valueCol) / binWidth).cast("long").as("__bin"))
       .agg(sum(when(baselineSide, 1L).otherwise(0L)).as("__b"),
         sum(when(baselineSide, 0L).otherwise(1L)).as("__c"))
