@@ -289,6 +289,40 @@ object TextAnalysis {
       .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
   }
 
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the classic lexical retrieval scorer (Robertson/Sparck Jones; the
+    * +1-inside-ln idf variant keeps every term's contribution
+    * positive). One tokens explode filtered to the query terms BEFORE
+    * any shuffle (per-doc state is |query| counts, not |vocab|), doc
+    * lengths from a separate size() projection (no explode), and the
+    * three scalar stats (N, avgdl, per-term df) broadcast — the corpus
+    * shuffles only (doc, query-term) hit counts. Deterministic given
+    * the corpus; the product/division association below is mirrored
+    * EXACTLY in the tx23 oracle (float non-associativity would
+    * otherwise flip the 6th decimal). Docs with no query term are
+    * absent (score 0). */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val lens = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("__len"))
+    val stats = lens.agg(count(lit(1)).cast("long").as("__n"),
+      avg(col("__len")).as("__avgl"))
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).cast("long").as("__tf"))
+    val dfs = tf.groupBy(col("__t")).agg(count(lit(1)).cast("long").as("__df"))
+    val idf = log((col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + 1)
+    val term = idf * ((col("__tf") * lit(k1 + 1)) /
+      (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__len") / col("__avgl"))))
+    tf.join(broadcast(dfs), Seq("__t"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(round(sum(term), 6).as("bm25"))
+  }
+
   def removeBoilerplateLines(docs: org.apache.spark.sql.DataFrame, idCol: String,
                              textCol: String,
                              maxDocFrac: Double): org.apache.spark.sql.DataFrame = {

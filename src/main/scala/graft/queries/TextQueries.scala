@@ -494,6 +494,26 @@ FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""")),
                      CAST(length(substr(text, CAST(i * 90 AS INT) + 1, 120)) AS BIGINT) AS chunk_len
               FROM idx""")),
 
+    // BM25 retrieval scoring against a fixed 4-term query. The oracle
+    // mirrors the Spark product/division association EXACTLY (see
+    // bm25's scaladoc) — ln/div/mul reorderings flip the 6th decimal.
+    Q("tx23_bm25",
+      (s, d) => TextAnalysis.bm25(
+        Tables.documents(s, d), "doc_id", "text", Seq("join", "scan", "vector", "spark")),
+      Some(s"""WITH lens AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS l FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(l AS DOUBLE)) AS avgl FROM lens),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM (
+         SELECT doc_id, unnest($toksSql) AS t FROM documents) x
+       WHERE t IN ('join', 'scan', 'vector', 'spark') GROUP BY 1, 2),
+dfs AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+       round(sum(
+         ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + 1) *
+         ((tf * CAST(2.2 AS DOUBLE)) /
+          (tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l / avgl)))), 6) AS bm25
+FROM tf JOIN dfs USING (t) JOIN lens USING (doc_id), stats
+GROUP BY tf.doc_id""")),
+
     // Count-min-sketch heavy hitters over the corpus term distribution:
     // depth×width bounded-memory frequency sketch (md5-derived hash
     // family shared with the oracle — deterministic, so the approximate

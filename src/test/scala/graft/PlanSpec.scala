@@ -232,7 +232,10 @@ class PlanSpec extends SparkSpec {
       // recall measurement: embeds the ann01 brute-force ground truth
       // (corpus × broadcast(50 queries)) plus the k-means assignment —
       // the same two whitelisted shapes, reused for comparison
-      "ann07_recall")
+      "ann07_recall",
+      // BM25: the (N, avgdl) corpus stats are ONE broadcast row crossed
+      // into the per-(doc, term) hits — scalar fan-out, not a join
+      "tx23_bm25")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val nonEqui = df.queryExecution.optimizedPlan.collect {

@@ -295,4 +295,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).map(r => (r._2, r._4)).toSeq == Seq((0L, "")))
     assert(!out.contains(4L))
   }
+
+  test("bm25: tf raises score, doc length damps it, rare terms outweigh common ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat dog cat"),            // tf(cat)=2, short
+      (2L, "cat dog"),                // tf(cat)=1, short
+      (3L, "cat " + ("pad " * 40)),   // tf(cat)=1, long → damped below doc 2
+      (4L, "dog dog dog"),            // no 'cat'; 'dog' is common (3 of 5 docs)
+      (5L, "emu"),                    // rare term, one doc
+    ).toDF("doc_id", "text")
+    def scores(terms: String*): Map[Long, Double] =
+      TextAnalysis.bm25(docs, "doc_id", "text", terms.toSeq)
+        .as[(Long, Double)].collect().toMap
+    val cat = scores("cat")
+    assert(cat(1L) > cat(2L), "higher tf must score higher at equal length")
+    assert(cat(2L) > cat(3L), "longer doc must damp an equal tf")
+    assert(!cat.contains(4L) && !cat.contains(5L), "docs without the term are absent")
+    // idf: 'emu' (df=1) must outweigh 'dog' (df=3) at equal tf and length
+    val mixed = scores("dog", "emu")
+    assert(mixed(5L) > mixed(2L), "rare term must outweigh common term")
+  }
 }
