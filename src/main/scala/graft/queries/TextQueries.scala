@@ -514,6 +514,68 @@ SELECT tf.doc_id,
 FROM tf JOIN dfs USING (t) JOIN lens USING (doc_id), stats
 GROUP BY tf.doc_id""")),
 
+    // Hybrid retrieval with reciprocal-rank fusion — the modern RAG
+    // stack's fusion step: lexical top-50 (tx23's BM25, same 4-term
+    // query) and vector top-50 (cosine to vec_id 0's embedding — the
+    // fixture's doc_id and vec_id ranges align) are fused by
+    // RRF(d) = Σ_sides 1/(60 + rank_side(d)), a rank-only formula that
+    // needs NO score calibration between the two scales (the reason
+    // RRF won in practice). Lexical ranks come from denseIdScalable on
+    // the top-50 (no global window — the OP-18 machinery); a doc
+    // missing from one side contributes 0 for that side.
+    Q("tx24_hybrid_rrf",
+      (s, d) => {
+        import graft.operators.{Dedup, Similarity}
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val bm = TextAnalysis.bm25(docs, "doc_id", "text",
+            Seq("join", "scan", "vector", "spark"))
+          .orderBy(col("bm25").desc, col("doc_id").asc).limit(50)
+        val lex = Dedup.denseIdScalable(bm,
+            Seq(col("bm25").desc, col("doc_id").asc), "r_lex")
+          .select(col("doc_id"), col("r_lex"))
+        val vec = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 50)
+          .select(col("vec_id").as("doc_id"), col("rk").as("r_vec"))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("r_lex"), col("r_vec"),
+            round(coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6).as("rrf"))
+      },
+      Some(s"""WITH lens AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS l FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(l AS DOUBLE)) AS avgl FROM lens),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM (
+         SELECT doc_id, unnest($toksSql) AS t FROM documents) x
+       WHERE t IN ('join', 'scan', 'vector', 'spark') GROUP BY 1, 2),
+dfs AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+bm AS (SELECT tf.doc_id,
+              round(sum(
+                ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + 1) *
+                ((tf * CAST(2.2 AS DOUBLE)) /
+                 (tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l / avgl)))), 6) AS bm25
+       FROM tf JOIN dfs USING (t) JOIN lens USING (doc_id), stats
+       GROUP BY tf.doc_id),
+lex AS (SELECT doc_id, r_lex FROM (
+          SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS r_lex
+          FROM bm) t WHERE r_lex <= 50),
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS i,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM fl GROUP BY 1),
+qd AS (SELECT f2.vec_id, sum(f1.v * f2.v) AS dp
+       FROM fl f1 JOIN fl f2 ON f1.i = f2.i
+       WHERE f1.vec_id = 0 GROUP BY 1),
+vec AS (SELECT vec_id AS doc_id, rk AS r_vec FROM (
+          SELECT d.vec_id,
+                 CAST(row_number() OVER (ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.vec_id ASC) AS BIGINT) AS rk
+          FROM qd d
+          JOIN norms n1 ON n1.vec_id = 0
+          JOIN norms n2 ON n2.vec_id = d.vec_id) t
+        WHERE rk <= 50)
+SELECT doc_id, r_lex, r_vec,
+       round(coalesce(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0) +
+             coalesce(CAST(1.0 AS DOUBLE) / (60 + r_vec), 0), 6) AS rrf
+FROM lex FULL OUTER JOIN vec USING (doc_id)""")),
+
     // Count-min-sketch heavy hitters over the corpus term distribution:
     // depth×width bounded-memory frequency sketch (md5-derived hash
     // family shared with the oracle — deterministic, so the approximate

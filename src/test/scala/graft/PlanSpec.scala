@@ -235,7 +235,10 @@ class PlanSpec extends SparkSpec {
       "ann07_recall",
       // BM25: the (N, avgdl) corpus stats are ONE broadcast row crossed
       // into the per-(doc, term) hits — scalar fan-out, not a join
-      "tx23_bm25")
+      "tx23_bm25",
+      // hybrid RRF embeds bm25's stats row and the ann01 brute-force
+      // shape (corpus × broadcast(1 query))
+      "tx24_hybrid_rrf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val nonEqui = df.queryExecution.optimizedPlan.collect {
