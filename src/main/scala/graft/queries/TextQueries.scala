@@ -516,30 +516,34 @@ GROUP BY tf.doc_id""")),
 
     // Hybrid retrieval with reciprocal-rank fusion — the modern RAG
     // stack's fusion step: lexical top-50 (tx23's BM25, same 4-term
-    // query) and vector top-50 (cosine to vec_id 0's embedding — the
-    // fixture's doc_id and vec_id ranges align) are fused by
+    // query) and vector top-50 are fused by
     // RRF(d) = Σ_sides 1/(60 + rank_side(d)), a rank-only formula that
     // needs NO score calibration between the two scales (the reason
-    // RRF won in practice). Lexical ranks come from denseIdScalable on
-    // the top-50 (no global window — the OP-18 machinery); a doc
-    // missing from one side contributes 0 for that side.
+    // RRF won in practice). The vector leg probes the STORED
+    // bucket-partitioned ANN index (the ann03b layout, built inside the
+    // query) — the corpus embedding scan reads ONLY the query's bucket
+    // files via dynamic partition pruning (PlanSpec gates this), never
+    // the full corpus; the oracle mirrors the bucket restriction.
+    // Rank fusion degrades gracefully where the bucket restriction
+    // drops a vector candidate (r_vec becomes null, the doc keeps its
+    // lexical rank); see the scaladoc note on measured fused-ranking
+    // recall vs the brute-force fusion. A doc missing from one side
+    // contributes 0 for that side.
     Q("tx24_hybrid_rrf",
       (s, d) => {
-        import graft.operators.{Dedup, Similarity}
+        import graft.operators.{Retrieval, Similarity}
+        import s.implicits._
         val docs = Tables.documents(s, d)
         val emb = Tables.embeddings(s, d)
-        val bm = TextAnalysis.bm25(docs, "doc_id", "text",
-            Seq("join", "scan", "vector", "spark"))
-          .orderBy(col("bm25").desc, col("doc_id").asc).limit(50)
-        val lex = Dedup.denseIdScalable(bm,
-            Seq(col("bm25").desc, col("doc_id").asc), "r_lex")
-          .select(col("doc_id"), col("r_lex"))
-        val vec = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 50)
-          .select(col("vec_id").as("doc_id"), col("rk").as("r_vec"))
-        lex.join(vec, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"), col("r_lex"), col("r_vec"),
-            round(coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6).as("rrf"))
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_hybrid_index_${new java.io.File(d).getName}").getAbsolutePath
+        Similarity.writeBucketedCorpus(emb, path)
+        val qTerms = Seq("join", "scan", "vector", "spark")
+          .map(t => (0L, t)).toDF("query_id", "term")
+        val qVecs = emb.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Retrieval.hybridRrf(s, docs, "doc_id", "text", path, qTerms, qVecs, 50)
+          .drop("query_id")
       },
       Some(s"""WITH lens AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS l FROM documents),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(l AS DOUBLE)) AS avgl FROM lens),
@@ -557,13 +561,24 @@ bm AS (SELECT tf.doc_id,
 lex AS (SELECT doc_id, r_lex FROM (
           SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS r_lex
           FROM bm) t WHERE r_lex <= 50),
+${VectorQueries.planesSql},
+flb AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM flb JOIN planes USING (d) GROUP BY vec_id, p),
+bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
 fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS i,
               unnest(embedding)::DOUBLE AS v
        FROM embeddings),
 norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM fl GROUP BY 1),
 qd AS (SELECT f2.vec_id, sum(f1.v * f2.v) AS dp
        FROM fl f1 JOIN fl f2 ON f1.i = f2.i
-       WHERE f1.vec_id = 0 GROUP BY 1),
+       JOIN bk b2 ON b2.vec_id = f2.vec_id
+       WHERE f1.vec_id = 0
+         AND b2.bucket = (SELECT bucket FROM bk WHERE vec_id = 0)
+       GROUP BY 1),
 vec AS (SELECT vec_id AS doc_id, rk AS r_vec FROM (
           SELECT d.vec_id,
                  CAST(row_number() OVER (ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.vec_id ASC) AS BIGINT) AS rk
@@ -575,6 +590,124 @@ SELECT doc_id, r_lex, r_vec,
        round(coalesce(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0) +
              coalesce(CAST(1.0 AS DOUBLE) / (60 + r_vec), 0), 6) AS rrf
 FROM lex FULL OUTER JOIN vec USING (doc_id)""")),
+
+    // Hybrid retrieval over a query SET — the production serving shape:
+    // THREE (terms, vector) queries arrive as one batch. One corpus
+    // tokenize pass serves all lexical legs (broadcast term join fans
+    // hits out to queries); the vector legs probe the stored bucketed
+    // index in ONE scan that dynamic-partition-prunes to the union of
+    // the three query buckets. Per-query top-10 rankings fuse by RRF.
+    Q("tx25_hybrid_multiquery",
+      (s, d) => {
+        import graft.operators.{Retrieval, Similarity}
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_hybrid_index_${new java.io.File(d).getName}").getAbsolutePath
+        Similarity.writeBucketedCorpus(emb, path)
+        val qTerms = Seq(
+          0L -> "join", 0L -> "scan", 0L -> "vector", 0L -> "spark",
+          1L -> "hash", 1L -> "filter", 1L -> "merge", 1L -> "sort",
+          2L -> "stream", 2L -> "window", 2L -> "batch", 2L -> "group")
+          .toDF("query_id", "term")
+        val qVecs = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Retrieval.hybridRrf(s, docs, "doc_id", "text", path, qTerms, qVecs, 10)
+      },
+      Some(s"""WITH qt AS (SELECT CAST(v.q AS BIGINT) AS query_id, v.t FROM (VALUES
+         (0, 'join'), (0, 'scan'), (0, 'vector'), (0, 'spark'),
+         (1, 'hash'), (1, 'filter'), (1, 'merge'), (1, 'sort'),
+         (2, 'stream'), (2, 'window'), (2, 'batch'), (2, 'group')) v(q, t)),
+lens AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS l FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(l AS DOUBLE)) AS avgl FROM lens),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM (
+         SELECT doc_id, unnest($toksSql) AS t FROM documents) x
+       WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY 1, 2),
+dfs AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+bm AS (SELECT qt.query_id, tf.doc_id,
+              round(sum(
+                ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + 1) *
+                ((tf * CAST(2.2 AS DOUBLE)) /
+                 (tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l / avgl)))), 6) AS bm25
+       FROM tf JOIN dfs USING (t) JOIN qt USING (t) JOIN lens USING (doc_id), stats
+       GROUP BY qt.query_id, tf.doc_id),
+lex AS (SELECT query_id, doc_id, r_lex FROM (
+          SELECT query_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS r_lex
+          FROM bm) t WHERE r_lex <= 10),
+${VectorQueries.planesSql},
+flb AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM flb JOIN planes USING (d) GROUP BY vec_id, p),
+bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS i,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM fl GROUP BY 1),
+qd AS (SELECT f1.vec_id AS query_id, f2.vec_id, sum(f1.v * f2.v) AS dp
+       FROM fl f1 JOIN fl f2 ON f1.i = f2.i
+       JOIN bk b1 ON b1.vec_id = f1.vec_id
+       JOIN bk b2 ON b2.vec_id = f2.vec_id AND b2.bucket = b1.bucket
+       WHERE f1.vec_id < 3
+       GROUP BY 1, 2),
+vec AS (SELECT query_id, vec_id AS doc_id, rk AS r_vec FROM (
+          SELECT d.query_id, d.vec_id,
+                 CAST(row_number() OVER (PARTITION BY d.query_id
+                   ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.vec_id ASC) AS BIGINT) AS rk
+          FROM qd d
+          JOIN norms n1 ON n1.vec_id = d.query_id
+          JOIN norms n2 ON n2.vec_id = d.vec_id) t
+        WHERE rk <= 10)
+SELECT query_id, doc_id, r_lex, r_vec,
+       round(coalesce(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0) +
+             coalesce(CAST(1.0 AS DOUBLE) / (60 + r_vec), 0), 6) AS rrf
+FROM lex FULL OUTER JOIN vec USING (query_id, doc_id)""")),
+
+    // Operator composition: BM25 with a CORPUS-DERIVED query — the
+    // held-out doc 0's top-4 TF-IDF terms (tx15's machinery) become the
+    // BM25 query over the rest of the corpus. Fully distributed: the
+    // derived terms stay a (query_id, term) DataFrame feeding
+    // bm25PerQuery's broadcast term join — no driver-side collect of
+    // the query terms. Proves the two scorers compose: "find documents
+    // like this one" via its most characteristic terms.
+    Q("tx26_bm25_derived_query",
+      (s, d) => {
+        import graft.operators.Retrieval
+        val docs = Tables.documents(s, d)
+        val qTerms = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 4)
+          .filter(col("doc_id") === 0)
+          .select(lit(0L).as("query_id"), col("term"))
+        Retrieval.bm25PerQuery(docs.filter(col("doc_id") =!= 0),
+            "doc_id", "text", qTerms)
+          .select(col("doc_id"), col("bm25"))
+      },
+      Some(s"""WITH alltf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf FROM (
+           SELECT doc_id, unnest($toksSql) AS t FROM documents) x GROUP BY 1, 2),
+dfs0 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM alltf GROUP BY 1),
+q0 AS (SELECT a.term,
+              round(a.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df), 6) AS tfidf
+       FROM alltf a JOIN dfs0 d USING (term) WHERE a.doc_id = 0),
+top4 AS (SELECT term FROM (
+           SELECT term, row_number() OVER (ORDER BY tfidf DESC, term ASC) AS rnk
+           FROM q0) t WHERE rnk <= 4),
+lens AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS l FROM documents WHERE doc_id <> 0),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(l AS DOUBLE)) AS avgl FROM lens),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM (
+         SELECT doc_id, unnest($toksSql) AS t FROM documents WHERE doc_id <> 0) x
+       WHERE t IN (SELECT term FROM top4) GROUP BY 1, 2),
+dfs AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+       round(sum(
+         ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + 1) *
+         ((tf * CAST(2.2 AS DOUBLE)) /
+          (tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l / avgl)))), 6) AS bm25
+FROM tf JOIN dfs USING (t) JOIN lens USING (doc_id), stats
+GROUP BY tf.doc_id""")),
 
     // Count-min-sketch heavy hitters over the corpus term distribution:
     // depth×width bounded-memory frequency sketch (md5-derived hash

@@ -18,7 +18,7 @@ object VectorQueries {
                 FROM embeddings $filter),
 norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY vec_id)"""
 
-  private val planesSql: String =
+  private[queries] val planesSql: String =
     """planes AS (
   SELECT p, d,
          ((CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000) / 1000.0 AS w

@@ -100,6 +100,32 @@ class PlanSpec extends SparkSpec {
       s"the bucket join must dynamically prune the scan to the query buckets: ${pf.get}")
   }
 
+  test("tx24 hybrid retrieval's vector leg scans the stored index with DPP") {
+    // Round-7 verdict item 1: the flagship RAG-shaped query must probe
+    // the stored bucket-partitioned index, not brute-force the corpus.
+    // Same gate as ann03b's, applied to the fused query: the embedding
+    // scan must carry a dynamic-pruning partition filter on `bucket`.
+    val df = q("tx24_hybrid_rrf")
+    df.collect() // finalize the adaptive plan (DPP subquery included)
+    val plan = formatted(df)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .filter(_.toLowerCase.contains("bucket")).toSeq
+    assert(pf.nonEmpty, s"hybrid vector leg must scan with a bucket partition filter:\n$plan")
+    assert(pf.exists(_.toLowerCase.contains("dynamicpruning")),
+      s"the bucket join must dynamically prune the index scan: $pf")
+  }
+
+  test("tx25 multi-query hybrid probes the stored index with DPP in one scan") {
+    val df = q("tx25_hybrid_multiquery")
+    df.collect()
+    val plan = formatted(df)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .filter(_.toLowerCase.contains("bucket")).toSeq
+    assert(pf.nonEmpty, s"multi-query vector leg must scan with a bucket partition filter:\n$plan")
+    assert(pf.exists(_.toLowerCase.contains("dynamicpruning")),
+      s"the bucket join must dynamically prune the index scan: $pf")
+  }
+
   test("turno paciente-dim join broadcasts via AQE without a forced hint") {
     // TurnosPipeline.turno no longer forces broadcast(pacienteDim) — the
     // dim's cardinality is fact-like at 100 TB. This gate proves AQE still
@@ -236,9 +262,11 @@ class PlanSpec extends SparkSpec {
       // BM25: the (N, avgdl) corpus stats are ONE broadcast row crossed
       // into the per-(doc, term) hits — scalar fan-out, not a join
       "tx23_bm25",
-      // hybrid RRF embeds bm25's stats row and the ann01 brute-force
-      // shape (corpus × broadcast(1 query))
-      "tx24_hybrid_rrf")
+      // hybrid RRF embeds bm25's per-query stats row (the vector leg is
+      // the stored-index equi-join — NOT brute force)
+      "tx24_hybrid_rrf", "tx25_hybrid_multiquery",
+      // BM25 with derived query terms: same stats-row crossJoin
+      "tx26_bm25_derived_query")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val nonEqui = df.queryExecution.optimizedPlan.collect {
