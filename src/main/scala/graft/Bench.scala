@@ -97,6 +97,50 @@ object Bench {
     "tpch_q5", "tpch_q18", "ex18_cohort_retention",
     "ex19_histogram_quantiles", "tx22_chunking", "dq05_drift_psi")
 
+  /** Per-STAGE timings of the stored-ANN index lifecycle (round-7
+    * verdict item 4): the ann03c/ann03d bench entries time
+    * build+append+compact+query as one number BY DESIGN (they are the
+    * lifecycle), which makes round-over-round trends read index WRITE
+    * cost as query regressions. This decomposes the same work once per
+    * bench run into (build, append, compact, query) seconds, written
+    * under "lifecycle" in bench_full.json. Single-sample: the stages
+    * are write jobs whose variance the median-of-3 queries already
+    * characterize. */
+  private def runLifecycle(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val tmp = System.getProperty("java.io.tmpdir")
+    val live = s"$tmp/graft_bench_lifecycle"
+    val compacted = s"$tmp/graft_bench_compacted"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(live)); rm(new java.io.File(compacted))
+    val emb = Tables.embeddings(spark, sfDir)
+    def timed(work: => Unit): Double = {
+      val t0 = System.nanoTime()
+      work
+      math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
+    }
+    try {
+      val build = timed(Similarity.writeBucketedCorpus(emb.filter(col("vec_id") < 1000), live))
+      val append = timed {
+        Similarity.appendToStoredBuckets(
+          emb.filter(col("vec_id") >= 1000 && col("vec_id") < 1500), live)
+        Similarity.appendToStoredBuckets(emb.filter(col("vec_id") >= 1500), live)
+      }
+      val compact = timed(Similarity.compactStoredBuckets(spark, live, compacted))
+      val query = timed(
+        Similarity.bucketedTopKStored(spark, compacted, emb.filter(col("vec_id") < 50), 10)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build_sec" -> build, "append_sec" -> append,
+        "compact_sec" -> compact, "query_sec" -> query)
+    } catch {
+      case _: Throwable => Seq("error" -> -1.0)
+    }
+  }
+
   private def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                       spark: SparkSession, sfDir: String): (Double, Option[String]) = {
     val t0 = System.nanoTime()
@@ -170,7 +214,12 @@ object Bench {
       .mkString("{", ",", "}")
     val ss = samples.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"errors":$esFull,"samples":$ss,"sf":"$sfDir"}"""
+    // Index-lifecycle stage decomposition (ann03d's work, stage-timed):
+    // lets the reader split index-WRITE cost from query cost when
+    // reading round-over-round trends.
+    val lc = runLifecycle(spark, sfDir)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"errors":$esFull,"samples":$ss,"lifecycle":$lc,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
 
