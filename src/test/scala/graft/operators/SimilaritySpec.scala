@@ -253,6 +253,125 @@ class SimilaritySpec extends SparkSpec {
       "compaction changed results")
   }
 
+  test("trained PQ codebooks beat sample codebooks on ADC recall@10") {
+    // The deterministic fixture makes the recall comparison exact: the
+    // L2-k-means-trained m=16/K=64 path (pqTopKTrained) must beat the
+    // sample-init m=4/K=16 baseline (pqTopK) against brute-force
+    // ground truth — the measured numbers are 0.69 vs 0.38 (ann07
+    // records them against the oracle; this spec pins the ORDERING and
+    // the ≥0.55 deployability floor the round-7 verdict asked for).
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 10).select("query_id", "vec_id")
+    def hits(approx: org.apache.spark.sql.DataFrame): Long =
+      approx.select("query_id", "vec_id").join(exact, Seq("query_id", "vec_id")).count()
+    val sample = hits(Similarity.pqTopK(emb, q, 10))
+    val trained = hits(Similarity.pqTopKTrained(emb, q, 10))
+    assert(trained > sample, s"trained recall ($trained/100) must beat sample ($sample/100)")
+    assert(trained >= 55, s"trained recall@10 must clear the 0.55 floor: $trained/100")
+  }
+
+  test("ANN index rides the publish protocol: compact → flip → pinned reader → vacuum") {
+    // Round-7 verdict item 6: compactStoredBuckets writes to a NEW path
+    // and defers visibility to "the caller's manifest protocol" — this
+    // spec IS that caller, end-to-end with graft.sinks.Publish: build
+    // and append into v-001, flip; compact into v-002, flip; a reader
+    // that pinned v-001 before the flip keeps its data through
+    // vacuum(keepLast=1); closing the window deletes v-001.
+    import spark.implicits._
+    import graft.sinks.Publish
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_pub").toString
+    val v1dir = s"$root/v-001/index"
+    Similarity.writeBucketedCorpus(emb.filter($"vec_id" < 300), v1dir)
+    Similarity.appendToStoredBuckets(
+      emb.filter($"vec_id" >= 300 && $"vec_id" < 400), v1dir)
+    Publish.flipManifest(spark, root, "001")
+    assert(Publish.currentVersion(spark, root).contains("v-001"))
+    val q = emb.filter($"vec_id" < 10)
+    def queryCurrent(): Set[org.apache.spark.sql.Row] = {
+      val v = Publish.currentVersion(spark, root).get
+      Similarity.bucketedTopKStored(spark, s"$root/$v/index", q, 5).collect().toSet
+    }
+    val r1 = queryCurrent()
+    // a reader resolves (pins) the version BEFORE the next publish
+    val pinnedVersion = Publish.currentVersion(spark, root).get
+    // stage v-002 = compaction of the append-fragmented v-001
+    Similarity.compactStoredBuckets(spark, v1dir, s"$root/v-002/index")
+    // staging is invisible: a concurrent reader still resolves v-001
+    assert(Publish.currentVersion(spark, root).contains("v-001"),
+      "staging a compaction must not publish it")
+    assert(queryCurrent() == r1)
+    Publish.flipManifest(spark, root, "002")
+    // the flip is the publication instant: new readers see v-002, and
+    // the compacted layout answers identically (layout-invariance)
+    assert(Publish.currentVersion(spark, root).contains("v-002"))
+    assert(queryCurrent() == r1, "compaction behind the manifest changed results")
+    // retention: keepLast=1 holds the pinned reader's version dir
+    assert(Publish.vacuum(spark, root, keepLast = 1).isEmpty,
+      "keepLast=1 must retain v-001 for the pinned reader")
+    assert(Similarity.bucketedTopKStored(
+        spark, s"$root/$pinnedVersion/index", q, 5).collect().toSet == r1,
+      "pinned reader lost its snapshot")
+    // closing the rollback window reclaims v-001; current stays intact
+    assert(Publish.vacuum(spark, root, keepLast = 0) == Seq("v-001"))
+    assert(queryCurrent() == r1)
+  }
+
+  test("writeIndexBatch: a torn (crashed mid-write) batch is repaired by replay to the clean layout") {
+    // Similarity.scala claims crash-mid-write repair "by the replay
+    // overwriting the same partitions". The idempotence spec proves
+    // clean-replay convergence; this one proves TORN-write repair: a
+    // batch that died after writing only a prefix of its rows (some
+    // (bucket, ingest_batch) partitions present, some missing) must be
+    // fully healed by replaying the complete batch — dynamic partition
+    // overwrite rewrites every partition the replay's data carries, a
+    // superset of the torn prefix's partitions.
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val clean = java.nio.file.Files.createTempDirectory("graft_torn_clean").toString
+    val torn = java.nio.file.Files.createTempDirectory("graft_torn").toString
+    val b0 = emb.filter($"vec_id" < 100)
+    val b1 = emb.filter($"vec_id" >= 100 && $"vec_id" < 200)
+    Similarity.writeIndexBatch(b0, clean, 0L)
+    Similarity.writeIndexBatch(b1, clean, 1L)
+    // the torn run: batch 0 lands; batch 1 "crashes" having committed
+    // only its first 30 rows' partitions
+    Similarity.writeIndexBatch(b0, torn, 0L)
+    Similarity.writeIndexBatch(emb.filter($"vec_id" >= 100 && $"vec_id" < 130), torn, 1L)
+    def partitionDirs(root: String): Set[String] = {
+      def walk(f: java.io.File, prefix: String): Seq[String] =
+        if (!f.isDirectory) Seq.empty
+        else f.listFiles().toSeq.flatMap { c =>
+          val p = if (prefix.isEmpty) c.getName else s"$prefix/${c.getName}"
+          if (c.isDirectory && c.getName.contains("=")) p +: walk(c, p)
+          else Seq.empty
+        }
+      walk(new java.io.File(root), "").toSet
+    }
+    def rows(root: String): Map[(Long, Long, Long), Long] =
+      spark.read.parquet(root)
+        .groupBy($"vec_id", $"bucket".cast("long").as("bucket"),
+          $"ingest_batch".cast("long").as("ib"))
+        .count().as[(Long, Long, Long, Long)].collect()
+        .map { case (v, b, i, c) => ((v, b, i), c) }.toMap
+    // precondition: the tear is visible (rows missing vs the clean run)
+    assert(rows(torn).size < rows(clean).size, "test setup: tear not visible")
+    // REPLAY the complete batch 1 (the streaming-source replay contract:
+    // same batch id → same rows)
+    Similarity.writeIndexBatch(b1, torn, 1L)
+    // healed: same partition directories, same rows with multiplicity 1
+    assert(partitionDirs(torn) == partitionDirs(clean),
+      "replay left a different partition layout than the clean run")
+    assert(rows(torn) == rows(clean), "replay left different rows than the clean run")
+    assert(rows(torn).values.forall(_ == 1L), "replay duplicated rows")
+    // and the healed index answers exactly like the clean one
+    val q = emb.filter($"vec_id" < 10)
+    assert(Similarity.bucketedTopKStored(spark, torn, q, 5).collect().toSet ==
+      Similarity.bucketedTopKStored(spark, clean, q, 5).collect().toSet)
+  }
+
   test("semDedup lever: numCentroids trades Σ cluster² cost against boundary misses, monotonically") {
     // The scaladoc's documented lever, made a measured fact on the
     // sf0.001 embeddings fixture (threshold 0.3, dd12's setting).
