@@ -98,20 +98,11 @@ object ScaleCheck {
     java.nio.file.Files.write(marker.toPath, s"$r\n".getBytes("UTF-8"))
   }
 
-  /** Headline subset: the historically expensive query per family plus
-    * the shapes most likely to break at 10× (broadcast joins, dedup
-    * e2e, stored-ANN write, packing's prefix sum, sessionisation). */
-  val subset: Seq[String] = Seq(
-    "tpch_q1", "tpch_q3",
-    "op09_join_inner_agg", "op13_repeated_dim_join",
-    "op18_19_sorted_dense_ids", "op20_unpivot",
-    "his_turno", "his_prestacion_x_turno",
-    "dd01_exact_dedup", "dd03_minhash_candidates", "dd10_dedup_pipeline",
-    "tx21_paragraph_dedup", "tx22_chunking",
-    "ann03b_bucketed_stored", "ann04_ivf_topk",
-    "tx01_token_stats", "tx09_bigram_score", "tx16_sequence_pack",
-    "ex02_session_window", "ex11_cms_heavy_hitters",
-    "op36_scd2_merge", "skew01_salted_join")
+  /** Round 7 ran a headline subset; round 8 (verdict item 3) runs the
+    * FULL registry — every registered query, timed at both scales with
+    * post-AQE join-strategy counts. Kept as a val for partial re-runs
+    * via the name args. */
+  def allQueries: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   private def timeOne(spark: SparkSession, name: String, dir: String)
       : (Double, Option[String], Map[String, Int]) = {
@@ -141,17 +132,24 @@ object ScaleCheck {
   }
 
   def main(args: Array[String]): Unit = {
-    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val r = args.lift(1).map(_.toInt).getOrElse(10)
-    val workDir = args.lift(2).getOrElse(
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    val baseDir = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val r = pos.lift(1).map(_.toInt).getOrElse(10)
+    val workDir = pos.lift(2).getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_scale_x$r")
-    // Optional 4th+ args: restrict to the named queries (partial
-    // re-runs merge by hand; the full run rewrites SCALECHECK.json).
-    val chosen = if (args.length > 3) subset.filter(args.drop(3).contains) else subset
+    // Optional 4th+ positional args: restrict to the named queries
+    // (partial re-runs merge by hand; the full run rewrites
+    // SCALECHECK.json).
+    val chosen = if (pos.length > 3) allQueries.filter(pos.drop(3).contains) else allQueries
     val spark = Sessions.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     materialise(spark, baseDir, r, workDir)
+    // --materialise-only: build the replicated fixture and exit —
+    // used to stage a 10× copy for the DuckDB oracle gate
+    // (tools/selfcheck.py <workDir>) without touching SCALECHECK.json.
+    if (flags("--materialise-only")) { spark.stop(); return }
 
     // Warm-up on the base fixture (JIT + codegen), untimed.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

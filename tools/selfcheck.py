@@ -53,7 +53,12 @@ def main():
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        # Spark-written tables are DIRECTORIES of part files (e.g. the
+        # ScaleCheck-replicated fixtures); DuckDB needs the glob form.
+        src = f"{SF}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     names = ONLY or sorted(oracles)
     failures = 0
     for name in names:
