@@ -289,6 +289,48 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
   }
 
+  /** Materialize the corpus as STORED inverted lists: trained k-means
+    * centroids ([[kmeansCentroids]] — deterministic), nearest-centroid
+    * assignment, then a clustered write PARTITIONED BY `centroid_id` —
+    * the IVF counterpart of [[writeBucketedCorpus]]: at 100 TB the
+    * inverted-list id is the directory key. The centroid table is
+    * written next to the lists (`<path>/_centroids`) so query time
+    * never retrains. Returns nothing; query with [[ivfTopKStored]]. */
+  def writeIvfCorpus(corpus: DataFrame, path: String,
+                     numCentroids: Int = 16, kmeansIters: Int = 2): Unit = {
+    val cents = kmeansCentroids(corpus, numCentroids, kmeansIters)
+    cents.write.mode("overwrite").parquet(s"$path/_centroids")
+    ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists")
+  }
+
+  /** [[ivfTopK]] against a STORED inverted-list corpus
+    * ([[writeIvfCorpus]]'s layout): queries are assigned to their
+    * `nprobe` nearest centroids (read from the index's own centroid
+    * table — no retraining) and the broadcast equi-join on the
+    * partition column dynamically prunes the list scan to the probed
+    * centroids' directories, exactly like the LSH path (PlanSpec
+    * gates it). Results are identical to the in-flight [[ivfTopK]]
+    * with the same constants (ann04b re-checks ann04's oracle). */
+  def ivfTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    val lists = spark.read.parquet(s"$path/lists")
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val cidType = lists.schema("centroid_id").dataType
+    val qa = ivfAssignN(queries.select(col("vec_id"), col("embedding")), cents, nprobe)
+      .select(col("vec_id").as("query_id"),
+        col("centroid_id").cast(cidType).as("centroid_id"),
+        col("embedding").as("q_emb"))
+    val scored = lists.join(broadcast(qa), Seq("centroid_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+  }
+
   /** Long-form subspace split for product quantization: one row per
     * (id, sub) carrying that subspace's `subDim`-dim slice. Pure
     * projection + explode — no shuffle. */

@@ -115,6 +115,30 @@ t_top AS (SELECT query_id, vec_id, pq_sim,
     (init +: blocks).mkString(",\n") + ",\n" + adc
   }
 
+  /** Shared oracle for the IVF pair: ann04 (in-flight inverted lists)
+    * and ann04b (stored centroid-partitioned layout) must return
+    * identical rows — the storage layout may not change results. */
+  private val ann04Oracle: String = s"""WITH ${flatCte()},
+${kmeansCtes(16, 2)},
+prs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+        FROM as2 q JOIN as2 c ON q.centroid_id = c.centroid_id
+        WHERE q.vec_id < 30),
+dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+         FROM prs p
+         JOIN flat f1 ON f1.vec_id = p.query_id
+         JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+         GROUP BY 1, 2),
+scored AS (SELECT d.query_id, d.vec_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+           FROM dots d
+           JOIN norms n1 ON n1.vec_id = d.query_id
+           JOIN norms n2 ON n2.vec_id = d.vec_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 10"""
+
   /** Shared oracle for the bucketed-top-k pair: ann03 (in-flight
     * buckets) and ann03b (stored bucket-partitioned layout) must return
     * identical rows — the storage layout may not change results. */
@@ -293,26 +317,24 @@ SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id""")
         val emb = Tables.embeddings(s, d)
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 30), 10, 16, 2)
       },
-      Some(s"""WITH ${flatCte()},
-${kmeansCtes(16, 2)},
-prs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
-        FROM as2 q JOIN as2 c ON q.centroid_id = c.centroid_id
-        WHERE q.vec_id < 30),
-dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
-         FROM prs p
-         JOIN flat f1 ON f1.vec_id = p.query_id
-         JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
-         GROUP BY 1, 2),
-scored AS (SELECT d.query_id, d.vec_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
-           FROM dots d
-           JOIN norms n1 ON n1.vec_id = d.query_id
-           JOIN norms n2 ON n2.vec_id = d.vec_id)
-SELECT * FROM (
-  SELECT query_id, vec_id, cos_sim,
-         CAST(row_number() OVER (PARTITION BY query_id
-           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
-  FROM scored) t
-WHERE rk <= 10""")),
+      Some(ann04Oracle)),
+
+    // IVF with STORED inverted lists: the same trained index written
+    // as centroid-partitioned directories (+ its centroid table at
+    // _centroids — query time never retrains), probed via a broadcast
+    // equi-join that dynamically prunes the list scan to the probed
+    // centroids (the ann03b treatment applied to IVF; PlanSpec gates
+    // the pruning). Same oracle as ann04: storage layout must not
+    // change results.
+    Q("ann04b_ivf_stored",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_ivf_corpus_${new java.io.File(d).getName}").getAbsolutePath
+        Similarity.writeIvfCorpus(emb, path, 16, 2)
+        Similarity.ivfTopKStored(s, path, emb.filter(col("vec_id") < 30), 10)
+      },
+      Some(ann04Oracle)),
 
     // Product quantization ANN (ADC): 64-dim vectors → 4 subspace
     // codes against 16-entry sample codebooks; queries score the

@@ -100,6 +100,17 @@ class PlanSpec extends SparkSpec {
       s"the bucket join must dynamically prune the scan to the query buckets: ${pf.get}")
   }
 
+  test("ann04b stored-IVF scan prunes to the probed centroids (dynamic partition pruning)") {
+    val df = q("ann04b_ivf_stored")
+    df.collect() // finalize the adaptive plan (DPP subquery included)
+    val plan = formatted(df)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .filter(_.contains("centroid_id")).toSeq
+    assert(pf.nonEmpty, s"stored inverted lists must scan with a centroid partition filter:\n$plan")
+    assert(pf.exists(_.toLowerCase.contains("dynamicpruning")),
+      s"the probe join must dynamically prune the list scan: $pf")
+  }
+
   test("tx24 hybrid retrieval's vector leg scans the stored index with DPP") {
     // Round-7 verdict item 1: the flagship RAG-shaped query must probe
     // the stored bucket-partitioned index, not brute-force the corpus.
@@ -248,7 +259,7 @@ class PlanSpec extends SparkSpec {
       // brute-force ANN baseline: corpus × broadcast(5 queries)
       "ann01_cosine_topk",
       // k-means assignment: corpus × broadcast(16 centroids)
-      "ann04_ivf_topk", "ann05_ivf_nprobe2",
+      "ann04_ivf_topk", "ann04b_ivf_stored", "ann05_ivf_nprobe2",
       // SemDeDup rides the same k-means assignment; its pair join is
       // equi on centroid_id
       "dd12_semdedup",
