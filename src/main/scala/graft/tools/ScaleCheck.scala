@@ -87,7 +87,16 @@ object ScaleCheck {
     val strides = stride(spark, baseDir)
     val all = Tables.starTables ++ Tables.extTables
     all.foreach { t =>
-      val base = Tables.load(spark, baseDir, t)
+      // events.ts is TIMESTAMP(NANOS) in the driver fixtures, which the
+      // session reads as a nanosecond long (nanosAsLong). Writing that
+      // long back verbatim would give the replica a BIGINT ts — a
+      // DIFFERENT schema than the base fixture, breaking every DuckDB
+      // oracle that treats ts as a timestamp. Replicate through
+      // Tables.events (ns → µs TimestampType) so the scaled copy is
+      // type-identical for both engines; Tables.events passes a
+      // timestamp column through unchanged on read.
+      val base = if (t == "events") Tables.events(spark, baseDir)
+                 else Tables.load(spark, baseDir, t)
       val scaled = keyCols.get(t) match {
         case None       => base // fixed dims: region, nation
         case Some(cols) => replicate(base, cols, strides, r)
