@@ -305,6 +305,23 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists")
   }
 
+  /** Incremental maintenance of the stored IVF index: a batch of new
+    * vectors is assigned with the index's OWN centroids (read from
+    * `_centroids` — no retraining; the index's partitioning contract
+    * is the frozen centroid set) and parquet-appended ONLY into the
+    * inverted-list directories the batch lands in — O(batch), never
+    * O(corpus), exactly like [[appendToStoredBuckets]]. Periodic
+    * retraining is a REBUILD ([[writeIvfCorpus]] to a fresh path +
+    * manifest flip), not an append — centroid drift would silently
+    * re-partition queries away from old vectors. */
+  def appendToIvfCorpus(spark: org.apache.spark.sql.SparkSession,
+                        newVectors: DataFrame, path: String): Unit = {
+    val cents = spark.read.parquet(s"$path/_centroids")
+    ivfAssign(newVectors.select(col("vec_id"), col("embedding")), cents)
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(s"$path/lists")
+  }
+
   /** [[ivfTopK]] against a STORED inverted-list corpus
     * ([[writeIvfCorpus]]'s layout): queries are assigned to their
     * `nprobe` nearest centroids (read from the index's own centroid

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25PerQuery with one query equals the single-query bm25 scorer") {
+    // The multi-query form must be a strict generalization: same corpus
+    // stats, same df, same float association — identical scores.
+    val docs = graft.Tables.documents(spark, sf0001)
+    val terms = Seq("join", "scan", "vector", "spark")
+    val single = graft.functions.TextAnalysis.bm25(docs, "doc_id", "text", terms)
+      .select($"doc_id", $"bm25")
+    val multi = Retrieval.bm25PerQuery(docs, "doc_id", "text",
+        terms.map(t => (0L, t)).toDF("query_id", "term"))
+      .select($"doc_id", $"bm25")
+    assert(multi.collect().toSet == single.collect().toSet,
+      "bm25PerQuery(single query) diverged from TextAnalysis.bm25")
+  }
+
+  test("bm25PerQuery scores each query against its OWN terms only") {
+    // Two disjoint single-term queries over a 3-doc corpus: each query
+    // must rank only docs containing its term, never the other's.
+    val docs = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "beta beta beta"),
+      (3L, "alpha gamma")).toDF("doc_id", "text")
+    val q = Seq((10L, "alpha"), (20L, "beta")).toDF("query_id", "term")
+    val got = Retrieval.bm25PerQuery(docs, "doc_id", "text", q)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (10L, 3L), (20L, 1L), (20L, 2L)),
+      s"wrong (query, doc) hit set: $got")
+  }
+
+  test("hybridRrf: missing side contributes 0 and the fused score is exact") {
+    // Toy corpus engineered so the lexical and vector legs disagree:
+    // doc 1 matches the term but has an orthogonal embedding (misses
+    // the query's LSH bucket is not guaranteed on toy dims, so check
+    // the arithmetic through the returned ranks instead: for every row
+    // rrf == coalesce(1/(60+r_lex),0) + coalesce(1/(60+r_vec),0)).
+    val docs = graft.Tables.documents(spark, sf0001)
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files.createTempDirectory("graft_rrf_spec").toString
+    Similarity.writeBucketedCorpus(emb, path)
+    val qTerms = Seq((0L, "join"), (0L, "scan")).toDF("query_id", "term")
+    val qVecs = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val fused = Retrieval.hybridRrf(spark, docs, "doc_id", "text", path,
+      qTerms, qVecs, 10).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val rl = Option(r.getAs[java.lang.Long]("r_lex")).map(_.toDouble)
+      val rv = Option(r.getAs[java.lang.Long]("r_vec")).map(_.toDouble)
+      assert(rl.isDefined || rv.isDefined, "row from neither leg")
+      val expect = math.rint((rl.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)) * 1e6) / 1e6
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-9,
+        s"rrf mismatch on $r")
+    }
+    // both single-leg kinds must actually occur (the legs disagree
+    // somewhere on the fixture, or the full-outer join is untested)
+    assert(fused.exists(r => r.isNullAt(r.fieldIndex("r_vec"))),
+      "no lexical-only rows — full-outer fusion untested on the vec side")
+    assert(fused.exists(r => r.isNullAt(r.fieldIndex("r_lex"))),
+      "no vector-only rows — full-outer fusion untested on the lex side")
+  }
+
+  test("appendToIvfCorpus: O(batch) IVF maintenance with frozen centroids") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    Similarity.writeIvfCorpus(emb.filter($"vec_id" < 300), path, 16, 2)
+    def listFiles: Map[String, Set[(String, Long)]] =
+      new java.io.File(s"$path/lists").listFiles()
+        .filter(_.getName.startsWith("centroid_id="))
+        .map(d => d.getName ->
+          d.listFiles().map(f => (f.getName, f.length())).toSet).toMap
+    val before = listFiles
+    val batch = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    Similarity.appendToIvfCorpus(spark, batch, path)
+    val after = listFiles
+    // which lists did the batch land in? (assigned with the FROZEN
+    // stored centroids, the operator's contract)
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val hit = Similarity.ivfAssign(batch.select($"vec_id", $"embedding"), cents)
+      .select($"centroid_id").distinct().as[Long].collect()
+      .map(c => s"centroid_id=$c").toSet
+    before.keys.filterNot(hit).foreach { c =>
+      assert(after(c) == before(c), s"untouched list $c was rewritten")
+    }
+    hit.foreach { c =>
+      assert(before.getOrElse(c, Set.empty).subsetOf(after.getOrElse(c, Set.empty)),
+        s"append lost files in $c")
+    }
+    // the incremental index answers exactly like a from-scratch layout
+    // built with the SAME (frozen) centroids over the full corpus
+    val manual = java.nio.file.Files.createTempDirectory("graft_ivf_manual").toString
+    cents.write.mode("overwrite").parquet(s"$manual/_centroids")
+    Similarity.ivfAssign(
+        emb.filter($"vec_id" < 400).select($"vec_id", $"embedding"), cents)
+      .repartition($"centroid_id")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$manual/lists")
+    val q = emb.filter($"vec_id" < 10)
+    assert(Similarity.ivfTopKStored(spark, path, q, 5).collect().toSet ==
+      Similarity.ivfTopKStored(spark, manual, q, 5).collect().toSet,
+      "incremental IVF index diverges from same-centroid rebuild")
+  }
+}
