@@ -139,6 +139,38 @@ SELECT * FROM (
   FROM scored) t
 WHERE rk <= 10"""
 
+  /** Shared oracle for the nprobe=2 IVF pair: ann05 (in-flight) and
+    * ann05b (stored layout) — query-side multi-probe ranks from the
+    * k-means chain's own cd2/cn2 CTEs. */
+  private val ann05Oracle: String = s"""WITH ${flatCte()},
+${kmeansCtes(16, 2)},
+qasgn AS (SELECT vec_id, centroid_id FROM (
+            SELECT d.vec_id, d.centroid_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                     ORDER BY round(dp / (n1.nrm * cn.nrm), 6) DESC, d.centroid_id ASC) AS rn
+            FROM cd2 d
+            JOIN norms n1 ON n1.vec_id = d.vec_id
+            JOIN cn2 cn ON cn.centroid_id = d.centroid_id) t
+          WHERE rn <= 2),
+prs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+        FROM qasgn q JOIN as2 c ON q.centroid_id = c.centroid_id
+        WHERE q.vec_id < 30),
+dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+         FROM prs p
+         JOIN flat f1 ON f1.vec_id = p.query_id
+         JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+         GROUP BY 1, 2),
+scored AS (SELECT d.query_id, d.vec_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+           FROM dots d
+           JOIN norms n1 ON n1.vec_id = d.query_id
+           JOIN norms n2 ON n2.vec_id = d.vec_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 10"""
+
   /** Shared oracle for the bucketed-top-k pair: ann03 (in-flight
     * buckets) and ann03b (stored bucket-partitioned layout) must return
     * identical rows — the storage layout may not change results. */
@@ -430,34 +462,23 @@ WHERE cos_sim > 0.35""")),
         val emb = Tables.embeddings(s, d)
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 30), 10, 16, 2, nprobe = 2)
       },
-      Some(s"""WITH ${flatCte()},
-${kmeansCtes(16, 2)},
-qasgn AS (SELECT vec_id, centroid_id FROM (
-            SELECT d.vec_id, d.centroid_id,
-                   row_number() OVER (PARTITION BY d.vec_id
-                     ORDER BY round(dp / (n1.nrm * cn.nrm), 6) DESC, d.centroid_id ASC) AS rn
-            FROM cd2 d
-            JOIN norms n1 ON n1.vec_id = d.vec_id
-            JOIN cn2 cn ON cn.centroid_id = d.centroid_id) t
-          WHERE rn <= 2),
-prs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
-        FROM qasgn q JOIN as2 c ON q.centroid_id = c.centroid_id
-        WHERE q.vec_id < 30),
-dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
-         FROM prs p
-         JOIN flat f1 ON f1.vec_id = p.query_id
-         JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
-         GROUP BY 1, 2),
-scored AS (SELECT d.query_id, d.vec_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
-           FROM dots d
-           JOIN norms n1 ON n1.vec_id = d.query_id
-           JOIN norms n2 ON n2.vec_id = d.vec_id)
-SELECT * FROM (
-  SELECT query_id, vec_id, cos_sim,
-         CAST(row_number() OVER (PARTITION BY query_id
-           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
-  FROM scored) t
-WHERE rk <= 10""")),
+      Some(ann05Oracle)),
+
+    // Stored IVF under multi-probe: the SAME stored index as ann04b,
+    // probed at nprobe=2 — the query-side recall lever must compose
+    // with the stored layout (two probed lists per query, DPP prunes
+    // the scan to their union). Same oracle as ann05: neither the
+    // layout nor the probe count may change results vs the in-flight
+    // form.
+    Q("ann05b_ivf_stored_nprobe2",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_ivf_corpus_${new java.io.File(d).getName}").getAbsolutePath
+        Similarity.writeIvfCorpus(emb, path, 16, 2)
+        Similarity.ivfTopKStored(s, path, emb.filter(col("vec_id") < 30), 10, nprobe = 2)
+      },
+      Some(ann05Oracle)),
 
     // Recall@10 of every approximate ANN path against the brute-force
     // ground truth — the number an ANN user asks for first (determinism

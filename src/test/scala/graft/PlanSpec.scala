@@ -260,6 +260,7 @@ class PlanSpec extends SparkSpec {
       "ann01_cosine_topk",
       // k-means assignment: corpus × broadcast(16 centroids)
       "ann04_ivf_topk", "ann04b_ivf_stored", "ann05_ivf_nprobe2",
+      "ann05b_ivf_stored_nprobe2",
       // SemDeDup rides the same k-means assignment; its pair join is
       // equi on centroid_id
       "dd12_semdedup",
