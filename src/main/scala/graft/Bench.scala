@@ -61,13 +61,10 @@ object Bench {
         "bench job published nothing")
       ((System.nanoTime() - t0) / 1e9, None)
     } catch {
-      case t: Throwable => ((System.nanoTime() - t0) / 1e9, Some(t.getClass.getSimpleName))
+      case scala.util.control.NonFatal(t) =>
+        ((System.nanoTime() - t0) / 1e9, Some(t.getClass.getSimpleName))
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      try rm(out) catch { case _: Throwable => () }
+      try Scratch.delete(out) catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -113,14 +110,14 @@ object Bench {
   private def runLifecycle(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity
-    val tmp = System.getProperty("java.io.tmpdir")
-    val live = s"$tmp/graft_bench_lifecycle"
-    val compacted = s"$tmp/graft_bench_compacted"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(live)); rm(new java.io.File(compacted))
+    // Fresh per-run directories (never fixed paths under the shared
+    // tmpdir: fixed names collide across concurrent bench runs, and a
+    // pre-planted symlink at a predictable name could redirect the
+    // recursive delete — Scratch.delete also refuses to follow links).
+    val live = java.nio.file.Files.createTempDirectory("graft_bench_lifecycle")
+      .toFile.getAbsolutePath
+    val compacted = java.nio.file.Files.createTempDirectory("graft_bench_compacted")
+      .toFile.getAbsolutePath
     val emb = Tables.embeddings(spark, sfDir)
     def timed(work: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -141,7 +138,13 @@ object Bench {
       Seq("build_sec" -> build, "append_sec" -> append,
         "compact_sec" -> compact, "query_sec" -> query)
     } catch {
-      case _: Throwable => Seq("error" -> -1.0)
+      // NonFatal only: an OOM or interrupt must propagate — converting
+      // it to {"error":-1} would let the bench continue in a corrupted
+      // JVM and report garbage timings.
+      case scala.util.control.NonFatal(_) => Seq("error" -> -1.0)
+    } finally {
+      try { Scratch.delete(live); Scratch.delete(compacted) }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -152,7 +155,8 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       ((System.nanoTime() - t0) / 1e9, None)
     } catch {
-      case t: Throwable => ((System.nanoTime() - t0) / 1e9, Some(t.getClass.getSimpleName))
+      case scala.util.control.NonFatal(t) =>
+        ((System.nanoTime() - t0) / 1e9, Some(t.getClass.getSimpleName))
     }
   }
 
@@ -166,7 +170,7 @@ object Bench {
     // machinery), untimed.
     (1 to 2).foreach { _ =>
       try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
 
     // noop sink, not count(): count() lets Catalyst prune away the

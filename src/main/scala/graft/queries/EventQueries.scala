@@ -455,5 +455,29 @@ FROM agg""")),
                CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
               FROM events GROUP BY event_type""")),
+
+    // ANSI lead/lag over the per-user event sequence: inter-event gap
+    // (µs — exact integers, no float formatting hazard) plus the
+    // neighboring event types. ONE window shuffle keyed by user_id
+    // (high-cardinality — parallel at any scale; the per-user frame is
+    // bounded by that user's history, the classic sessionization shape).
+    Q("ex20_lead_lag",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d).select(
+          col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .as("gap_us"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+      },
+      Some("""SELECT user_id, event_id,
+               epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+               lag(event_type, 1) OVER w AS prev_type,
+               lead(event_type, 1) OVER w AS next_type
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
   )
 }

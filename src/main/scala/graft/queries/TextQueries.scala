@@ -535,8 +535,7 @@ GROUP BY tf.doc_id""")),
         import s.implicits._
         val docs = Tables.documents(s, d)
         val emb = Tables.embeddings(s, d)
-        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_hybrid_index_${new java.io.File(d).getName}").getAbsolutePath
+        val path = graft.Scratch.dir("hybrid_index", d)
         Similarity.writeBucketedCorpus(emb, path)
         val qTerms = Seq("join", "scan", "vector", "spark")
           .map(t => (0L, t)).toDF("query_id", "term")
@@ -603,8 +602,7 @@ FROM lex FULL OUTER JOIN vec USING (doc_id)""")),
         import s.implicits._
         val docs = Tables.documents(s, d)
         val emb = Tables.embeddings(s, d)
-        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_hybrid_index_${new java.io.File(d).getName}").getAbsolutePath
+        val path = graft.Scratch.dir("hybrid_index", d)
         Similarity.writeBucketedCorpus(emb, path)
         val qTerms = Seq(
           0L -> "join", 0L -> "scan", 0L -> "vector", 0L -> "spark",
@@ -1033,6 +1031,53 @@ SELECT DISTINCT doc_id, wmin AS fingerprint FROM wm WHERE lst IS NOT NULL""")),
                   AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.3
                   AND round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) BETWEEN 2.0 AND 12.0) AS keep
               FROM t""")),
+
+    // Semantic decontamination — the embedding analog of tx13's n-gram
+    // check: training docs whose embedding cosine-matches an eval-set
+    // doc above threshold, LSH-bucket blocked with the eval side
+    // BROADCAST (an eval benchmark is tiny next to any training corpus,
+    // so the whole gate is one map-side pass over training embeddings —
+    // zero shuffles of training data). Threshold is low (0.1) because
+    // the fixture vectors are i.i.d. random; real embeddings of a
+    // contaminated doc sit near 1. Source provenance joined on for the
+    // governance report shape.
+    Q("tx27_semantic_decontam",
+      (s, d) => {
+        import graft.operators.Similarity
+        val emb = Tables.embeddings(s, d)
+        Similarity.semanticContamination(
+            emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50), 0.1)
+          .join(Tables.documents(s, d)
+            .select(col("doc_id").as("train_id"), col("source")), Seq("train_id"))
+          .select(col("train_id"), col("eval_id"), col("cos_sim"), col("source"))
+      },
+      Some(s"""WITH ${VectorQueries.planesSql},
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
+bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+flat AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+                unnest(embedding)::DOUBLE AS v
+         FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY vec_id),
+prs AS (SELECT t.vec_id AS train_id, e.vec_id AS eval_id
+        FROM bk t JOIN bk e ON t.bucket = e.bucket
+        WHERE t.vec_id >= 50 AND e.vec_id < 50),
+dots AS (SELECT p.train_id, p.eval_id, sum(f1.v * f2.v) AS dp
+         FROM prs p
+         JOIN flat f1 ON f1.vec_id = p.train_id
+         JOIN flat f2 ON f2.vec_id = p.eval_id AND f1.i = f2.i
+         GROUP BY 1, 2)
+SELECT train_id, eval_id, cos_sim, source FROM (
+  SELECT d.train_id, d.eval_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+  FROM dots d
+  JOIN norms n1 ON n1.vec_id = d.train_id
+  JOIN norms n2 ON n2.vec_id = d.eval_id) t
+JOIN documents doc ON doc.doc_id = t.train_id
+WHERE cos_sim > 0.1""")),
   )
 
   /** Shared simhash CTE chain mirroring [[NearDup.simhash]]. */

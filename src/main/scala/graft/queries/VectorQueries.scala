@@ -202,6 +202,49 @@ SELECT * FROM (
   FROM scored) t
 WHERE rk <= 10"""
 
+  /** Oracle for the stored multi-probe form (ann03e, nprobe=4): probe 0
+    * is the query's own bucket, probes 1..3 XOR-flip the bit of the
+    * three weakest-|margin| hyperplanes (margin rounded to 6 decimals,
+    * plane-id tiebreak) — term-for-term the probe-set definition in
+    * [[graft.operators.Similarity.lshProbeBuckets]]. A corpus vector
+    * lives in exactly one bucket, so the probe union never double-scores
+    * a candidate and needs no DISTINCT. */
+  private val ann03eOracle: String = s"""WITH $planesSql,
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+mg AS (SELECT vec_id, p, sum(v * w) AS dp
+       FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
+bk AS (SELECT vec_id,
+              CAST(sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+       FROM mg GROUP BY vec_id),
+qm AS (SELECT vec_id, p,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY round(abs(dp), 6) ASC, p ASC) AS rn
+       FROM mg WHERE vec_id < 50),
+probes AS (SELECT vec_id, bucket AS pb FROM bk WHERE vec_id < 50
+           UNION ALL
+           SELECT q.vec_id, xor(b.bucket, CAST(1 AS BIGINT) << q.p) AS pb
+           FROM qm q JOIN bk b USING (vec_id) WHERE q.rn <= 3),
+${flatCte()},
+prs AS (SELECT p.vec_id AS query_id, c.vec_id AS vec_id
+        FROM probes p JOIN bk c ON c.bucket = p.pb),
+dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+         FROM prs p
+         JOIN flat f1 ON f1.vec_id = p.query_id
+         JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+         GROUP BY 1, 2),
+scored AS (SELECT d.query_id, d.vec_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+           FROM dots d
+           JOIN norms n1 ON n1.vec_id = d.query_id
+           JOIN norms n2 ON n2.vec_id = d.vec_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 10"""
+
   /** mm03/mm04 shared oracle fragment: byte-histogram features of the
     * fake media payloads, as a `feat(vec_id, embedding)` CTE chain. */
   private val featCtes: String = {
@@ -280,8 +323,7 @@ SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id""")
     Q("ann03b_bucketed_stored",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_bucketed_corpus_${new java.io.File(d).getName}").getAbsolutePath
+        val path = graft.Scratch.dir("bucketed_corpus", d)
         Similarity.writeBucketedCorpus(emb, path)
         Similarity.bucketedTopKStored(s, path, emb.filter(col("vec_id") < 50), 10)
       },
@@ -297,16 +339,9 @@ SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id""")
     Q("ann03c_bucketed_append",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_bucketed_append_${new java.io.File(d).getName}").getAbsolutePath
-        val dir = new java.io.File(path)
-        if (dir.exists()) { // fresh build each run: append is not idempotent
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete()
-          }
-          rm(dir)
-        }
+        val path = graft.Scratch.dir("bucketed_append", d)
+        // fresh build each run: append is not idempotent
+        graft.Scratch.delete(path)
         Similarity.writeBucketedCorpus(emb.filter(col("vec_id") < 1500), path)
         Similarity.appendToStoredBuckets(emb.filter(col("vec_id") >= 1500), path)
         Similarity.bucketedTopKStored(s, path, emb.filter(col("vec_id") < 50), 10)
@@ -322,15 +357,9 @@ SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id""")
     Q("ann03d_bucketed_compacted",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val tmp = System.getProperty("java.io.tmpdir")
-        val tag = new java.io.File(d).getName
-        val live = s"$tmp/graft_bucketed_lifecycle_$tag"
-        val compacted = s"$tmp/graft_bucketed_compacted_$tag"
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(new java.io.File(live)); rm(new java.io.File(compacted))
+        val live = graft.Scratch.dir("bucketed_lifecycle", d)
+        val compacted = graft.Scratch.dir("bucketed_compacted", d)
+        graft.Scratch.delete(live); graft.Scratch.delete(compacted)
         Similarity.writeBucketedCorpus(emb.filter(col("vec_id") < 1000), live)
         Similarity.appendToStoredBuckets(
           emb.filter(col("vec_id") >= 1000 && col("vec_id") < 1500), live)
@@ -339,6 +368,73 @@ SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id""")
         Similarity.bucketedTopKStored(s, compacted, emb.filter(col("vec_id") < 50), 10)
       },
       Some(ann03Oracle)),
+
+    // Multi-probe against the SAME stored layout (Lv et al. 2007's
+    // perturbation idea, single-bit-flip variant): each query probes
+    // its own bucket PLUS the three buckets across its weakest-margin
+    // hyperplanes — the recall lever that never touches the index
+    // (SimilaritySpec measures the recall ladder and pins in-flight ≡
+    // stored). Still ONE corpus scan: DPP prunes it to the union of
+    // all probe buckets. Margins are deterministic, so the whole probe
+    // set — and therefore the result — is oracle-checkable.
+    Q("ann03e_multiprobe_stored",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val path = graft.Scratch.dir("bucketed_mp", d)
+        Similarity.writeBucketedCorpus(emb, path)
+        Similarity.bucketedTopKStored(s, path, emb.filter(col("vec_id") < 50), 10,
+          nprobe = 4)
+      },
+      Some(ann03eOracle)),
+
+    // EX-06, JL-reduction path: candidates ranked in a 16-d
+    // random-projection space (¼ the arithmetic of brute force, and —
+    // with projections stored alongside the vectors — ¼ the scan
+    // bytes), exact rerank on the candidate set only. The smooth-recall
+    // alternative to bucket pruning; measured in ann07's recall ladder.
+    Q("ann08_random_projection",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.randomProjectionTopK(emb, emb.filter(col("vec_id") < 50), 10)
+      },
+      Some(s"""WITH rp AS (
+  SELECT j, d,
+         ((CAST(('0x' || substr(md5('rp_' || CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(generate_series(0, 15)) AS j) jj,
+       (SELECT unnest(generate_series(0, 63)) AS d) dd
+),
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+pj AS (SELECT vec_id, j, round(sum(v * w), 6) AS pv
+       FROM fl JOIN rp USING (d) GROUP BY 1, 2),
+pn AS (SELECT vec_id, sqrt(sum(pv * pv)) AS nrm FROM pj GROUP BY 1),
+pd AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, sum(q.pv * c.pv) AS dp
+       FROM pj q JOIN pj c ON q.j = c.j WHERE q.vec_id < 50 GROUP BY 1, 2),
+cand AS (SELECT query_id, vec_id FROM (
+           SELECT d.query_id, d.vec_id,
+                  row_number() OVER (PARTITION BY d.query_id
+                    ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.vec_id ASC) AS crk
+           FROM pd d
+           JOIN pn n1 ON n1.vec_id = d.query_id
+           JOIN pn n2 ON n2.vec_id = d.vec_id) t
+         WHERE crk <= 40),
+${flatCte()},
+dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+         FROM cand p
+         JOIN flat f1 ON f1.vec_id = p.query_id
+         JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+         GROUP BY 1, 2),
+scored AS (SELECT d.query_id, d.vec_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+           FROM dots d
+           JOIN norms n1 ON n1.vec_id = d.query_id
+           JOIN norms n2 ON n2.vec_id = d.vec_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 10""")),
 
     // EX-06 scale path, IVF variant: inverted lists by nearest k-means
     // centroid (deterministic Lloyd's, 2 iterations, init = first 16
@@ -361,8 +457,7 @@ SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id""")
     Q("ann04b_ivf_stored",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_ivf_corpus_${new java.io.File(d).getName}").getAbsolutePath
+        val path = graft.Scratch.dir("ivf_corpus", d)
         Similarity.writeIvfCorpus(emb, path, 16, 2)
         Similarity.ivfTopKStored(s, path, emb.filter(col("vec_id") < 30), 10)
       },
@@ -473,8 +568,7 @@ WHERE cos_sim > 0.35""")),
     Q("ann05b_ivf_stored_nprobe2",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_ivf_corpus_${new java.io.File(d).getName}").getAbsolutePath
+        val path = graft.Scratch.dir("ivf_corpus", d)
         Similarity.writeIvfCorpus(emb, path, 16, 2)
         Similarity.ivfTopKStored(s, path, emb.filter(col("vec_id") < 30), 10, nprobe = 2)
       },
@@ -512,6 +606,14 @@ WHERE cos_sim > 0.35""")),
           // the trained m=16/K=64 form — the deployable PQ number
           .unionAll(row("pq_trained", 10,
             Similarity.pqTopKTrained(emb, emb.filter(col("vec_id") < 10), 10)))
+          // multi-probe: the recall knob that costs query fan-out, not
+          // index rebuild
+          .unionAll(row("lsh_multiprobe4", 50,
+            Similarity.bucketedTopKMultiProbe(emb, q50, 10, nprobe = 4)))
+          // JL candidate gen + exact rerank — smooth recall decay vs
+          // the bucket paths' hash cliffs
+          .unionAll(row("jl_rerank", 50,
+            Similarity.randomProjectionTopK(emb, q50, 10)))
       },
       Some(s"""WITH $planesSql,
 fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
@@ -624,7 +726,62 @@ pq_top AS (SELECT query_id, vec_id FROM (
              FROM sc s JOIN qn q ON q.query_id = s.query_id
              JOIN rec r ON r.vec_id = s.vec_id) t
            WHERE rk <= 10),
-${pqTrainedChain(4, 64, 2, 10)}
+${pqTrainedChain(4, 64, 2, 10)},
+mp_mg AS (SELECT vec_id, p, sum(v * w) AS dp
+          FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
+mp_qm AS (SELECT vec_id, p,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round(abs(dp), 6) ASC, p ASC) AS rn
+          FROM mp_mg WHERE vec_id < 50),
+mp_probes AS (SELECT vec_id, bucket AS pb FROM bk WHERE vec_id < 50
+              UNION ALL
+              SELECT q.vec_id, xor(b.bucket, CAST(1 AS BIGINT) << q.p) AS pb
+              FROM mp_qm q JOIN bk b USING (vec_id) WHERE q.rn <= 3),
+mp_prs AS (SELECT p.vec_id AS query_id, c.vec_id AS vec_id
+           FROM mp_probes p JOIN bk c ON c.bucket = p.pb),
+mp_dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+            FROM mp_prs p
+            JOIN flat f1 ON f1.vec_id = p.query_id
+            JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+            GROUP BY 1, 2),
+mp_top AS (SELECT query_id, vec_id FROM (
+             SELECT d.query_id, d.vec_id,
+                    row_number() OVER (PARTITION BY d.query_id
+                      ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.vec_id ASC) AS rk
+             FROM mp_dots d
+             JOIN norms n1 ON n1.vec_id = d.query_id
+             JOIN norms n2 ON n2.vec_id = d.vec_id) t
+           WHERE rk <= 10),
+rp AS (SELECT j, d,
+              ((CAST(('0x' || substr(md5('rp_' || CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000) / 1000.0 AS w
+       FROM (SELECT unnest(generate_series(0, 15)) AS j) jj,
+            (SELECT unnest(generate_series(0, 63)) AS d) dd),
+pj AS (SELECT vec_id, j, round(sum(v * w), 6) AS pv
+       FROM fl JOIN rp USING (d) GROUP BY 1, 2),
+pn AS (SELECT vec_id, sqrt(sum(pv * pv)) AS nrm FROM pj GROUP BY 1),
+jl_pd AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, sum(q.pv * c.pv) AS dp
+          FROM pj q JOIN pj c ON q.j = c.j WHERE q.vec_id < 50 GROUP BY 1, 2),
+jl_cand AS (SELECT query_id, vec_id FROM (
+              SELECT d.query_id, d.vec_id,
+                     row_number() OVER (PARTITION BY d.query_id
+                       ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.vec_id ASC) AS crk
+              FROM jl_pd d
+              JOIN pn n1 ON n1.vec_id = d.query_id
+              JOIN pn n2 ON n2.vec_id = d.vec_id) t
+            WHERE crk <= 40),
+jl_dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+            FROM jl_cand p
+            JOIN flat f1 ON f1.vec_id = p.query_id
+            JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+            GROUP BY 1, 2),
+jl_top AS (SELECT query_id, vec_id FROM (
+             SELECT d.query_id, d.vec_id,
+                    row_number() OVER (PARTITION BY d.query_id
+                      ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.vec_id ASC) AS rk
+             FROM jl_dots d
+             JOIN norms n1 ON n1.vec_id = d.query_id
+             JOIN norms n2 ON n2.vec_id = d.vec_id) t
+           WHERE rk <= 10)
 SELECT 'lsh_bucketed' AS method, 10 AS k,
        round(count(*) / 500.0, 6) AS recall
   FROM b_top JOIN ex_top USING (query_id, vec_id)
@@ -640,7 +797,13 @@ SELECT 'pq_adc', 10, round(count(*) / 100.0, 6)
 UNION ALL
 SELECT 'pq_trained', 10, round(count(*) / 100.0, 6)
   FROM (SELECT query_id, vec_id FROM t_top WHERE rk <= 10) tt
-  JOIN ex_top USING (query_id, vec_id)""")),
+  JOIN ex_top USING (query_id, vec_id)
+UNION ALL
+SELECT 'lsh_multiprobe4', 10, round(count(*) / 500.0, 6)
+  FROM mp_top JOIN ex_top USING (query_id, vec_id)
+UNION ALL
+SELECT 'jl_rerank', 10, round(count(*) / 500.0, 6)
+  FROM jl_top JOIN ex_top USING (query_id, vec_id)""")),
 
     // Embedding near-dup, corpus-scale form: LSH-bucket blocking over
     // the FULL table (no id block) — bucket equi-join, not an all-pairs

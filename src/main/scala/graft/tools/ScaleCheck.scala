@@ -82,8 +82,23 @@ object ScaleCheck {
 
   def materialise(spark: SparkSession, baseDir: String, r: Int,
                   workDir: String): Unit = {
-    val marker = new java.io.File(s"$workDir/_SCALED_x$r")
-    if (marker.exists()) { println(s"scaled copy cached: $workDir"); return }
+    // The marker name carries a fixture-schema VERSION: v2 = the events
+    // ts column replicated as TimestampType (ns → µs), not the raw
+    // BIGINT ns long. A pre-v2 replica cached at the default workDir
+    // would otherwise be silently trusted and break every events oracle
+    // at scale. Belt and braces: even with a current marker, verify the
+    // replica's events schema before trusting the cache.
+    val marker = new java.io.File(s"$workDir/_SCALED_x${r}_v2")
+    val cacheValid = marker.exists() && {
+      try spark.read.parquet(s"$workDir/events.parquet").schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (cacheValid) { println(s"scaled copy cached: $workDir"); return }
+    if (new java.io.File(workDir).exists()) {
+      println(s"stale or incomplete scaled copy at $workDir — rebuilding")
+      graft.Scratch.delete(workDir)
+    }
     val strides = stride(spark, baseDir)
     val all = Tables.starTables ++ Tables.extTables
     all.foreach { t =>
@@ -135,7 +150,7 @@ object ScaleCheck {
         "bnlj" -> "BroadcastNestedLoopJoin".r.findAllIn(plan).length)
       (math.rint(sec * 1000) / 1000, None, ops)
     } catch {
-      case t: Throwable =>
+      case scala.util.control.NonFatal(t) =>
         ((System.nanoTime() - t0) / 1e9, Some(t.getClass.getSimpleName), Map())
     }
   }
@@ -162,7 +177,7 @@ object ScaleCheck {
 
     // Warm-up on the base fixture (JIT + codegen), untimed.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
 
     val rows = chosen.map { name =>
       val (bSec, bErr, bOps) = timeOne(spark, name, baseDir)

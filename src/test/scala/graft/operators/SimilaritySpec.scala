@@ -397,4 +397,87 @@ class SimilaritySpec extends SparkSpec {
       f"miss rate k4=${(exact.size - at4.size).toDouble / exact.size}%.3f " +
       f"k16=${(exact.size - at16.size).toDouble / exact.size}%.3f")
   }
+
+  test("lshProbeBuckets: nprobe distinct buckets, base first, single-bit flips") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val rows = emb.limit(64).select(
+      Similarity.lshBucket($"embedding", 8, 64).as("base"),
+      Similarity.lshProbeBuckets($"embedding", 8, 64, 4).as("probes"))
+      .as[(Long, Seq[Long])].collect()
+    rows.foreach { case (base, probes) =>
+      assert(probes.length == 4 && probes.distinct.length == 4)
+      assert(probes.head == base, "probe 0 must be the query's own bucket")
+      probes.tail.foreach { p =>
+        assert(java.lang.Long.bitCount(p ^ base) == 1,
+          s"probe $p is not a single-bit perturbation of $base")
+      }
+    }
+  }
+
+  test("multi-probe: in-flight ≡ stored, and recall climbs monotonically with nprobe") {
+    import graft.Scratch
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 30)
+    val path = java.nio.file.Files.createTempDirectory("graft_mp_spec").toString
+    try {
+      Similarity.writeBucketedCorpus(emb, path)
+      // the stored layout and the in-flight form must agree at every nprobe
+      Seq(1, 2, 4).foreach { np =>
+        assert(
+          Similarity.bucketedTopKMultiProbe(emb, q, 5, nprobe = np).collect().toSet ==
+            Similarity.bucketedTopKStored(spark, path, q, 5, nprobe = np).collect().toSet,
+          s"stored multi-probe diverges from in-flight at nprobe=$np")
+      }
+      // probing more buckets can only ADD candidates, so recall@10 vs the
+      // brute-force ground truth is non-decreasing in nprobe
+      val exact = Similarity.bruteForceTopK(emb, q, 10)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+      val recalls = Seq(1, 2, 4, 8).map { np =>
+        val hits = Similarity.bucketedTopKMultiProbe(emb, q, 10, nprobe = np)
+          .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+          .intersect(exact).size
+        np -> hits.toDouble / exact.size
+      }
+      info(recalls.map { case (np, r) => f"nprobe=$np recall@10=$r%.3f" }.mkString(", "))
+      recalls.sliding(2).foreach { case Seq((_, lo), (npHi, hi)) =>
+        assert(hi >= lo, s"recall dropped at nprobe=$npHi: $recalls")
+      }
+    } finally Scratch.delete(path)
+  }
+
+  test("randomProjectionTopK: keeping every candidate recovers exact brute force") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 20)
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceTopK(emb, q, 10).collect().toSet
+    // cand = corpus size ⇒ the JL pass prunes nothing, so the exact
+    // rerank must reproduce brute force bit-for-bit
+    assert(Similarity.randomProjectionTopK(emb, q, 10, cand = n).collect().toSet
+      == exact, "JL with all candidates kept must equal brute force")
+    // default cand=40 still recovers a useful share of the true top-10
+    // on i.i.d. noise (ann07 records 0.428 over 50 queries)
+    val exactIds = exact.map(r => (r.getLong(0), r.getLong(1)))
+    val hits = Similarity.randomProjectionTopK(emb, q, 10)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+      .intersect(exactIds).size
+    assert(hits.toDouble / exactIds.size > 0.25,
+      s"JL recall collapsed: $hits/${exactIds.size}")
+  }
+
+  test("semanticContamination: planted eval duplicate is flagged, pairs are cross-set") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    // plant eval doc 3's exact embedding into the training set
+    val train = emb.filter($"vec_id" >= 50).select($"vec_id", $"embedding")
+      .unionByName(emb.filter($"vec_id" === 3)
+        .select(lit(10000L).as("vec_id"), $"embedding"))
+    val ev = emb.filter($"vec_id" < 50)
+    val hits = Similarity.semanticContamination(train, ev, 0.9).collect()
+    assert(hits.exists(r => r.getLong(0) == 10000L && r.getLong(1) == 3L
+      && r.getDouble(2) >= 0.999999),
+      "an identical embedding must be flagged as contamination")
+    hits.foreach { r =>
+      assert(r.getLong(0) >= 50 && r.getLong(1) < 50, "pairs must be cross-set")
+      assert(r.getDouble(2) > 0.9, "pairs must clear the threshold")
+    }
+  }
 }

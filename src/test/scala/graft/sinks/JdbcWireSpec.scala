@@ -58,9 +58,11 @@ class JdbcWireSpec extends SparkSpec {
 
       // partitioned range read on the dense id — the OP-01 scale shape
       val nTurnos = turno.count()
-      val opts = Formats.jdbcReadOptions(url, "graft_t.turno", "ID", 1L, nTurnos, 4) +
-        // fecha_alta is written from TIMESTAMP_NTZ; read it back as NTZ
-        ("preferTimestampNTZ" -> "true")
+      // fecha_alta reaches the pipeline as plain TimestampType (Tables
+      // normalizes the fixtures' TIMESTAMP_NTZ at load, session TZ =
+      // UTC), so the default TIMESTAMP read-back type already matches
+      // the lake side — no preferTimestampNTZ.
+      val opts = Formats.jdbcReadOptions(url, "graft_t.turno", "ID", 1L, nTurnos, 4)
       val back = lower(Formats.readJdbc(spark, opts))
       assert(back.rdd.getNumPartitions == 4, "read must be range-partitioned")
 
