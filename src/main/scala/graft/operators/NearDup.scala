@@ -164,6 +164,33 @@ object NearDup {
               (col("na") + col("nb") - coalesce(col("ni"), lit(0L))), 6).as("jaccard"))
   }
 
+  /** EXACT all-pairs Jaccard ground truth: every (id_a < id_b) pair
+    * with shingle-Jaccard ≥ `minJaccard`. Pairs enumerate only through
+    * shared shingles (docs sharing none cannot clear a positive
+    * threshold), but the hottest shingle still pairs quadratically —
+    * this is the measurement BASELINE that grades
+    * [[minhashCandidates]] (dd13's recall/precision report), meant for
+    * a fixture or sampled audit slice; at corpus scale the LSH
+    * candidates are the production path and this oracle is run on the
+    * sample that audits them. */
+  def jaccardGroundTruth(docs: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int, minJaccard: Double): DataFrame = {
+    val shd = stage(shingleRows(docs, idCol, textCol, shingleSize)
+      .select(col(idCol).as("jid"), col("shingle")).distinct())
+    val sizes = shd.groupBy(col("jid")).agg(count(lit(1)).as("ns"))
+    val inter = shd.select(col("jid").as("id_a"), col("shingle"))
+      .join(shd.select(col("jid").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col("jid").as("id_a"), col("ns").as("na")), Seq("id_a"))
+      .join(sizes.select(col("jid").as("id_b"), col("ns").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash near-dup pairs via the byte-band pigeonhole trick: split
     * the 32-bit simhash into `numBands` equal bands; any pair within
     * hamming distance < numBands must agree exactly on at least one

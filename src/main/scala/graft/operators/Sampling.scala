@@ -58,4 +58,36 @@ object Sampling {
           .otherwise(typedLit(Seq.empty[Int]))))
       .drop("__copies")
   }
+
+  /** Temperature-scaled source mixing — the pretraining re-balancing
+    * rule p_s ∝ n_s^α, with the rates DERIVED from the corpus instead
+    * of hand-tuned: `rate_s = n_s^α · N / (Σ n^α · n_s)`, which keeps
+    * the expected output size at N while flattening the source
+    * distribution for α < 1 (tail sources upsampled, head sources
+    * downsampled; α = 1 is the identity mix). Rates are rounded to 6
+    * decimals — the rate table is data-derived here, so the rounding is
+    * what pins cross-engine float agreement — then applied with
+    * [[stratifiedMix]]'s floor/ceil-epoch md5-bucket rule. Cost: one
+    * stratum hash agg, a broadcast of the stratum-sized rate table,
+    * and the epoch explode; training rows shuffle zero times. */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+                     alpha: Double): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n_s"))
+    val tot = counts.agg(sum(col("__n_s")).cast("double").as("__n_tot"),
+      sum(pow(col("__n_s"), lit(alpha))).as("__pw"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        round(pow(col("__n_s"), lit(alpha)) * col("__n_tot") /
+          (col("__pw") * col("__n_s")), 6).as("__rate"))
+    val b = hashBucket(col(idCol), 10000)
+    val copies = floor(col("__rate")).cast("int") +
+      when(b < round((col("__rate") - floor(col("__rate"))) * lit(10000)), 1)
+        .otherwise(0)
+    df.join(broadcast(rates), Seq(strataCol))
+      .withColumn("__copies", copies)
+      .withColumn("epoch",
+        explode(when(col("__copies") > 0, sequence(lit(1), col("__copies")))
+          .otherwise(typedLit(Seq.empty[Int]))))
+      .drop("__copies", "__rate")
+  }
 }

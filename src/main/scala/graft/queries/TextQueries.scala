@@ -204,6 +204,51 @@ $bandsCte,
 $jaccardCtes
 SELECT id_a, id_b, jaccard FROM jac""")),
 
+    // LSH quality report — the ann07 treatment applied to minhash
+    // dedup: candidate recall/precision of the 8×2 LSH bands against
+    // the EXACT all-pairs Jaccard ≥ 0.5 ground truth (enumerable
+    // through shared shingles only, so it's fixture/audit-sample
+    // machinery — grading the production path, not replacing it).
+    Q("dd13_lsh_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val truth = NearDup.stage(
+          NearDup.jaccardGroundTruth(docs, "doc_id", "text", 3, 0.5))
+        val cand = NearDup.stage(NearDup.minhashCandidates(
+          docs, "doc_id", "text", NumHashes, 3, RowsPerBand))
+        val verified = NearDup.jaccardOnPairs(docs, cand, "doc_id", "text", 3)
+          .filter(col("jaccard") >= 0.5)
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+          .select(col("n_true"), col("n_cand"), col("n_verified"),
+            when(col("n_true") === 0, lit(null))
+              .otherwise(round(col("n_verified").cast("double") / col("n_true"), 6))
+              .as("recall"),
+            when(col("n_cand") === 0, lit(null))
+              .otherwise(round(col("n_verified").cast("double") / col("n_cand"), 6))
+              .as("prec"))
+      },
+      Some(s"""WITH $minhashCtes,
+$bandsCte,
+$jaccardCtes,
+gt_inter AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS ni
+             FROM shd sa JOIN shd sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+             GROUP BY 1, 2),
+gt AS (SELECT i.id_a, i.id_b
+       FROM gt_inter i
+       JOIN sizes za ON za.doc_id = i.id_a
+       JOIN sizes zb ON zb.doc_id = i.id_b
+       WHERE round(CAST(i.ni AS DOUBLE) / (za.ns + zb.ns - i.ni), 6) >= 0.5),
+agg AS (SELECT
+         (SELECT CAST(count(*) AS BIGINT) FROM gt) AS n_true,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         (SELECT CAST(count(*) AS BIGINT) FROM jac WHERE jaccard >= 0.5) AS n_verified)
+SELECT n_true, n_cand, n_verified,
+       round(CAST(n_verified AS DOUBLE) / nullif(n_true, 0), 6) AS recall,
+       round(CAST(n_verified AS DOUBLE) / nullif(n_cand, 0), 6) AS prec
+FROM agg""")),
+
     // Canonical near-dup group assignment: min over self + strong
     // neighbors (jaccard ≥ 0.5) — one label-propagation step.
     Q("dd07_neardup_groups",
@@ -904,6 +949,29 @@ c AS (SELECT doc_id, lang,
       FROM b)
 SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INTEGER) AS epoch
 FROM c WHERE copies > 0""")),
+
+    // Temperature mixing (α = 0.5): the rates come FROM the corpus
+    // (p_s ∝ n_s^α — the multilingual-pretraining re-balancing rule),
+    // not a hand-tuned map like tx17. Expected output size stays N;
+    // tail sources gain epochs, head sources lose them. One stratum
+    // agg + broadcast rate table; training rows never shuffle.
+    Q("tx28_temperature_mix",
+      (s, d) => Sampling.temperatureMix(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", 0.5)
+        .select(col("doc_id"), col("lang"), col("epoch")),
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n_s) AS DOUBLE) AS n_tot, sum(pow(n_s, 0.5)) AS pw FROM c),
+r AS (SELECT lang, round(pow(n_s, 0.5) * n_tot / (pw * n_s), 6) AS rate FROM c, t),
+b AS (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bk
+      FROM documents),
+cp AS (SELECT b.doc_id, b.lang,
+              CAST(floor(rate) AS INTEGER) +
+              (CASE WHEN bk < round((rate - floor(rate)) * 10000) THEN 1 ELSE 0 END) AS copies
+       FROM b JOIN r USING (lang))
+SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INTEGER) AS epoch
+FROM cp WHERE copies > 0""")),
 
     // Character-level Shannon entropy (nats) per doc — the gibberish
     // gate length/TTR miss: repeated-char spam scores near 0, natural

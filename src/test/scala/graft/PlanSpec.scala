@@ -278,7 +278,18 @@ class PlanSpec extends SparkSpec {
       // the stored-index equi-join — NOT brute force)
       "tx24_hybrid_rrf", "tx25_hybrid_multiquery",
       // BM25 with derived query terms: same stats-row crossJoin
-      "tx26_bm25_derived_query")
+      "tx26_bm25_derived_query",
+      // JL candidate generation: corpus × broadcast(50 queries) in the
+      // 16-d projected space — the cheap scoring pass by design; the
+      // exact rerank above it is candidate-sized
+      "ann08_random_projection",
+      // quality report: three ONE-ROW count aggregates crossed into a
+      // single report row — scalar fan-out, not a data join
+      "dd13_lsh_quality",
+      // temperature mix: the (N, Σn^α) corpus-stats row crossed into
+      // the stratum-sized rate table (both tiny), then an equi-join
+      // back to the docs
+      "tx28_temperature_mix")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val nonEqui = df.queryExecution.optimizedPlan.collect {

@@ -48,4 +48,36 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratifiedMix(fixture, "id", "lang", Map("en" -> -0.1), 1.0)
     }
   }
+
+  test("temperatureMix: α=1 is the identity mix, α<1 flattens toward uniform") {
+    // zipfian-ish skew: en 1400, es 400, de 150, zh 50
+    val skewed = (1 to 2000).map { i =>
+      val lang = if (i <= 1400) "en" else if (i <= 1800) "es"
+                 else if (i <= 1950) "de" else "zh"
+      (i.toLong, lang)
+    }.toDF("id", "lang")
+
+    // α = 1 ⇒ rate_s = 1 for every stratum: each row appears exactly once
+    val id1 = Sampling.temperatureMix(skewed, "id", "lang", 1.0)
+    assert(id1.groupBy($"id").count().filter($"count" =!= 1).count() == 0)
+    assert(id1.count() == skewed.count())
+
+    // α = 0.5 ⇒ the head stratum's output share shrinks toward uniform,
+    // the tail's grows; expected total stays ≈ N
+    def share(df: org.apache.spark.sql.DataFrame, lang: String): Double =
+      df.filter($"lang" === lang).count().toDouble / df.count()
+    val mixed = Sampling.temperatureMix(skewed, "id", "lang", 0.5)
+    assert(share(mixed, "en") < share(skewed, "en"),
+      "head stratum en must be downsampled")
+    assert(share(mixed, "zh") > share(skewed, "zh"),
+      "tail stratum zh must be upsampled")
+    val n = skewed.count().toDouble
+    assert(math.abs(mixed.count() - n) / n < 0.15,
+      s"expected output size ≈ N, got ${mixed.count()} vs $n")
+
+    // deterministic: same plan twice, same rows
+    assert(mixed.select($"id", $"epoch").as[(Long, Int)].collect().sorted.toSeq ==
+      Sampling.temperatureMix(skewed, "id", "lang", 0.5)
+        .select($"id", $"epoch").as[(Long, Int)].collect().sorted.toSeq)
+  }
 }
