@@ -106,4 +106,47 @@ class RetrievalSpec extends SparkSpec {
       Similarity.ivfTopKStored(spark, manual, q, 5).collect().toSet,
       "incremental IVF index diverges from same-centroid rebuild")
   }
+
+  test("hybridRrf nprobe: multi-probe vector leg tracks the brute-force fusion at least as well") {
+    // The fused ranking with a multi-probed vector leg must agree with
+    // the IDEAL fusion (brute-force vector leg) at least as much as the
+    // single-probe fusion does — the recall knob composes through RRF.
+    val docs = graft.Tables.documents(spark, sf0001)
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files.createTempDirectory("graft_rrf_np").toString
+    try {
+      Similarity.writeBucketedCorpus(emb, path)
+      val qTerms = Seq(0L -> "join", 0L -> "scan", 7L -> "vector", 7L -> "spark",
+        23L -> "filter", 23L -> "join").toDF("query_id", "term")
+      val qVecs = emb.filter($"vec_id".isin(0L, 7L, 23L))
+        .select($"vec_id".as("query_id"), $"embedding")
+      def top10(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"rrf".desc, $"doc_id".asc)
+        df.withColumn("fr", row_number().over(w)).filter($"fr" <= 10)
+          .select($"query_id", $"doc_id").as[(Long, Long)].collect().toSet
+      }
+      // the IDEAL fusion: same lexical leg, brute-force vector leg
+      import org.apache.spark.sql.expressions.Window
+      val bm = Retrieval.bm25PerQuery(docs, "doc_id", "text", qTerms)
+      val wl = Window.partitionBy($"query_id").orderBy($"bm25".desc, $"doc_id".asc)
+      val lex = bm.withColumn("r_lex", row_number().over(wl)).filter($"r_lex" <= 10)
+        .select($"query_id", $"doc_id", $"r_lex".cast("long").as("r_lex"))
+      val vecIdeal = Similarity.bruteForceTopK(emb,
+          qVecs.select($"query_id".as("vec_id"), $"embedding"), 10)
+        .select($"query_id", $"vec_id".as("doc_id"), $"rk".as("r_vec"))
+      val ideal = top10(lex.join(vecIdeal, Seq("query_id", "doc_id"), "full_outer")
+        .select($"query_id", $"doc_id",
+          round(coalesce(lit(1.0) / (lit(60) + $"r_lex"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + $"r_vec"), lit(0.0)), 6).as("rrf")))
+      val agree1 = top10(Retrieval.hybridRrf(spark, docs, "doc_id", "text", path,
+        qTerms, qVecs, 10)).intersect(ideal).size
+      val agree4 = top10(Retrieval.hybridRrf(spark, docs, "doc_id", "text", path,
+        qTerms, qVecs, 10, nprobe = 4)).intersect(ideal).size
+      info(s"fusion agreement with ideal: nprobe=1 $agree1/${ideal.size}, nprobe=4 $agree4/${ideal.size}")
+      assert(agree4 >= agree1,
+        s"multi-probe fusion agrees LESS with the ideal: $agree4 < $agree1")
+    } finally graft.Scratch.delete(path)
+  }
 }
