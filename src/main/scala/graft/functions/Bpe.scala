@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic mini-BPE tokenizer (the real subword algorithm, not a
@@ -156,6 +156,71 @@ object Bpe {
   /** Merges folded per CTE layer — bounded well under the 128-deep
     * binder limit (chain + repr wrapping ≈ 55). */
   private val sqlChunkSize = 50
+
+  // ---- Distributed merge training (corpus-scale tokenizer induction)
+
+  /** Corpus → (word, freq, syms) vocabulary table with the SAME
+    * normalization as [[learn]] (lowercase, [^a-z\s] → space). THE
+    * scale move of BPE training: the first aggregation shrinks the
+    * corpus to its vocabulary, and every subsequent training round
+    * operates on that vocab table — pair statistics are weighted by
+    * `freq`, so a 100 TB corpus trains over a few million vocab rows. */
+  def corpusVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(filter(
+        split(regexp_replace(lower(col(textCol)), "[^a-z\\s]", " "), "\\s+"),
+        w => length(w) > 0)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", regexp_extract_all(col("word"), lit("."), lit(0)))
+
+  /** Freq-weighted adjacent-symbol pair counts over the vocab's current
+    * segmentation — one explode + one hash agg per training round. */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("a"),
+          element_at(col("syms"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Re-segment every vocab word under merge (a, b): a left fold over
+    * the symbol array — merge when the tail of the accumulator is `a`
+    * and the current symbol is `b`. Equivalent to [[mergeOnce]]'s
+    * greedy left-to-right scan: a just-merged tail equals a+b, which
+    * can never equal `a` (b is non-empty), so a merge output is never
+    * re-consumed within the same round. */
+  def applyMergeToVocab(vocab: DataFrame, a: String, b: String): DataFrame =
+    vocab.withColumn("syms",
+      aggregate(col("syms"), array().cast("array<string>"),
+        (acc, x) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x)))))
+
+  /** Distributed BPE merge learning — [[learn]]'s loop re-expressed on
+    * DataFrames: per round, ONE vocab-sized pair count + a 1-row argmax
+    * collect + a map-only re-segmentation (checkpointed so n rounds do
+    * not stack n HOF plans). Deterministic (ties break (count desc, a,
+    * b) like [[learn]]); BpeSpec pins exact merge-table equality with
+    * the in-memory learner on the same text. The per-round collect is
+    * ONE row — the training loop's driver traffic is O(n) pairs. */
+  def trainDistributed(docs: DataFrame, textCol: String, n: Int): Seq[(String, String)] = {
+    var vocab = corpusVocab(docs, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (merges.length < n && !done) {
+      val best = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b) = (best(0).getAs[String]("a"), best(0).getAs[String]("b"))
+        merges += ((a, b))
+        vocab = applyMergeToVocab(vocab, a, b).localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
 
   /** DuckDB SQL for the delimited representation of expression `e`. */
   private def sqlRepr(e: String): String =

@@ -973,6 +973,40 @@ cp AS (SELECT b.doc_id, b.lang,
 SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INTEGER) AS epoch
 FROM cp WHERE copies > 0""")),
 
+    // Distributed BPE training, round 1 as the oracle-checked window
+    // into Bpe.trainDistributed: the corpus shrinks to its word-freq
+    // VOCAB (the scale move — every training round thereafter is
+    // vocab-sized, not corpus-sized), then freq-weighted adjacent
+    // char-pair counts rank the merge candidates. Top 20 by
+    // (count desc, a, b) — row 1 IS the first learned merge. Full
+    // multi-round training is pinned by BpeSpec's exact merge-table
+    // equality with the in-memory learner.
+    Q("tx29_bpe_train_round",
+      (s, d) => {
+        val vocab = Bpe.corpusVocab(Tables.documents(s, d), "text")
+        val order = Seq(col("cnt").desc, col("a").asc, col("b").asc)
+        // top-20 via orderBy+limit (plans as TakeOrderedAndProject — a
+        // bounded per-partition heap), then rank the 20 survivors with
+        // denseId's dim-scale window
+        graft.operators.Dedup.denseId(
+          Bpe.pairCounts(vocab).orderBy(order: _*).limit(20), order, "rk")
+      },
+      Some("""WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(
+           regexp_replace(lower(text), '[^a-z\s]', ' ', 'g'), '\s+'),
+           x -> length(x) > 0)) AS word
+  FROM documents),
+v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word),
+p AS (SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, freq
+      FROM (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i
+            FROM v WHERE length(word) >= 2) t),
+c AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY a, b)
+SELECT a, b, cnt, rk FROM (
+  SELECT a, b, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS BIGINT) AS rk
+  FROM c) t
+WHERE rk <= 20""")),
+
     // Character-level Shannon entropy (nats) per doc — the gibberish
     // gate length/TTR miss: repeated-char spam scores near 0, natural
     // text sits in a stable band.

@@ -203,7 +203,10 @@ class PlanSpec extends SparkSpec {
       "op22b_find_or_insert",
       // prestacion catalog: distinct trimmed service names — bounded by
       // the nomenclature, not by fact volume.
-      "his_prestacion")
+      "his_prestacion",
+      // BPE merge-candidate rank: the windowed table is the pair-count
+      // table — alphabet²-sized, not corpus-sized.
+      "tx29_bpe_train_round")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val globals = df.queryExecution.optimizedPlan.collect {

@@ -82,4 +82,20 @@ class BpeSpec extends SparkSpec {
     assert(got(1L) == Seq(a, b))
     assert(got(2L) == Seq(a + b))
   }
+
+  test("trainDistributed reproduces the in-memory learner's merge table exactly") {
+    // Same seed text, 30 rounds: the DataFrame trainer (vocab shrink →
+    // weighted pair counts → argmax → fold re-segmentation) must learn
+    // the IDENTICAL merge sequence — counts, tie-breaks and greedy
+    // re-segmentation all agree or the first divergent round cascades.
+    val seedDf = Seq(Bpe.seedText).toDF("text")
+    assert(Bpe.trainDistributed(seedDf, "text", 30) == Bpe.learn(Bpe.seedText, 30))
+
+    // and on the (multi-row, multi-partition) documents fixture: the
+    // distributed trainer over 500 docs equals the in-memory learner on
+    // their concatenation — word frequencies add, so the two must agree
+    val docs = graft.Tables.documents(spark, sf0001).repartition(7)
+    val concat = docs.select(col("text")).as[String].collect().mkString(" ")
+    assert(Bpe.trainDistributed(docs, "text", 12) == Bpe.learn(concat, 12))
+  }
 }
