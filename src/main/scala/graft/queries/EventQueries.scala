@@ -479,5 +479,29 @@ FROM agg""")),
                lead(event_type, 1) OVER w AS next_type
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
+
+    // ANSI first_value / last_value / nth_value over the full per-user
+    // frame (unbounded both ways — last_value needs the explicit frame
+    // or it degenerates to "current row" in both engines). Same single
+    // user-keyed window shuffle as ex20.
+    Q("ex21_first_last_window",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, d).select(
+          col("user_id"), col("event_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"),
+          nth_value(col("event_type"), 2).over(w).as("second_type"))
+      },
+      Some("""SELECT user_id, event_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type) OVER w AS last_type,
+               nth_value(event_type, 2) OVER w AS second_type
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
   )
 }
