@@ -127,8 +127,9 @@ object Similarity {
     * One pure-projection pass (lshBucket is shuffle-free); parquet
     * `partitionBy` lays each bucket out as its own directory. */
   def writeBucketedCorpus(corpus: DataFrame, path: String,
-                          numPlanes: Int = 8, dim: Int = 64): Unit =
-    corpus.select(col("vec_id"), col("embedding"))
+                          numPlanes: Int = 8, dim: Int = 64,
+                          metaCols: Seq[String] = Nil): Unit =
+    corpus.select((Seq("vec_id", "embedding") ++ metaCols).map(col): _*)
       .withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
       // Cluster by bucket before the partitioned write: without it every
       // task writes a file into every bucket directory (tasks × 2^planes
@@ -205,8 +206,16 @@ object Similarity {
   def bucketedTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
                          queries: DataFrame, k: Int,
                          numPlanes: Int = 8, dim: Int = 64,
-                         nprobe: Int = 1): DataFrame = {
-    val corpus = spark.read.parquet(path)
+                         nprobe: Int = 1,
+                         pred: Option[Column] = None): DataFrame = {
+    // `pred` = metadata-filtered ANN (the "search within tenant /
+    // label / date-range" RAG shape): the predicate lands UNDER the
+    // join, so the scan composes BOTH prunings — DPP restricts to the
+    // probed buckets' directories AND the row-group predicate pushes
+    // into the parquet scan (PushedFilters; PlanSpec-gated). Requires
+    // the index written with the metadata columns (`metaCols` on
+    // [[writeBucketedCorpus]]). Top-k ranks MATCHING vectors only.
+    val corpus = pred.foldLeft(spark.read.parquet(path))(_.filter(_))
     // Partition-column type inference yields IntegerType for the
     // directory values; compute the query bucket in that exact type so
     // the join key needs no cast (a cast on the partition column would

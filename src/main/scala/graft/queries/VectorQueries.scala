@@ -387,6 +387,49 @@ SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id""")
       },
       Some(ann03eOracle)),
 
+    // Metadata-FILTERED ANN over the stored layout — the "search
+    // within tenant/label" RAG shape: the label predicate sits under
+    // the bucket join, so one scan composes DPP (probed bucket dirs
+    // only) with parquet predicate pushdown (matching row groups
+    // only); top-10 ranks matching vectors only. PlanSpec gates both
+    // prunings on this exact query.
+    Q("ann09_filtered_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val path = graft.Scratch.dir("bucketed_meta", d)
+        Similarity.writeBucketedCorpus(emb, path, metaCols = Seq("label"))
+        Similarity.bucketedTopKStored(s, path, emb.filter(col("vec_id") < 50), 10,
+          pred = Some(col("label") === 1))
+      },
+      Some(s"""WITH $planesSql,
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
+bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+${flatCte()},
+prs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+        FROM bk q JOIN bk c ON q.bucket = c.bucket
+        JOIN embeddings e ON e.vec_id = c.vec_id AND e.label = 1
+        WHERE q.vec_id < 50),
+dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+         FROM prs p
+         JOIN flat f1 ON f1.vec_id = p.query_id
+         JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+         GROUP BY 1, 2),
+scored AS (SELECT d.query_id, d.vec_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+           FROM dots d
+           JOIN norms n1 ON n1.vec_id = d.query_id
+           JOIN norms n2 ON n2.vec_id = d.vec_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 10""")),
+
     // EX-06, JL-reduction path: candidates ranked in a 16-d
     // random-projection space (¼ the arithmetic of brute force, and —
     // with projections stored alongside the vectors — ¼ the scan

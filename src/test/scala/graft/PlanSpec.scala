@@ -100,6 +100,21 @@ class PlanSpec extends SparkSpec {
       s"the bucket join must dynamically prune the scan to the query buckets: ${pf.get}")
   }
 
+  test("ann09 filtered ANN composes DPP with parquet predicate pushdown") {
+    // The metadata-filtered search must prune BOTH ways in one scan:
+    // dynamically to the probed buckets' directories, and by pushed
+    // row-group predicate on the metadata column.
+    val df = q("ann09_filtered_ann")
+    df.collect() // finalize the adaptive plan (DPP subquery included)
+    val plan = formatted(df)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.isDefined && pf.get.toLowerCase.contains("dynamicpruning"),
+      s"filtered ANN lost the bucket DPP: ${pf.getOrElse("no PartitionFilters line")}")
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushed.isDefined && pushed.get.contains("label"),
+      s"label predicate must push into the parquet scan: ${pushed.getOrElse("no PushedFilters line")}")
+  }
+
   test("ann04b stored-IVF scan prunes to the probed centroids (dynamic partition pruning)") {
     val df = q("ann04b_ivf_stored")
     df.collect() // finalize the adaptive plan (DPP subquery included)

@@ -464,6 +464,26 @@ class SimilaritySpec extends SparkSpec {
       s"JL recall collapsed: $hits/${exactIds.size}")
   }
 
+  test("filtered stored ANN ≡ in-flight search over the pre-filtered corpus") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 20)
+    val path = java.nio.file.Files.createTempDirectory("graft_meta_spec").toString
+    try {
+      Similarity.writeBucketedCorpus(emb, path, metaCols = Seq("label"))
+      val stored = Similarity.bucketedTopKStored(spark, path, q, 10,
+        pred = Some($"label" === 1)).collect().toSet
+      // semantic reference: bucket the corpus in-flight, keep label 1,
+      // search that subset — the storage layout and the pushed filter
+      // must not change results
+      val inflight = Similarity.bucketedTopK(emb.filter($"label" === 1), q, 10)
+        .collect().toSet
+      assert(stored == inflight, "filtered stored ANN diverges from in-flight")
+      // and every returned vector really matches the predicate
+      val ok = emb.filter($"label" === 1).select($"vec_id").as[Long].collect().toSet
+      stored.foreach(r => assert(ok(r.getLong(1)), s"non-matching vector in $r"))
+    } finally graft.Scratch.delete(path)
+  }
+
   test("semanticContamination: planted eval duplicate is flagged, pairs are cross-set") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     // plant eval doc 3's exact embedding into the training set
