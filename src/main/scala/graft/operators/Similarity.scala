@@ -559,13 +559,46 @@ object Similarity {
     pqAdc(codes, cb, queries, k, m, subDim)
   }
 
+  /** IVF-PQ — the production ANN composition (the FAISS IVFPQ shape,
+    * here without residual encoding so the whole chain stays
+    * oracle-checkable): a coarse k-means quantizer restricts each
+    * query's candidates to its `nprobe` nearest inverted lists, and
+    * trained PQ codes — not full vectors — score those candidates via
+    * broadcast lookup tables. Per-query cost: m·K LUT dots + the
+    * probed lists' code rows (m small ints each); the full-precision
+    * corpus is read only at index-build time. Recall compounds the
+    * list-restriction loss (ann04/05's lever) with quantization loss
+    * (ann06's lever) — both knobs measured in ann07's ladder;
+    * SimilaritySpec pins `nprobe = numCentroids` ≡ the global trained
+    * PQ ranking (no restriction ⇒ identical scores). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                numCentroids: Int = 16, kmIters: Int = 2, m: Int = 16,
+                subDim: Int = 4, codebookSize: Int = 64, pqIters: Int = 2,
+                nprobe: Int = 1): DataFrame = {
+    val cents = kmeansCentroids(corpus, numCentroids, kmIters)
+    val lists = ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id"), col("centroid_id"))
+    val probes = ivfAssignN(
+        queries.select(col("vec_id"), col("embedding")), cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    // a corpus vector lives in exactly one list, so multi-probe never
+    // duplicates a candidate pair
+    val pairs = probes.join(lists, Seq("centroid_id"))
+      .select(col("query_id"), col("vec_id"))
+    val cb = pqCodebookTrained(corpus, m, subDim, codebookSize, pqIters)
+    val sv = subspaces(corpus.select(col("vec_id"), col("embedding")), "vec_id", m, subDim)
+    val codes = pqAssignL2(sv, cb).select(col("vec_id"), col("sub"), col("centroid_id"))
+    pqAdc(codes, cb, queries, k, m, subDim, pairs = Some(pairs))
+  }
+
   /** Shared ADC scoring: given the code table and its codebook, score
     * every (query, vector) pair as adp / (‖q‖ · √Σ‖codeword‖²) with
     * per-query broadcast LUTs, and rank top-k. The full-precision
     * corpus is never rescanned — the corpus-side input is `codes` (m
     * small ints per vector). */
   private def pqAdc(codes: DataFrame, cb: DataFrame, queries: DataFrame,
-                    k: Int, m: Int, subDim: Int): DataFrame = {
+                    k: Int, m: Int, subDim: Int,
+                    pairs: Option[DataFrame] = None): DataFrame = {
     val cbn = cb.select(col("sub"), col("centroid_id"),
       dot(col("c_emb"), col("c_emb")).as("__n2"))
     val rec = codes.join(broadcast(cbn), Seq("sub", "centroid_id"))
@@ -576,7 +609,15 @@ object Similarity {
       .select(col("query_id"), col("sub"), col("centroid_id"),
         dot(col("sub_emb"), col("c_emb")).as("__dp"))
     val qn = qs.select(col("query_id"), norm(col("embedding")).as("__qn"))
-    val sc = codes.join(broadcast(lut), Seq("sub", "centroid_id"))
+    // `pairs` (query_id, vec_id) restricts ADC to a candidate set
+    // (IVF-PQ): the restriction joins BEFORE the LUT fan-out, so only
+    // candidate code rows ever multiply by |queries|.
+    val fanned = pairs match {
+      case Some(p) => codes.join(p, Seq("vec_id"))
+        .join(broadcast(lut), Seq("query_id", "sub", "centroid_id"))
+      case None => codes.join(broadcast(lut), Seq("sub", "centroid_id"))
+    }
+    val sc = fanned
       .groupBy(col("vec_id"), col("query_id")).agg(sum(col("__dp")).as("__adp"))
     val scored = sc.join(broadcast(qn), Seq("query_id")).join(rec, Seq("vec_id"))
       .select(col("query_id"), col("vec_id"),

@@ -430,6 +430,41 @@ SELECT * FROM (
   FROM scored) t
 WHERE rk <= 10""")),
 
+    // IVF-PQ: the production composition — coarse k-means lists prune
+    // candidates (ann04's machinery), trained PQ codes score them via
+    // broadcast LUTs (ann06b's machinery); the full-precision corpus
+    // is never rescanned at query time. The oracle reuses BOTH trained
+    // chains and restricts the ADC ranking to each query's probed list.
+    Q("ann10_ivf_pq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 30), 10)
+      },
+      Some(s"""WITH ${flatCte()},
+${kmeansCtes(16, 2)},
+fl0 AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+${pqTrainedChain(4, 64, 2, 30)},
+qas AS (SELECT vec_id, centroid_id FROM (
+          SELECT d.vec_id, d.centroid_id,
+                 row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY round(dp / (n1.nrm * cn.nrm), 6) DESC, d.centroid_id ASC) AS rn
+          FROM cd2 d
+          JOIN norms n1 ON n1.vec_id = d.vec_id
+          JOIN cn2 cn ON cn.centroid_id = d.centroid_id) t
+        WHERE rn = 1),
+cand AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+         FROM qas q JOIN as2 c USING (centroid_id)
+         WHERE q.vec_id < 30)
+SELECT query_id, vec_id, pq_sim, rk FROM (
+  SELECT s.query_id, s.vec_id, s.pq_sim,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+           ORDER BY s.pq_sim DESC, s.vec_id ASC) AS BIGINT) AS rk
+  FROM t_scored s
+  JOIN cand c ON c.query_id = s.query_id AND c.vec_id = s.vec_id) t
+WHERE rk <= 10""")),
+
     // EX-06, JL-reduction path: candidates ranked in a 16-d
     // random-projection space (¼ the arithmetic of brute force, and —
     // with projections stored alongside the vectors — ¼ the scan
@@ -657,6 +692,9 @@ WHERE cos_sim > 0.35""")),
           // the bucket paths' hash cliffs
           .unionAll(row("jl_rerank", 50,
             Similarity.randomProjectionTopK(emb, q50, 10)))
+          // the IVF-PQ composition: list restriction × quantization
+          .unionAll(row("ivf_pq", 10,
+            Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 10)))
       },
       Some(s"""WITH $planesSql,
 fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
@@ -824,7 +862,15 @@ jl_top AS (SELECT query_id, vec_id FROM (
              FROM jl_dots d
              JOIN norms n1 ON n1.vec_id = d.query_id
              JOIN norms n2 ON n2.vec_id = d.vec_id) t
-           WHERE rk <= 10)
+           WHERE rk <= 10),
+ivfpq_top AS (SELECT query_id, vec_id FROM (
+                SELECT s.query_id, s.vec_id,
+                       row_number() OVER (PARTITION BY s.query_id
+                         ORDER BY s.pq_sim DESC, s.vec_id ASC) AS rk
+                FROM t_scored s
+                JOIN qasgn q ON q.vec_id = s.query_id AND q.rn = 1
+                JOIN as2 c ON c.centroid_id = q.centroid_id AND c.vec_id = s.vec_id) t
+              WHERE rk <= 10)
 SELECT 'lsh_bucketed' AS method, 10 AS k,
        round(count(*) / 500.0, 6) AS recall
   FROM b_top JOIN ex_top USING (query_id, vec_id)
@@ -846,7 +892,10 @@ SELECT 'lsh_multiprobe4', 10, round(count(*) / 500.0, 6)
   FROM mp_top JOIN ex_top USING (query_id, vec_id)
 UNION ALL
 SELECT 'jl_rerank', 10, round(count(*) / 500.0, 6)
-  FROM jl_top JOIN ex_top USING (query_id, vec_id)""")),
+  FROM jl_top JOIN ex_top USING (query_id, vec_id)
+UNION ALL
+SELECT 'ivf_pq', 10, round(count(*) / 100.0, 6)
+  FROM ivfpq_top JOIN ex_top USING (query_id, vec_id)""")),
 
     // Embedding near-dup, corpus-scale form: LSH-bucket blocking over
     // the FULL table (no id block) — bucket equi-join, not an all-pairs

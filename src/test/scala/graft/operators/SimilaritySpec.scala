@@ -464,6 +464,26 @@ class SimilaritySpec extends SparkSpec {
       s"JL recall collapsed: $hits/${exactIds.size}")
   }
 
+  test("IVF-PQ: probing every list recovers the global trained-PQ ranking; candidates stay in probed lists") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 10)
+    // nprobe = numCentroids ⇒ no candidate restriction ⇒ ADC scores and
+    // ranking must be IDENTICAL to the unrestricted trained-PQ search
+    assert(Similarity.ivfPqTopK(emb, q, 10, nprobe = 16).collect().toSet ==
+      Similarity.pqTopKTrained(emb, q, 10).collect().toSet,
+      "all-lists IVF-PQ diverged from global PQ")
+    // nprobe = 1: every returned candidate lives in its query's own list
+    val cents = Similarity.kmeansCentroids(emb, 16, 2)
+    val assign = Similarity.ivfAssign(
+        emb.select($"vec_id", $"embedding"), cents)
+      .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toMap
+    Similarity.ivfPqTopK(emb, q, 10).select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect().foreach { case (qid, vid) =>
+        assert(assign(vid) == assign(qid),
+          s"candidate $vid not in query $qid's probed list")
+      }
+  }
+
   test("filtered stored ANN ≡ in-flight search over the pre-filtered corpus") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val q = emb.filter($"vec_id" < 20)
