@@ -307,7 +307,10 @@ class PlanSpec extends SparkSpec {
       // temperature mix: the (N, Σn^α) corpus-stats row crossed into
       // the stratum-sized rate table (both tiny), then an equi-join
       // back to the docs
-      "tx28_temperature_mix")
+      "tx28_temperature_mix",
+      // IVF-PQ: the k-means assignment's corpus × broadcast(16
+      // centroids) — the same whitelisted shape as ann04/dd12
+      "ann10_ivf_pq")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val nonEqui = df.queryExecution.optimizedPlan.collect {
