@@ -344,8 +344,12 @@ object Similarity {
     * the storage partition key, so a query touches one partition. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numCentroids: Int = 16, kmeansIters: Int = 2,
-              nprobe: Int = 1): DataFrame = {
-    val cents = kmeansCentroids(corpus, numCentroids, kmeansIters)
+              nprobe: Int = 1,
+              centsOpt: Option[DataFrame] = None): DataFrame = {
+    // centsOpt: reuse an already-trained coarse quantizer — the
+    // production shape (one model, many serving calls), and what lets
+    // ann07's ladder train each model exactly once
+    val cents = centsOpt.getOrElse(kmeansCentroids(corpus, numCentroids, kmeansIters))
     // Corpus lists stay disjoint (nprobe applies to the QUERY side
     // only), so a probed corpus vector is scored exactly once even
     // when a query probes several lists.
@@ -552,8 +556,9 @@ object Similarity {
     * vector; broadcast LUTs). */
   def pqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 16,
                     subDim: Int = 4, codebookSize: Int = 64,
-                    iters: Int = 2): DataFrame = {
-    val cb = pqCodebookTrained(corpus, m, subDim, codebookSize, iters)
+                    iters: Int = 2,
+                    cbOpt: Option[DataFrame] = None): DataFrame = {
+    val cb = cbOpt.getOrElse(pqCodebookTrained(corpus, m, subDim, codebookSize, iters))
     val sv = subspaces(corpus.select(col("vec_id"), col("embedding")), "vec_id", m, subDim)
     val codes = pqAssignL2(sv, cb).select(col("vec_id"), col("sub"), col("centroid_id"))
     pqAdc(codes, cb, queries, k, m, subDim)
@@ -574,8 +579,10 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 numCentroids: Int = 16, kmIters: Int = 2, m: Int = 16,
                 subDim: Int = 4, codebookSize: Int = 64, pqIters: Int = 2,
-                nprobe: Int = 1): DataFrame = {
-    val cents = kmeansCentroids(corpus, numCentroids, kmIters)
+                nprobe: Int = 1,
+                centsOpt: Option[DataFrame] = None,
+                cbOpt: Option[DataFrame] = None): DataFrame = {
+    val cents = centsOpt.getOrElse(kmeansCentroids(corpus, numCentroids, kmIters))
     val lists = ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
       .select(col("vec_id"), col("centroid_id"))
     val probes = ivfAssignN(
@@ -585,7 +592,7 @@ object Similarity {
     // duplicates a candidate pair
     val pairs = probes.join(lists, Seq("centroid_id"))
       .select(col("query_id"), col("vec_id"))
-    val cb = pqCodebookTrained(corpus, m, subDim, codebookSize, pqIters)
+    val cb = cbOpt.getOrElse(pqCodebookTrained(corpus, m, subDim, codebookSize, pqIters))
     val sv = subspaces(corpus.select(col("vec_id"), col("embedding")), "vec_id", m, subDim)
     val codes = pqAssignL2(sv, cb).select(col("vec_id"), col("sub"), col("centroid_id"))
     pqAdc(codes, cb, queries, k, m, subDim, pairs = Some(pairs))
