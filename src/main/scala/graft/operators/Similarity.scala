@@ -598,6 +598,74 @@ object Similarity {
     pqAdc(codes, cb, queries, k, m, subDim, pairs = Some(pairs))
   }
 
+  /** Materialize the DEPLOYABLE IVF-PQ index: PQ code rows partitioned
+    * by coarse list (`path/lists/list_id=N/…`), trained centroids and
+    * codebook alongside (`_centroids`, `_codebook`) so queries never
+    * retrain — and never touch the full-precision corpus at all. The
+    * stored bytes are m small ints per vector: at 100 TB of vectors
+    * the index is ~m/(4·dim) of the corpus (~6% at m=16, dim=64
+    * float). */
+  def writeIvfPqCorpus(corpus: DataFrame, path: String,
+                       numCentroids: Int = 16, kmIters: Int = 2,
+                       m: Int = 16, subDim: Int = 4,
+                       codebookSize: Int = 64, pqIters: Int = 2): Unit = {
+    val cents = kmeansCentroids(corpus, numCentroids, kmIters)
+    val cb = pqCodebookTrained(corpus, m, subDim, codebookSize, pqIters)
+    cents.write.mode("overwrite").parquet(s"$path/_centroids")
+    cb.write.mode("overwrite").parquet(s"$path/_codebook")
+    val lists = ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id"), col("centroid_id").as("list_id"))
+    val sv = subspaces(corpus.select(col("vec_id"), col("embedding")), "vec_id", m, subDim)
+    pqAssignL2(sv, cb).select(col("vec_id"), col("sub"), col("centroid_id").as("code"))
+      .join(lists, Seq("vec_id"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /** Query the stored IVF-PQ index: the probe join DPP-prunes the code
+    * scan to the probed lists' directories (the ann04b treatment), and
+    * ADC scores the pruned code rows via broadcast LUTs from the stored
+    * codebook. Result-identical to the in-flight [[ivfPqTopK]] with the
+    * same parameters (spec-pinned) — the layout changes cost, never
+    * results. */
+  def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, k: Int, nprobe: Int = 1,
+                      m: Int = 16, subDim: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val cb = spark.read.parquet(s"$path/_codebook")
+    val codesAll = spark.read.parquet(s"$path/lists")
+    val listType = codesAll.schema("list_id").dataType
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding"))
+    val probes = ivfAssignN(
+        queries.select(col("vec_id"), col("embedding")), cents, nprobe)
+      .select(col("vec_id").as("query_id"),
+        col("centroid_id").cast(listType).as("list_id"))
+    val cbn = cb.select(col("sub"), col("centroid_id").as("code"),
+      dot(col("c_emb"), col("c_emb")).as("__n2"))
+    // ONE DPP-pruned scan fans candidate code rows out to their queries
+    val cand = codesAll.join(broadcast(probes), Seq("list_id"))
+    // reconstructed norms per candidate vector (query-independent —
+    // dedup the multi-query fan-out first; candidate-sized shuffle)
+    val rec = cand.select(col("vec_id"), col("sub"), col("code")).distinct()
+      .join(broadcast(cbn), Seq("sub", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("__n2")).as("__rn2"))
+    val lut = subspaces(qs, "query_id", m, subDim)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("centroid_id").as("code"),
+        dot(col("sub_emb"), col("c_emb")).as("__dp"))
+    val qn = qs.select(col("query_id"), norm(col("embedding")).as("__qn"))
+    val sc = cand.join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("vec_id"), col("query_id")).agg(sum(col("__dp")).as("__adp"))
+    val scored = sc.join(broadcast(qn), Seq("query_id")).join(rec, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(col("__adp") / (col("__qn") * sqrt(col("__rn2"))), 6).as("pq_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("pq_sim"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Shared ADC scoring: given the code table and its codebook, score
     * every (query, vector) pair as adp / (‖q‖ · √Σ‖codeword‖²) with
     * per-query broadcast LUTs, and rank top-k. The full-precision

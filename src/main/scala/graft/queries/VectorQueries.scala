@@ -245,6 +245,33 @@ SELECT * FROM (
   FROM scored) t
 WHERE rk <= 10"""
 
+  /** Shared oracle for ann10 (in-flight IVF-PQ) and ann10b (stored
+    * layout) — the storage layout may not change results. */
+  private val ann10Oracle: String = s"""WITH ${flatCte()},
+${kmeansCtes(16, 2)},
+fl0 AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+${pqTrainedChain(4, 64, 2, 30)},
+qas AS (SELECT vec_id, centroid_id FROM (
+          SELECT d.vec_id, d.centroid_id,
+                 row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY round(dp / (n1.nrm * cn.nrm), 6) DESC, d.centroid_id ASC) AS rn
+          FROM cd2 d
+          JOIN norms n1 ON n1.vec_id = d.vec_id
+          JOIN cn2 cn ON cn.centroid_id = d.centroid_id) t
+        WHERE rn = 1),
+cand AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+         FROM qas q JOIN as2 c USING (centroid_id)
+         WHERE q.vec_id < 30)
+SELECT query_id, vec_id, pq_sim, rk FROM (
+  SELECT s.query_id, s.vec_id, s.pq_sim,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+           ORDER BY s.pq_sim DESC, s.vec_id ASC) AS BIGINT) AS rk
+  FROM t_scored s
+  JOIN cand c ON c.query_id = s.query_id AND c.vec_id = s.vec_id) t
+WHERE rk <= 10"""
+
   /** mm03/mm04 shared oracle fragment: byte-histogram features of the
     * fake media payloads, as a `feat(vec_id, embedding)` CTE chain. */
   private val featCtes: String = {
@@ -440,30 +467,24 @@ WHERE rk <= 10""")),
         val emb = Tables.embeddings(s, d)
         Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 30), 10)
       },
-      Some(s"""WITH ${flatCte()},
-${kmeansCtes(16, 2)},
-fl0 AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
-               unnest(embedding)::DOUBLE AS v
-        FROM embeddings),
-${pqTrainedChain(4, 64, 2, 30)},
-qas AS (SELECT vec_id, centroid_id FROM (
-          SELECT d.vec_id, d.centroid_id,
-                 row_number() OVER (PARTITION BY d.vec_id
-                   ORDER BY round(dp / (n1.nrm * cn.nrm), 6) DESC, d.centroid_id ASC) AS rn
-          FROM cd2 d
-          JOIN norms n1 ON n1.vec_id = d.vec_id
-          JOIN cn2 cn ON cn.centroid_id = d.centroid_id) t
-        WHERE rn = 1),
-cand AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
-         FROM qas q JOIN as2 c USING (centroid_id)
-         WHERE q.vec_id < 30)
-SELECT query_id, vec_id, pq_sim, rk FROM (
-  SELECT s.query_id, s.vec_id, s.pq_sim,
-         CAST(row_number() OVER (PARTITION BY s.query_id
-           ORDER BY s.pq_sim DESC, s.vec_id ASC) AS BIGINT) AS rk
-  FROM t_scored s
-  JOIN cand c ON c.query_id = s.query_id AND c.vec_id = s.vec_id) t
-WHERE rk <= 10""")),
+      Some(ann10Oracle)),
+
+    // The STORED form of the same composition — the deployable index:
+    // PQ codes partitioned by coarse list (path/lists/list_id=N/...),
+    // trained centroids and codebook alongside; the query's probe join
+    // DPP-prunes the code scan to the probed lists' directories, and
+    // the full-precision corpus is absent from the query path entirely.
+    // Same oracle as ann10 - the layout must not change results.
+    Q("ann10b_ivf_pq_stored",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val path = graft.Scratch.dir("ivfpq_corpus", d)
+        Similarity.writeIvfPqCorpus(emb, path)
+        Similarity.ivfPqTopKStored(s, path, emb.filter(col("vec_id") < 30), 10)
+      },
+      Some(ann10Oracle)),
+
+
 
     // EX-06, JL-reduction path: candidates ranked in a 16-d
     // random-projection space (¼ the arithmetic of brute force, and —

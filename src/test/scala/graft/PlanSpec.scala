@@ -115,6 +115,17 @@ class PlanSpec extends SparkSpec {
       s"label predicate must push into the parquet scan: ${pushed.getOrElse("no PushedFilters line")}")
   }
 
+  test("ann10b stored IVF-PQ code scan prunes to the probed lists (dynamic partition pruning)") {
+    val df = q("ann10b_ivf_pq_stored")
+    df.collect() // finalize the adaptive plan (DPP subquery included)
+    val plan = formatted(df)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .filter(_.contains("list_id")).toSeq
+    assert(pf.nonEmpty, s"stored code lists must scan with a list_id partition filter:\n$plan")
+    assert(pf.exists(_.toLowerCase.contains("dynamicpruning")),
+      s"the probe join must dynamically prune the code scan: $pf")
+  }
+
   test("ann04b stored-IVF scan prunes to the probed centroids (dynamic partition pruning)") {
     val df = q("ann04b_ivf_stored")
     df.collect() // finalize the adaptive plan (DPP subquery included)
@@ -310,7 +321,11 @@ class PlanSpec extends SparkSpec {
       "tx28_temperature_mix",
       // IVF-PQ: the k-means assignment's corpus × broadcast(16
       // centroids) — the same whitelisted shape as ann04/dd12
-      "ann10_ivf_pq")
+      "ann10_ivf_pq",
+      // stored IVF-PQ: only the QUERY side's probe assignment crosses
+      // broadcast centroids; the code scan itself is the DPP-pruned
+      // equi-join (gated by its own PlanSpec test)
+      "ann10b_ivf_pq_stored")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val nonEqui = df.queryExecution.optimizedPlan.collect {

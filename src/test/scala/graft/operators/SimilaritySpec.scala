@@ -484,6 +484,21 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("stored IVF-PQ index ≡ in-flight IVF-PQ at every nprobe") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 10)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString
+    try {
+      Similarity.writeIvfPqCorpus(emb, path)
+      Seq(1, 2).foreach { np =>
+        assert(Similarity.ivfPqTopKStored(spark, path, q, 10, nprobe = np)
+            .collect().toSet ==
+          Similarity.ivfPqTopK(emb, q, 10, nprobe = np).collect().toSet,
+          s"stored IVF-PQ diverges from in-flight at nprobe=$np")
+      }
+    } finally graft.Scratch.delete(path)
+  }
+
   test("filtered stored ANN ≡ in-flight search over the pre-filtered corpus") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val q = emb.filter($"vec_id" < 20)
