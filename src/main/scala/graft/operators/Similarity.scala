@@ -622,6 +622,28 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
   }
 
+  /** Incremental maintenance of the stored IVF-PQ index: a new batch
+    * is coarse-assigned with the index's FROZEN centroids and encoded
+    * with its FROZEN codebook (retraining either model = rebuild +
+    * manifest flip, never an append — drift would strand old codes),
+    * then parquet-appended only into the touched lists' directories:
+    * O(batch) at any corpus size, same contract as
+    * [[appendToStoredBuckets]] / [[appendToIvfCorpus]]. */
+  def appendToIvfPqCorpus(spark: org.apache.spark.sql.SparkSession,
+                          newVectors: DataFrame, path: String,
+                          m: Int = 16, subDim: Int = 4): Unit = {
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val cb = spark.read.parquet(s"$path/_codebook")
+    val lists = ivfAssign(newVectors.select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id"), col("centroid_id").as("list_id"))
+    val sv = subspaces(newVectors.select(col("vec_id"), col("embedding")),
+      "vec_id", m, subDim)
+    pqAssignL2(sv, cb).select(col("vec_id"), col("sub"), col("centroid_id").as("code"))
+      .join(lists, Seq("vec_id"))
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
   /** Query the stored IVF-PQ index: the probe join DPP-prunes the code
     * scan to the probed lists' directories (the ann04b treatment), and
     * ADC scores the pruned code rows via broadcast LUTs from the stored

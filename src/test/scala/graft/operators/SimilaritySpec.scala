@@ -499,6 +499,41 @@ class SimilaritySpec extends SparkSpec {
     } finally graft.Scratch.delete(path)
   }
 
+  test("appendToIvfPqCorpus: O(batch) maintenance with frozen models; parity with full build") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 10)
+    val incr = java.nio.file.Files.createTempDirectory("graft_ivfpq_incr").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_ivfpq_full").toString
+    try {
+      // build on the first 400 vectors, append the rest in two batches
+      Similarity.writeIvfPqCorpus(emb.filter($"vec_id" < 400), incr)
+      def files(): Map[String, Set[String]] =
+        new java.io.File(s"$incr/lists").listFiles().filter(_.isDirectory)
+          .map(d => d.getName ->
+            d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
+          .toMap
+      val before = files()
+      Similarity.appendToIvfPqCorpus(spark,
+        emb.filter($"vec_id" >= 400 && $"vec_id" < 450), incr)
+      val after = files()
+      // untouched lists keep their exact files (O(batch) evidence)
+      val touched = after.keys.filter(k =>
+        after(k) != before.getOrElse(k, Set.empty[String])).toSet
+      before.keys.filterNot(touched).foreach { k =>
+        assert(after(k) == before(k), s"untouched list $k was rewritten")
+      }
+      Similarity.appendToIvfPqCorpus(spark, emb.filter($"vec_id" >= 450), incr)
+      // the incremental index answers EXACTLY like an index whose
+      // models were trained on the same 400-vector prefix but whose
+      // lists were built over the full corpus in one shot
+      Similarity.writeIvfPqCorpus(emb.filter($"vec_id" < 400), full)
+      Similarity.appendToIvfPqCorpus(spark, emb.filter($"vec_id" >= 400), full)
+      assert(Similarity.ivfPqTopKStored(spark, incr, q, 10).collect().toSet ==
+        Similarity.ivfPqTopKStored(spark, full, q, 10).collect().toSet,
+        "two-batch append diverges from one-batch append")
+    } finally { graft.Scratch.delete(incr); graft.Scratch.delete(full) }
+  }
+
   test("filtered stored ANN ≡ in-flight search over the pre-filtered corpus") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val q = emb.filter($"vec_id" < 20)
