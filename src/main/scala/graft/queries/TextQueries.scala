@@ -973,6 +973,64 @@ cp AS (SELECT b.doc_id, b.lang,
 SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INTEGER) AS epoch
 FROM cp WHERE copies > 0""")),
 
+    // Contamination governance rollup — tx27's semantic flags folded
+    // into a per-source report (the tx18 shape): how much of each
+    // provenance is semantically contaminated against the eval set,
+    // and how hard (max cosine). One extra stratum-sized agg on top of
+    // tx27's zero-training-shuffle gate.
+    Q("tx30_contamination_by_source",
+      (s, d) => {
+        import graft.operators.Similarity
+        val emb = Tables.embeddings(s, d)
+        val docs = Tables.documents(s, d)
+        val flagged = Similarity.semanticContamination(
+            emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50), 0.1)
+          .groupBy(col("train_id"))
+          .agg(round(max(col("cos_sim")), 6).as("max_cos"))
+        docs.filter(col("doc_id") >= 50)
+          .join(flagged, docs("doc_id") === flagged("train_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("train_id")).as("n_contaminated"),
+            round(count(col("train_id")).cast("double") / count(lit(1)), 6)
+              .as("contaminated_share"),
+            max(col("max_cos")).as("worst_cos"))
+      },
+      Some(s"""WITH ${VectorQueries.planesSql},
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
+bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+flat AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+                unnest(embedding)::DOUBLE AS v
+         FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY vec_id),
+prs AS (SELECT t.vec_id AS train_id, e.vec_id AS eval_id
+        FROM bk t JOIN bk e ON t.bucket = e.bucket
+        WHERE t.vec_id >= 50 AND e.vec_id < 50),
+dots AS (SELECT p.train_id, p.eval_id, sum(f1.v * f2.v) AS dp
+         FROM prs p
+         JOIN flat f1 ON f1.vec_id = p.train_id
+         JOIN flat f2 ON f2.vec_id = p.eval_id AND f1.i = f2.i
+         GROUP BY 1, 2),
+cs AS (SELECT d.train_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+       FROM dots d
+       JOIN norms n1 ON n1.vec_id = d.train_id
+       JOIN norms n2 ON n2.vec_id = d.eval_id),
+fg AS (SELECT train_id, round(max(cos_sim), 6) AS max_cos
+       FROM cs WHERE cos_sim > 0.1 GROUP BY train_id)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(fg.train_id) AS BIGINT) AS n_contaminated,
+       round(CAST(count(fg.train_id) AS DOUBLE) / count(*), 6) AS contaminated_share,
+       max(fg.max_cos) AS worst_cos
+FROM documents doc LEFT JOIN fg ON fg.train_id = doc.doc_id
+WHERE doc.doc_id >= 50
+GROUP BY source""")),
+
     // Distributed BPE training, round 1 as the oracle-checked window
     // into Bpe.trainDistributed: the corpus shrinks to its word-freq
     // VOCAB (the scale move — every training round thereafter is
