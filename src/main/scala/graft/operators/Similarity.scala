@@ -688,6 +688,39 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** IVF-PQ with exact re-ranking (the FAISS IndexRefineFlat shape):
+    * the compressed index proposes `refineFactor·k` ADC-ranked
+    * candidates per query, then ONLY those candidates' full-precision
+    * vectors are fetched and re-scored exactly. Recall recovers most of
+    * the quantization loss (the candidate list just has to CONTAIN the
+    * true top-k, not rank it) while the corpus-sized work stays on the
+    * code table: at 100 TB the exact leg reads refineFactor·k·|queries|
+    * vectors via a candidate-sized equi-join — point lookups against
+    * the vector store, never a scan. Measured in ann07's ladder. */
+  def ivfPqRefineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      refineFactor: Int = 4,
+                      numCentroids: Int = 16, kmIters: Int = 2, m: Int = 16,
+                      subDim: Int = 4, codebookSize: Int = 64, pqIters: Int = 2,
+                      nprobe: Int = 1,
+                      centsOpt: Option[DataFrame] = None,
+                      cbOpt: Option[DataFrame] = None): DataFrame = {
+    val cand = ivfPqTopK(corpus, queries, k * refineFactor, numCentroids,
+        kmIters, m, subDim, codebookSize, pqIters, nprobe, centsOpt, cbOpt)
+      .select(col("query_id"), col("vec_id"))
+    val qs = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("__qemb"))
+    val exact = corpus.select(col("vec_id"), col("embedding"))
+      .join(cand, Seq("vec_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("__qemb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Shared ADC scoring: given the code table and its codebook, score
     * every (query, vector) pair as adp / (‖q‖ · √Σ‖codeword‖²) with
     * per-query broadcast LUTs, and rank top-k. The full-precision

@@ -503,5 +503,33 @@ FROM agg""")),
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
+
+    // ANSI distribution windows — ntile / percent_rank / cume_dist over
+    // the per-type value ranking. The ORDER BY is total (value then
+    // event_id) so every rank function is deterministic; one window
+    // shuffle keyed by event_type. NOTE the key is low-cardinality —
+    // fine for a per-category ranking report, but a 100 TB percentile
+    // over few types should use ex19's fixed-width histogram quantiles
+    // (or ex09's approx_percentile) instead of an exact window sort.
+    // percent_rank/cume_dist are exact
+    // rationals evaluated identically by both engines (k/(n-1), k/n on
+    // the same integer ranks), so the doubles hash-match at 1e-9.
+    Q("ex22_ntile_dist",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").asc, col("event_id").asc)
+        Tables.events(s, d).select(
+          col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          round(cume_dist().over(w), 9).as("cume"))
+      },
+      Some("""SELECT event_id, event_type,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(percent_rank() OVER w, 9) AS pct_rank,
+               round(cume_dist() OVER w, 9) AS cume
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""")),
   )
 }

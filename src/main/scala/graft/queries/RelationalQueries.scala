@@ -797,6 +797,186 @@ object RelationalQueries {
               GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
               ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC LIMIT 100""")),
 
+    // TPC-H Q7 (volume shipping between two nations): the fact joins
+    // TWO independently-dimensioned sides (supplier→nation n1,
+    // customer→nation n2) with a symmetric pair predicate. Both dim
+    // chains pre-filter to the two nations BEFORE joining, so the
+    // broadcast sides carry ~8% of suppliers/customers; the only
+    // shuffle is lineitem⋈orders. The date filter sits on the scan
+    // (PushedFilters) — at 100 TB this prunes the fact read first.
+    Q("tpch_q7",
+      (s, d) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("__cnk"), col("n_name").as("cust_nation"))
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(n1), col("s_nationkey") === col("__snk"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val cust = Tables.customer(s, d)
+          .join(broadcast(n2), col("c_nationkey") === col("__cnk"))
+          .select(col("c_custkey"), col("cust_nation"))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("double"), 2).as("revenue"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) AS revenue
+              FROM supplier, lineitem, orders, customer, nation n1, nation n2
+              WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                AND c_custkey = o_custkey
+                AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY 1, 2, 3""")),
+
+    // TPC-H Q10 (returned-item reporting): one quarter of orders ⋈ the
+    // returned lines, rolled up per customer with the nation name
+    // attached. Both selective filters live on the SCANS (quarter on
+    // orders, R-flag on lineitem); customer/nation broadcast AFTER the
+    // fact shrinks. Deterministic top-20 via the custkey tiebreak.
+    Q("tpch_q10",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-10-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+        val n = Tables.nation(s, d)
+        Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"), col("c_mktsegment"))
+          .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("double"), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) AS revenue
+              FROM customer, orders, lineitem, nation
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND o_orderdate >= TIMESTAMP '1999-10-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+                AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+              GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+              ORDER BY revenue DESC, c_custkey ASC LIMIT 20""")),
+
+    // TPC-H Q14 (promo revenue share): one shipdate month ⋈ broadcast
+    // part, a conditional sum over the SAME decimal-exact measure both
+    // branches — the division happens once, in double, after both sums
+    // are exact, so the single output row hash-matches bit-for-bit.
+    Q("tpch_q14",
+      (s, d) => {
+        val disc = col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-03-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .agg(
+            round(lit(100.0) *
+              sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(12,2)")))
+                .cast("double") /
+              sum(disc).cast("double"), 6).as("promo_revenue"))
+      },
+      Some("""SELECT round(100.0 *
+                 CAST(sum(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                   ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+                 6) AS promo_revenue
+              FROM lineitem, part
+              WHERE l_partkey = p_partkey
+                AND l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""")),
+
+    // TPC-H Q19 (disjunctive brand/size/quantity predicates): the
+    // classic OR-of-ANDs shape. The part join key stays a plain equi-
+    // join (the standard optimized Q19 form) so the disjunction is a
+    // post-join FILTER Catalyst keeps inside codegen — no nested-loop
+    // fallback; part broadcasts, lineitem never shuffles.
+    Q("tpch_q19",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 30) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#19" && col("p_size").between(1, 50) &&
+              col("l_quantity").between(20, 30)))
+          .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("double"), 2).as("revenue"))
+      },
+      Some("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) AS revenue
+              FROM lineitem, part
+              WHERE l_partkey = p_partkey
+                AND ((p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                      AND l_quantity BETWEEN 1 AND 11)
+                  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+                      AND l_quantity BETWEEN 10 AND 20)
+                  OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 50
+                      AND l_quantity BETWEEN 20 AND 30))""")),
+
+    // TPC-H Q22 (positive-balance customers with no orders): the
+    // global-scalar-threshold + anti-join shape. The threshold compare
+    // is EXACT — `bal > avg` rewritten as `bal·n > sum` so both sides
+    // stay in decimal (no engine-dependent FP summation order near the
+    // boundary). The one-row agg broadcasts; orders anti-joins the
+    // (already threshold-shrunk) customer side. Adapted: "no orders"
+    // becomes "no orders since 2000-01-01" — every fixture customer has
+    // SOME order, and the dormant-since-a-date form is the same anti-
+    // join shape with a pushed scan filter on the orders side.
+    Q("tpch_q22",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val stats = c.filter(col("c_acctbal") > 0.0)
+          .agg(sum(col("c_acctbal").cast("decimal(12,2)")).as("__sum"),
+            count(lit(1)).as("__n"))
+        val recent = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+        c.join(broadcast(stats))
+          .filter(col("c_acctbal").cast("decimal(12,2)") * col("__n") > col("__sum"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            round(sum(col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2).as("totacctbal"))
+      },
+      Some("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS totacctbal
+              FROM customer
+              WHERE CAST(c_acctbal AS DECIMAL(12,2))
+                    * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+                  > (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer WHERE c_acctbal > 0)
+                AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+              GROUP BY c_nationkey""")),
+
     // CDC apply (type-1 upsert/delete fold): a synthetic change batch —
     // two ops on the same key (update then delete, seq decides), plain
     // updates, deletes, and inserts — folded into the customer snapshot.

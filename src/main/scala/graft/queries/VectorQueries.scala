@@ -272,6 +272,48 @@ SELECT query_id, vec_id, pq_sim, rk FROM (
   JOIN cand c ON c.query_id = s.query_id AND c.vec_id = s.vec_id) t
 WHERE rk <= 10"""
 
+  /** ann11 oracle: the ann10 chain proposes the ADC top-40, then the
+    * exact cosine re-ranks ONLY those candidates (refine). */
+  private val ann11Oracle: String = s"""WITH ${flatCte()},
+${kmeansCtes(16, 2)},
+fl0 AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+${pqTrainedChain(4, 64, 2, 30)},
+qas AS (SELECT vec_id, centroid_id FROM (
+          SELECT d.vec_id, d.centroid_id,
+                 row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY round(dp / (n1.nrm * cn.nrm), 6) DESC, d.centroid_id ASC) AS rn
+          FROM cd2 d
+          JOIN norms n1 ON n1.vec_id = d.vec_id
+          JOIN cn2 cn ON cn.centroid_id = d.centroid_id) t
+        WHERE rn = 1),
+cand AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+         FROM qas q JOIN as2 c USING (centroid_id)
+         WHERE q.vec_id < 30),
+adc40 AS (SELECT query_id, vec_id FROM (
+            SELECT s.query_id, s.vec_id,
+                   row_number() OVER (PARTITION BY s.query_id
+                     ORDER BY s.pq_sim DESC, s.vec_id ASC) AS rk
+            FROM t_scored s
+            JOIN cand c ON c.query_id = s.query_id AND c.vec_id = s.vec_id) t
+          WHERE rk <= 40),
+r_dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+           FROM adc40 p
+           JOIN flat f1 ON f1.vec_id = p.query_id
+           JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+           GROUP BY 1, 2),
+r_scored AS (SELECT d.query_id, d.vec_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+             FROM r_dots d
+             JOIN norms n1 ON n1.vec_id = d.query_id
+             JOIN norms n2 ON n2.vec_id = d.vec_id)
+SELECT query_id, vec_id, cos_sim, rk FROM (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM r_scored) t
+WHERE rk <= 10"""
+
   /** mm03/mm04 shared oracle fragment: byte-histogram features of the
     * fake media payloads, as a `feat(vec_id, embedding)` CTE chain. */
   private val featCtes: String = {
@@ -483,6 +525,19 @@ WHERE rk <= 10""")),
         Similarity.ivfPqTopKStored(s, path, emb.filter(col("vec_id") < 30), 10)
       },
       Some(ann10Oracle)),
+
+    // IVF-PQ + exact refine (the FAISS IndexRefineFlat shape): the
+    // compressed index proposes the ADC top-40, the exact cosine
+    // re-ranks only those 40 per query — recall recovers most of the
+    // quantization loss at candidate-lookup cost (the exact leg is a
+    // 40·|queries|-row equi-join, never a corpus scan). The recall
+    // lift is measured in ann07's ladder (ivfpq_refine row).
+    Q("ann11_ivfpq_refine",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfPqRefineTopK(emb, emb.filter(col("vec_id") < 30), 10)
+      },
+      Some(ann11Oracle)),
 
 
 
@@ -732,6 +787,11 @@ WHERE cos_sim > 0.35""")),
           .unionAll(row("ivf_pq", 10,
             Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 10,
               centsOpt = Some(cents), cbOpt = Some(cbT))))
+          // IVF-PQ + exact refine: the ADC top-40 re-ranked exactly —
+          // recovers quantization loss at candidate-lookup cost
+          .unionAll(row("ivfpq_refine", 10,
+            Similarity.ivfPqRefineTopK(emb, emb.filter(col("vec_id") < 10), 10,
+              centsOpt = Some(cents), cbOpt = Some(cbT))))
       },
       Some(s"""WITH $planesSql,
 fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
@@ -907,7 +967,28 @@ ivfpq_top AS (SELECT query_id, vec_id FROM (
                 FROM t_scored s
                 JOIN qasgn q ON q.vec_id = s.query_id AND q.rn = 1
                 JOIN as2 c ON c.centroid_id = q.centroid_id AND c.vec_id = s.vec_id) t
-              WHERE rk <= 10)
+              WHERE rk <= 10),
+ivfpqr_cand AS (SELECT query_id, vec_id FROM (
+                  SELECT s.query_id, s.vec_id,
+                         row_number() OVER (PARTITION BY s.query_id
+                           ORDER BY s.pq_sim DESC, s.vec_id ASC) AS rk
+                  FROM t_scored s
+                  JOIN qasgn q ON q.vec_id = s.query_id AND q.rn = 1
+                  JOIN as2 c ON c.centroid_id = q.centroid_id AND c.vec_id = s.vec_id) t
+                WHERE rk <= 40),
+ivfpqr_dots AS (SELECT p.query_id, p.vec_id, sum(f1.v * f2.v) AS dp
+                FROM ivfpqr_cand p
+                JOIN flat f1 ON f1.vec_id = p.query_id
+                JOIN flat f2 ON f2.vec_id = p.vec_id AND f1.i = f2.i
+                GROUP BY 1, 2),
+ivfpqr_top AS (SELECT query_id, vec_id FROM (
+                 SELECT d.query_id, d.vec_id,
+                        row_number() OVER (PARTITION BY d.query_id
+                          ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.vec_id ASC) AS rk
+                 FROM ivfpqr_dots d
+                 JOIN norms n1 ON n1.vec_id = d.query_id
+                 JOIN norms n2 ON n2.vec_id = d.vec_id) t
+               WHERE rk <= 10)
 SELECT 'lsh_bucketed' AS method, 10 AS k,
        round(count(*) / 500.0, 6) AS recall
   FROM b_top JOIN ex_top USING (query_id, vec_id)
@@ -932,7 +1013,10 @@ SELECT 'jl_rerank', 10, round(count(*) / 500.0, 6)
   FROM jl_top JOIN ex_top USING (query_id, vec_id)
 UNION ALL
 SELECT 'ivf_pq', 10, round(count(*) / 100.0, 6)
-  FROM ivfpq_top JOIN ex_top USING (query_id, vec_id)""")),
+  FROM ivfpq_top JOIN ex_top USING (query_id, vec_id)
+UNION ALL
+SELECT 'ivfpq_refine', 10, round(count(*) / 100.0, 6)
+  FROM ivfpqr_top JOIN ex_top USING (query_id, vec_id)""")),
 
     // Embedding near-dup, corpus-scale form: LSH-bucket blocking over
     // the FULL table (no id block) — bucket equi-join, not an all-pairs
