@@ -69,6 +69,54 @@ object NearDup {
   def baseHash(shingle: Column): Column =
     conv(substring(md5(shingle), 1, 8), 16, 10).cast("long")
 
+  /** Cross-doc duplicated-span audit (the measurement half of exact
+    * substring dedup, Lee et al. 2022, arXiv:2107.06499): for every
+    * doc, how many of its tokens sit inside an `n`-gram that also
+    * appears in ANOTHER doc. Pipeline: [[shingleRows]] positions →
+    * md5 per gram → grams seen in >1 distinct doc (one hash agg) →
+    * hits back-join → per-doc interval merge of the [start, start+n-1]
+    * windows (island detection: running max of prior window ends, a
+    * window keyed by doc_id — per-doc history, parallel at any scale)
+    * → covered-token counts. Docs with no duplicated grams report 0.
+    *
+    * At 100 TB the gram table is the big intermediate (one row per
+    * token); the dup-gram filter is a map-side-combinable count
+    * distinct ≤ 2 (capped via the >1 test), and everything downstream
+    * is hit-sized, not corpus-sized. */
+  def duplicatedSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int): DataFrame = {
+    val base = docs.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
+    val grams = shingleRows(docs, idCol, textCol, n)
+      .select(col(idCol), col("pos"), md5(col("shingle")).as("gh"))
+    val dup = grams.groupBy(col("gh"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1).select(col("gh"))
+    val hits = grams.join(dup, Seq("gh"))
+      .select(col(idCol), col("pos").as("s"), (col("pos") + n - 1).as("e"))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val covered = hits
+      .withColumn("__pmax", max(col("e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("s") > col("__pmax"), 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(wOrd))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("s")).as("__s"), max(col("e")).as("__e"),
+        count(lit(1)).as("__ng"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__e") - col("__s") + 1).as("covered_tokens"),
+        sum(col("__ng")).as("n_dup_grams"))
+    base.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(when(col("n_tokens") > 0,
+            coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)), 6).as("dup_frac"))
+  }
+
   /** MinHash signature: columns mh0..mh{n-1} (BIGINT), min seeded hash
     * over the document's shingles. Docs with fewer tokens than
     * `shingleSize` are kept with null signatures (left join). */

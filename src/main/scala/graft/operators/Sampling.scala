@@ -90,4 +90,35 @@ object Sampling {
           .otherwise(typedLit(Seq.empty[Int]))))
       .drop("__copies", "__rate")
   }
+
+  /** Token-budget mixing — "give me ~B tokens at this mixture": the
+    * total token budget is `budgetFrac` of the corpus, allocated per
+    * source by the temperature rule (share_s ∝ tokens_s^α), and each
+    * source keeps the deterministic id-hash fraction of its docs that
+    * meets its allocation (rate_s = min(1, B·tokens_s^(α-1)/Σtokens^α)).
+    *
+    * No sort, no window: one token-sum agg, a broadcast stratum-sized
+    * rate table, and a codegen'd integer hash compare per row — the
+    * 100 TB shape (a cumulative-sum cutoff would need a per-source
+    * global sort for exact budgets; the hash threshold hits the budget
+    * in expectation, which is what a training mix needs). Rates are
+    * rounded to 6 decimals (data-derived, so the rounding pins
+    * cross-engine float agreement); keeps the `__rate` column for
+    * audit. `tokenCount` must be an integral-typed column expression. */
+  def tokenBudgetMix(df: DataFrame, idCol: String, strataCol: String,
+                     tokenCount: Column, budgetFrac: Double,
+                     alpha: Double): DataFrame = {
+    val perSrc = df.groupBy(col(strataCol))
+      .agg(sum(tokenCount).cast("double").as("__tok_s"))
+    val tot = perSrc.agg(sum(col("__tok_s")).as("__tok_tot"),
+      sum(pow(col("__tok_s"), lit(alpha))).as("__pw"))
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        round(least(lit(1.0),
+          lit(budgetFrac) * col("__tok_tot") *
+            pow(col("__tok_s"), lit(alpha - 1)) / col("__pw")), 6).as("__rate"))
+    val b = hashBucket(col(idCol), 10000)
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(b < round(col("__rate") * 10000))
+  }
 }

@@ -973,6 +973,74 @@ cp AS (SELECT b.doc_id, b.lang,
 SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INTEGER) AS epoch
 FROM cp WHERE copies > 0""")),
 
+    // Token-budget mixing — "~60% of the corpus tokens at temperature
+    // α=0.5": per-source budgets from the temperature rule over TOKEN
+    // counts (not doc counts — sources with long docs get fewer docs),
+    // selection by deterministic id-hash threshold. One agg + broadcast
+    // rate table + codegen hash compare; no sort, no window. The
+    // report shows each source's applied rate and realized tokens.
+    Q("tx31_token_budget_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(TextAnalysis.tokens(col("text"))).as("__tk"))
+        Sampling.tokenBudgetMix(docs, "doc_id", "source", col("__tk"), 0.6, 0.5)
+          .groupBy(col("source"))
+          .agg(max(col("__rate")).as("rate"),
+            count(lit(1)).as("n_docs"),
+            sum(col("__tk")).as("n_tokens"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, len($toksSql) AS tk FROM documents),
+per AS (SELECT source, CAST(sum(tk) AS DOUBLE) AS tok_s FROM toks GROUP BY 1),
+tot AS (SELECT sum(tok_s) AS tok_tot, sum(pow(tok_s, 0.5)) AS pw FROM per),
+r AS (SELECT source, round(least(1.0, 0.6 * tot.tok_tot * pow(per.tok_s, -0.5) / tot.pw), 6) AS rate
+      FROM per, tot),
+kept AS (SELECT t.doc_id, t.source, t.tk, r.rate
+         FROM toks t JOIN r USING (source)
+         WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+               < round(r.rate * 10000))
+SELECT source, rate, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tk) AS BIGINT) AS n_tokens
+FROM kept GROUP BY 1, 2""")),
+
+    // Cross-doc duplicated-span audit (Lee et al. 2022, the
+    // measurement half of exact substring dedup): per doc, the count
+    // of 5-grams shared with ANOTHER doc and the fraction of tokens
+    // covered by at least one such gram (overlapping windows interval-
+    // merged per doc before counting). The decision input for "strip
+    // duplicated spans vs drop whole near-dup docs".
+    Q("dd14_dup_span_coverage",
+      (s, d) => graft.operators.NearDup.duplicatedSpanCoverage(
+        Tables.documents(s, d), "doc_id", "text", 5),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS nt FROM t),
+grams AS (SELECT doc_id, i - 1 AS s,
+                 md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                     toks[i+3] || ' ' || toks[i+4]) AS gh
+          FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-4)) AS i
+                FROM t WHERE len(toks) >= 5) x),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+hits AS (SELECT g.doc_id, g.s, g.s + 4 AS e FROM grams g JOIN dup USING (gh)),
+isl AS (SELECT doc_id, s, e,
+               sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s) AS isl_id
+        FROM (SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+              FROM hits) x),
+cov AS (SELECT doc_id, isl_id, min(s) AS ms, max(e) AS me, count(*) AS ng
+        FROM isl GROUP BY 1, 2),
+per AS (SELECT doc_id, CAST(sum(me - ms + 1) AS BIGINT) AS covered,
+               CAST(sum(ng) AS BIGINT) AS ndg
+        FROM cov GROUP BY 1)
+SELECT b.doc_id, CAST(b.nt AS INTEGER) AS n_tokens,
+       CAST(coalesce(p.ndg, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(p.covered, 0) AS BIGINT) AS covered_tokens,
+       round(CASE WHEN b.nt > 0
+             THEN CAST(coalesce(p.covered, 0) AS DOUBLE) / b.nt
+             ELSE 0.0 END, 6) AS dup_frac
+FROM base b LEFT JOIN per p USING (doc_id)""")),
+
     // Contamination governance rollup — tx27's semantic flags folded
     // into a per-source report (the tx18 shape): how much of each
     // provenance is semantically contaminated against the eval set,
