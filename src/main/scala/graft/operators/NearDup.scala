@@ -117,6 +117,47 @@ object NearDup {
           .otherwise(lit(0.0)), 6).as("dup_frac"))
   }
 
+  /** Exact substring-strip dedup (the rewrite half of Lee et al. 2022,
+    * arXiv:2107.06499, adapted to a deterministic keep rule): every
+    * `n`-gram shared across docs keeps its occurrences ONLY in the
+    * minimum-doc_id holder; in every other doc the tokens covered by a
+    * shared gram are removed and the survivors reassembled in order.
+    * Compared to whole-doc dedup this preserves the unique remainder
+    * of partially-duplicated docs — the boilerplate/quote case.
+    *
+    * Shape: gram table (one row per token) → winner-per-gram hash agg
+    * → foreign-hit spans (hit-sized) exploded to cut positions →
+    * anti-join against the token stream → ordered reassembly per doc.
+    * The anti-join is on (doc, pos) equality — never a range join —
+    * and reassembly groups by doc_id, so every shuffle is keyed by the
+    * same high-cardinality id. */
+  def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    val base = docs.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).as("__nt"))
+    val toks = docs.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val grams = shingleRows(docs, idCol, textCol, n)
+      .select(col(idCol), col("pos"), md5(col("shingle")).as("gh"))
+    val winners = grams.groupBy(col("gh"))
+      .agg(count_distinct(col(idCol)).as("__nd"), min(col(idCol)).as("__win"))
+      .filter(col("__nd") > 1).select(col("gh"), col("__win"))
+    val cut = grams.join(winners, Seq("gh"))
+      .filter(col(idCol) > col("__win"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + n - 1)).as("pos"))
+      .distinct()
+    val kept = toks.join(cut, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("text_dedup"),
+      count(lit(1)).as("n_kept"))
+    base.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__nt") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** MinHash signature: columns mh0..mh{n-1} (BIGINT), min seeded hash
     * over the document's shingles. Docs with fewer tokens than
     * `shingleSize` are kept with null signatures (left join). */

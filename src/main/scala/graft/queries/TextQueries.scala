@@ -1041,6 +1041,40 @@ SELECT b.doc_id, CAST(b.nt AS INTEGER) AS n_tokens,
              ELSE 0.0 END, 6) AS dup_frac
 FROM base b LEFT JOIN per p USING (doc_id)""")),
 
+    // Exact substring-STRIP dedup — dd14's rewrite half: shared
+    // 5-grams keep their occurrence only in the min-doc_id holder;
+    // every other doc loses the covered tokens and is reassembled in
+    // order. Preserves the unique remainder of partially-duplicated
+    // docs (boilerplate/quotes) instead of dropping whole docs.
+    Q("dd15_strip_dup_spans",
+      (s, d) => graft.operators.NearDup.stripDuplicatedSpans(
+        Tables.documents(s, d), "doc_id", "text", 5),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS nt FROM t),
+tk AS (SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos,
+              unnest(toks) AS tok
+       FROM t),
+grams AS (SELECT doc_id, i - 1 AS s,
+                 md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                     toks[i+3] || ' ' || toks[i+4]) AS gh
+          FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-4)) AS i
+                FROM t WHERE len(toks) >= 5) x),
+win AS (SELECT gh, min(doc_id) AS w FROM grams
+        GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+cut AS (SELECT DISTINCT g.doc_id, g.s + oo.o AS pos
+        FROM grams g JOIN win ON win.gh = g.gh AND g.doc_id > win.w,
+             (SELECT unnest(generate_series(0, 4)) AS o) oo),
+kept AS (SELECT tk.doc_id, tk.pos, tk.tok
+         FROM tk LEFT JOIN cut ON cut.doc_id = tk.doc_id AND cut.pos = tk.pos
+         WHERE cut.pos IS NULL),
+rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id)
+SELECT b.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(b.nt - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN rebuilt r USING (doc_id)""")),
+
     // Contamination governance rollup — tx27's semantic flags folded
     // into a per-source report (the tx18 shape): how much of each
     // provenance is semantically contaminated against the eval set,

@@ -270,4 +270,35 @@ class NearDupSpec extends SparkSpec {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
   }
+
+  private val spanDocs = Seq(
+    (1L, "a b c d e f"),   // shares "a b c" with doc 2
+    (2L, "x y a b c z"),
+    (3L, "p q r s t"),     // unique
+    (4L, "m n o p1 q1"),   // shares overlapping grams "m n o" + "n o p1" with 5
+    (5L, "m n o p1 r1"),
+  ).toDF("doc_id", "text")
+
+  test("duplicatedSpanCoverage: hand-computed coverage incl. overlapping-window merge") {
+    val out = NearDup.duplicatedSpanCoverage(spanDocs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((6, 1, 3, 0.5)))       // "a b c" covers 3 of 6
+    assert(out(2L) == ((6, 1, 3, 0.5)))       // pos 2-4
+    assert(out(3L) == ((5, 0, 0, 0.0)))       // untouched
+    // docs 4/5: spans [0,2] and [1,3] MERGE to 4 covered tokens, 2 grams
+    assert(out(4L) == ((5, 2, 4, 0.8)))
+    assert(out(5L) == ((5, 2, 4, 0.8)))
+  }
+
+  test("stripDuplicatedSpans: min-id holder keeps its text, others lose covered tokens only") {
+    val out = NearDup.stripDuplicatedSpans(spanDocs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c d e f", 6, 0)))  // winner: untouched
+    assert(out(2L) == (("x y z", 3, 3)))        // "a b c" stripped
+    assert(out(3L) == (("p q r s t", 5, 0)))
+    assert(out(4L) == (("m n o p1 q1", 5, 0)))  // winner of the 4/5 pair
+    assert(out(5L) == (("r1", 1, 4)))           // merged span 0-3 stripped
+  }
 }

@@ -80,4 +80,28 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMix(skewed, "id", "lang", 0.5)
         .select($"id", $"epoch").as[(Long, Int)].collect().sorted.toSeq)
   }
+
+  test("tokenBudgetMix: full budget keeps everything; smaller budgets select deterministic subsets") {
+    val docs = (1 to 1200).map { i =>
+      (i.toLong, if (i % 3 == 0) "big" else "small", 10L + (i % 7))
+    }.toDF("id", "src", "tk")
+    // budgetFrac=1, α=1 ⇒ every source's rate is exactly 1 ⇒ identity
+    val all = Sampling.tokenBudgetMix(docs, "id", "src", $"tk", 1.0, 1.0)
+    assert(all.count() == 1200)
+    assert(all.agg(min($"__rate")).as[Double].head() == 1.0)
+
+    val half = Sampling.tokenBudgetMix(docs, "id", "src", $"tk", 0.5, 0.5)
+    val n = half.count()
+    assert(n > 0 && n < 1200, s"half budget must select a strict subset, got $n")
+    // realized tokens land near the budget (hash threshold is exact in
+    // expectation; fixture rates are far from 0/1 so ±15% is generous)
+    val totTk = docs.agg(sum($"tk")).as[Long].head().toDouble
+    val gotTk = half.agg(sum($"tk")).as[Long].head().toDouble
+    assert(math.abs(gotTk / totTk - 0.5) < 0.15,
+      s"realized token share ${gotTk / totTk} should be ≈ 0.5")
+    // pure function of the id — rerun equality
+    assert(half.select($"id").as[Long].collect().sorted.toSeq ==
+      Sampling.tokenBudgetMix(docs, "id", "src", $"tk", 0.5, 0.5)
+        .select($"id").as[Long].collect().sorted.toSeq)
+  }
 }

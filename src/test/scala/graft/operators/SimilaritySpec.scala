@@ -499,6 +499,24 @@ class SimilaritySpec extends SparkSpec {
     } finally graft.Scratch.delete(path)
   }
 
+  test("IVF-PQ refine: full candidate coverage recovers exact brute force; default is a subset re-rank") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 5)
+    val n = emb.count().toInt
+    // nprobe = all 16 lists and refineFactor·k ≥ corpus ⇒ the exact
+    // re-rank sees every vector ⇒ must equal brute force bit-for-bit
+    val full = Similarity.ivfPqRefineTopK(emb, q, 10, refineFactor = n,
+      nprobe = 16).collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, q, 10).collect().toSet
+    assert(full == exact, "full-coverage refine must equal brute force")
+    // default refine: every returned pair must come from the ADC top-40
+    val adc40 = Similarity.ivfPqTopK(emb, q, 40)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ref = Similarity.ivfPqRefineTopK(emb, q, 10)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(ref.subsetOf(adc40), "refine may only re-rank ADC candidates")
+  }
+
   test("appendToIvfPqCorpus: O(batch) maintenance with frozen models; parity with full build") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val q = emb.filter($"vec_id" < 10)
