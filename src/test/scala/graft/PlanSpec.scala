@@ -325,7 +325,19 @@ class PlanSpec extends SparkSpec {
       // stored IVF-PQ: only the QUERY side's probe assignment crosses
       // broadcast centroids; the code scan itself is the DPP-pruned
       // equi-join (gated by its own PlanSpec test)
-      "ann10b_ivf_pq_stored")
+      "ann10b_ivf_pq_stored",
+      // TPC-H Q22: the global (sum, count) threshold is ONE broadcast
+      // row crossed into customer — scalar fan-out; the orders
+      // anti-join is equi
+      "tpch_q22",
+      // token-budget mix: same shape as tx28 — the (Σtok, Σtok^α)
+      // corpus-stats row crossed into the stratum-sized rate table,
+      // then an equi-join back to the docs
+      "tx31_token_budget_mix",
+      // IVF-PQ refine rides ann10's k-means assignment (corpus ×
+      // broadcast(16 centroids)); the exact re-rank leg is an
+      // equi-join on (vec_id) × broadcast queries
+      "ann11_ivfpq_refine")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val nonEqui = df.queryExecution.optimizedPlan.collect {
