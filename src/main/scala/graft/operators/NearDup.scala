@@ -358,6 +358,22 @@ object NearDup {
         least(col(idCol), coalesce(col("__mn"), col(idCol))).as("canonical_id"))
   }
 
+  /** Quality-aware representative selection over near-dup groups: the
+    * production keep rule — each group keeps its HIGHEST-scoring member
+    * (length, quality gate score, freshness…), not the arbitrary
+    * min-id. `labels` is (idCol, canonical_id) from [[neardupGroups]] /
+    * [[neardupComponents]]; `scored` is (idCol, scoreCol). One equi-
+    * join + one max_by hash agg (map-side combinable — no per-group
+    * sort, no window); ties break to the smaller id deterministically. */
+  def qualityRepresentatives(labels: DataFrame, scored: DataFrame,
+                             idCol: String, scoreCol: String): DataFrame =
+    labels.join(scored, Seq(idCol))
+      .groupBy(col("canonical_id"))
+      .agg(
+        max_by(col(idCol), struct(col(scoreCol), (-col(idCol)).as("__t"))).as("rep_id"),
+        max(col(scoreCol)).as("rep_score"),
+        count(lit(1)).as("n_members"))
+
   /** Connected-components canonical assignment: every member of a
     * transitive near-dup chain (A~B~C with A≁C) gets the one
     * component-minimum id — [[neardupGroups]]' single step mislabels any

@@ -758,6 +758,34 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("pq_sim"), col("rk").cast("long").as("rk"))
   }
 
+  /** Batch kNN-graph: every corpus vector's top-k neighbors, LSH-
+    * bucket-blocked (the input to graph-based dedup, kNN-LM data
+    * curation, and cluster seeding). A within-bucket self-join — the
+    * dd06b cost profile, Σ bucket² pairs with the plane count as the
+    * lever, never corpus² — then one per-vector rank (WindowGroupLimit
+    * pushes the k-filter below the sort; the key is the
+    * high-cardinality vec_id, parallel at any scale). Vectors alone in
+    * their bucket have no in-bucket neighbors and are absent from the
+    * output, exactly like dd06b's pair semantics — probe more planes
+    * down or multi-probe for coverage. */
+  def knnGraph(corpus: DataFrame, k: Int,
+               numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), numPlanes, dim).as("__bk"))
+    val a = b.select(col("__bk"), col("vec_id"), col("embedding"))
+    val bb = b.select(col("__bk"), col("vec_id").as("nbr_id"),
+      col("embedding").as("__nemb"))
+    val scored = a.join(bb, Seq("__bk"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(cosine(col("embedding"), col("__nemb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("cos_sim"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with k-means, then WITHIN
     * each cluster drop every vector that has a lower-id neighbor above

@@ -275,6 +275,46 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN nbr n ON d.doc_id = n.doc_id
 GROUP BY d.doc_id""")),
 
+    // Quality-aware representative selection — the production keep
+    // rule: each near-dup group keeps its LONGEST member (token count
+    // as the quality score; ties to the smaller id), not the arbitrary
+    // min-id. One max_by hash agg over dd07's group labels.
+    Q("dd16_quality_representative",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = NearDup.minhashCandidates(docs, "doc_id", "text",
+          NumHashes, 3, RowsPerBand)
+        val jac = NearDup.stage(
+          NearDup.jaccardOnPairs(docs, pairs, "doc_id", "text", 3))
+        val labels = NearDup.neardupGroups(docs, jac, "doc_id", 0.5)
+        val scored = docs.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).as("q"))
+        NearDup.qualityRepresentatives(labels, scored, "doc_id", "q")
+      },
+      Some(s"""WITH $minhashCtes,
+$bandsCte,
+$jaccardCtes,
+nbr AS (
+  SELECT id_a AS doc_id, id_b AS nbr FROM jac WHERE jaccard >= 0.5
+  UNION ALL
+  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5
+),
+lab AS (SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(n.nbr), d.doc_id)) AS canonical_id
+        FROM documents d LEFT JOIN nbr n ON d.doc_id = n.doc_id
+        GROUP BY d.doc_id),
+qs AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS q FROM t),
+j AS (SELECT l.canonical_id, l.doc_id, qs.q
+      FROM lab l JOIN qs USING (doc_id)),
+r AS (SELECT canonical_id, doc_id, q,
+             row_number() OVER (PARTITION BY canonical_id
+               ORDER BY q DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY canonical_id) AS nm
+      FROM j)
+SELECT canonical_id, doc_id AS rep_id, q AS rep_score,
+       CAST(nm AS BIGINT) AS n_members
+FROM r WHERE rn = 1""")),
+
     // Full connected components over the verified near-dup graph:
     // min-label propagation to a FIXPOINT, so transitive chains
     // (A~B~C, A≁C) share one canonical id — the policy dd07's single

@@ -1018,6 +1018,39 @@ UNION ALL
 SELECT 'ivfpq_refine', 10, round(count(*) / 100.0, 6)
   FROM ivfpqr_top JOIN ex_top USING (query_id, vec_id)""")),
 
+    // Batch kNN-graph: every vector's top-5 in-bucket neighbors — the
+    // input to graph-based dedup / kNN-LM curation. dd06b's blocked
+    // self-join cost profile plus one per-vector rank (vec_id-keyed
+    // window, WindowGroupLimit-pushed).
+    Q("ann12_knn_graph",
+      (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), 5),
+      Some(s"""WITH $planesSql,
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
+bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+${flatCte()},
+prs AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+dots AS (SELECT p.vec_id, p.nbr_id, sum(f1.v * f2.v) AS dp
+         FROM prs p
+         JOIN flat f1 ON f1.vec_id = p.vec_id
+         JOIN flat f2 ON f2.vec_id = p.nbr_id AND f1.i = f2.i
+         GROUP BY 1, 2),
+scored AS (SELECT d.vec_id, d.nbr_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+           FROM dots d
+           JOIN norms n1 ON n1.vec_id = d.vec_id
+           JOIN norms n2 ON n2.vec_id = d.nbr_id)
+SELECT vec_id, nbr_id, cos_sim, rk FROM (
+  SELECT vec_id, nbr_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY vec_id
+           ORDER BY cos_sim DESC, nbr_id ASC) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 5""")),
+
     // Embedding near-dup, corpus-scale form: LSH-bucket blocking over
     // the FULL table (no id block) — bucket equi-join, not an all-pairs
     // theta-join. Threshold is low (0.1) because the fixture vectors
