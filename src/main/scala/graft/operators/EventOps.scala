@@ -247,6 +247,37 @@ object EventOps {
     }.drop("__r", "__payload", "__asof")
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * right.ts >= left.ts for the same key (null when none) — the
+    * "next event after" lookup (next maintenance slot, next price
+    * tick). Same union + carry window shape as [[asofJoin]] (ONE key
+    * shuffle, no range-join explosion), with the scan direction
+    * reversed: the order is ts DESC so the carried value is the
+    * nearest FOLLOWING right row; right still sorts before left at
+    * equal ts, so an exactly-simultaneous right row matches (>=). */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      tsCol: String, payloadCols: Seq[String],
+                      prefix: String = "r_"): DataFrame = {
+    val rPrep = right.select(
+      col(key), col(tsCol), lit(1).as("__r"),
+      struct(col(tsCol).as("__pts") +: payloadCols.map(col): _*).as("__payload"))
+    val pType = rPrep.schema("__payload").dataType
+    val lPrep = left
+      .withColumn("__r", lit(0))
+      .withColumn("__payload", lit(null).cast(pType))
+    val unioned = lPrep.unionByName(rPrep, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).desc, col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__asof",
+      last(col("__payload"), ignoreNulls = true).over(w))
+    val expanded = carried.filter(col("__r") === 0)
+      .withColumn(s"$prefix$tsCol", col("__asof.__pts"))
+    payloadCols.foldLeft(expanded) { (df, c) =>
+      df.withColumn(s"$prefix$c", col(s"__asof.$c"))
+    }.drop("__r", "__payload", "__asof")
+  }
+
   /** Interval (point-in-range) join without the nested-loop trap: a
     * plain `l.ts BETWEEN r.start AND r.end` predicate gives Spark a
     * BroadcastNestedLoopJoin (O(|L|·|R|) per key). Instead each interval

@@ -108,6 +108,24 @@ FROM agg""")),
               FROM views v ASOF LEFT JOIN clicks c
                 ON v.user_id = c.user_id AND v.ts >= c.ts""")),
 
+    // Forward as-of join: each view matched to the NEXT click at or
+    // after it — the "next event after" lookup; same one-shuffle
+    // union+carry shape as ex05, scan direction reversed.
+    Q("ex23_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "value")
+        EventOps.asofJoinForward(views, clicks, "user_id", "ts", Seq("value"), "click_")
+      },
+      Some("""WITH clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+                   views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+              SELECT v.event_id, v.user_id, v.ts, c.ts AS click_ts, c.value AS click_value
+              FROM views v ASOF LEFT JOIN clicks c
+                ON v.user_id = c.user_id AND v.ts <= c.ts""")),
+
     // Interval join: each event matched to its containing session
     // (binned equi-join vs the oracle's plain non-equi BETWEEN join).
     Q("ex10_interval_join",
