@@ -275,6 +275,64 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN nbr n ON d.doc_id = n.doc_id
 GROUP BY d.doc_id""")),
 
+    // End-to-end curation accounting: quality gate (dd10's thresholds)
+    // → exact substring-strip dedup (dd15) → per-source token ledger —
+    // the "what did curation cost each provenance" report a training-
+    // data pipeline publishes alongside the cleaned corpus.
+    Q("tx32_curation_e2e",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = docs.select(
+          (Seq(col("doc_id"), col("text")) ++ TextAnalysis.qualityMetrics(col("text"))): _*)
+        val kept = m.filter(
+          col("n_tokens").between(20, 2000) &&
+          col("ttr") >= 0.3 &&
+          col("mean_token_len").between(2.0, 12.0)).select("doc_id", "text")
+        val stripped = NearDup.stripDuplicatedSpans(kept, "doc_id", "text", 5)
+        stripped.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_kept")).as("tokens_kept"),
+            sum(col("n_removed")).as("tokens_removed"),
+            round(sum(col("n_removed")).cast("double") /
+              greatest(sum(col("n_kept") + col("n_removed")), lit(1L)), 6)
+              .as("removed_share"))
+      },
+      Some(s"""WITH gate AS (SELECT doc_id, text
+             FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) kq
+             WHERE len(toks) BETWEEN 20 AND 2000
+               AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.3
+               AND round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) BETWEEN 2.0 AND 12.0),
+t AS (SELECT doc_id, $toksSql AS toks FROM gate),
+base AS (SELECT doc_id, len(toks) AS nt FROM t),
+tk AS (SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos,
+              unnest(toks) AS tok
+       FROM t),
+grams AS (SELECT doc_id, i - 1 AS s,
+                 md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                     toks[i+3] || ' ' || toks[i+4]) AS gh
+          FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-4)) AS i
+                FROM t WHERE len(toks) >= 5) x),
+win AS (SELECT gh, min(doc_id) AS w FROM grams
+        GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+cut AS (SELECT DISTINCT g.doc_id, g.s + oo.o AS pos
+        FROM grams g JOIN win ON win.gh = g.gh AND g.doc_id > win.w,
+             (SELECT unnest(generate_series(0, 4)) AS o) oo),
+surv AS (SELECT tk.doc_id, tk.pos
+         FROM tk LEFT JOIN cut ON cut.doc_id = tk.doc_id AND cut.pos = tk.pos
+         WHERE cut.pos IS NULL),
+nk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept FROM surv GROUP BY doc_id),
+per AS (SELECT b.doc_id, coalesce(k.n_kept, 0) AS nkept,
+               b.nt - coalesce(k.n_kept, 0) AS nrem
+        FROM base b LEFT JOIN nk k USING (doc_id))
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.nkept) AS BIGINT) AS tokens_kept,
+       CAST(sum(p.nrem) AS BIGINT) AS tokens_removed,
+       round(CAST(sum(p.nrem) AS DOUBLE) / greatest(sum(p.nkept + p.nrem), 1), 6)
+         AS removed_share
+FROM per p JOIN documents d USING (doc_id)
+GROUP BY d.source""")),
+
     // Quality-aware representative selection — the production keep
     // rule: each near-dup group keeps its LONGEST member (token count
     // as the quality score; ties to the smaller id), not the arbitrary
