@@ -977,6 +977,194 @@ object RelationalQueries {
                                   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
               GROUP BY c_nationkey""")),
 
+    // TPC-H Q4 (order-priority checking, adapted: "late" = a line
+    // shipped >60 days after the order date — the fixture has no
+    // commit/receipt dates): EXISTS → left-semi HASH join on orderkey
+    // with the date inequality riding as the join filter (never a
+    // nested loop), then a priority rollup.
+    Q("tpch_q4",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        o.join(l, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+              FROM orders
+              WHERE EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+              GROUP BY o_orderpriority""")),
+
+    // TPC-H Q6 (forecast revenue change): the pure scan-and-aggregate —
+    // every predicate on the scan (PushedFilters), decimal-exact
+    // price×discount products, ONE partial-aggregated row out.
+    Q("tpch_q6",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
+          * col("l_discount").cast("decimal(12,2)")).cast("double"), 2).as("revenue")),
+      Some("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE), 2) AS revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // TPC-H Q8 (national market share): NATION_3's share of ASIA's
+    // PROMO-part revenue per order year. The share is a conditional/
+    // total ratio of decimal-exact sums (one double division, rounded);
+    // all five dims broadcast, the fact shuffles once for l⋈o.
+    Q("tpch_q8",
+      (s, d) => {
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val n1 = Tables.nation(s, d)
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("__cnk"))
+        val cust = Tables.customer(s, d)
+          .join(broadcast(n1), col("c_nationkey") === col("__cnk"))
+          .select(col("c_custkey"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation"))
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(n2), col("s_nationkey") === col("__snk"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))
+        val disc = col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(round(
+            sum(when(col("supp_nation") === "NATION_3", disc)
+              .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+            sum(disc).cast("double"), 6).as("mkt_share"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+                 6) AS mkt_share
+              FROM lineitem, orders, customer, supplier, nation n1, nation n2, region, part
+              WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+                AND r_name = 'ASIA' AND l_suppkey = s_suppkey
+                AND s_nationkey = n2.n_nationkey
+                AND l_partkey = p_partkey AND p_type = 'PROMO'
+              GROUP BY 1""")),
+
+    // TPC-H Q13 (customer order-count distribution): left join with a
+    // filter ON THE JOIN (not the where — customers with zero
+    // qualifying orders must survive with count 0), then a two-level
+    // rollup: per-customer counts → histogram of counts.
+    Q("tpch_q13",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_custkey"))
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+              FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+                    FROM customer LEFT JOIN orders
+                      ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+                    GROUP BY c_custkey) t
+              GROUP BY c_count""")),
+
+    // TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    // the max. The max is ONE aggregated row and the "rev = max" test
+    // is an EQUI-join on the exact decimal revenue (rounded the same
+    // on both sides) — no scalar-subquery nested loop.
+    Q("tpch_q15",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .as("__rev"))
+        val top = rev.agg(max(col("__rev")).as("__mx"))
+        rev.join(broadcast(top), col("__rev") === col("__mx"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("__rev").cast("double"), 2).as("total_revenue"))
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS r
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+              GROUP BY l_suppkey)
+              SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 2) AS total_revenue
+              FROM rev JOIN supplier ON s_suppkey = l_suppkey
+              WHERE r = (SELECT max(r) FROM rev)""")),
+
+    // TPC-H Q16 (supplier diversity per part class): distinct
+    // suppliers actually shipping each (brand, type, size) — the
+    // reference's partsupp is approximated by the lineitem edge; the
+    // distinct-count is the one shuffle.
+    Q("tpch_q16",
+      (s, d) => {
+        val p = Tables.part(s, d).filter(col("p_size").isin(1, 14, 23, 45))
+        Tables.lineitem(s, d)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_size IN (1, 14, 23, 45)
+              GROUP BY p_brand, p_type, p_size""")),
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated
+    // "quantity < 50% of this part's average" subquery DECORRELATED
+    // into one per-part aggregate joined back to the fact — and the
+    // threshold compare made EXACT: qty < 0.5·(sum/cnt) ⟺
+    // 2·qty·cnt < sum in decimal (no FP division at the boundary).
+    Q("tpch_q17",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val p = Tables.part(s, d).filter(col("p_brand") === "Brand#4")
+          .select(col("p_partkey"))
+        val avgq = l.groupBy(col("l_partkey").as("__pk"))
+          .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("__qs"),
+            count(lit(1)).as("__qn"))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(avgq, col("l_partkey") === col("__pk"))
+          .filter(col("l_quantity").cast("decimal(12,2)") * 2 * col("__qn") < col("__qs"))
+          .agg(round((sum(col("l_extendedprice").cast("decimal(12,2)")) /
+            lit(7.0)).cast("double"), 2).as("avg_yearly"))
+      },
+      Some("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0 AS DOUBLE), 2)
+                AS avg_yearly
+              FROM lineitem l JOIN part ON p_partkey = l_partkey
+              JOIN (SELECT l_partkey AS pk,
+                           sum(CAST(l_quantity AS DECIMAL(12,2))) AS qs,
+                           count(*) AS qn
+                    FROM lineitem GROUP BY 1) a ON a.pk = l.l_partkey
+              WHERE p_brand = 'Brand#4'
+                AND CAST(l_quantity AS DECIMAL(12,2)) * 2 * qn < qs""")),
+
     // CDC apply (type-1 upsert/delete fold): a synthetic change batch —
     // two ops on the same key (update then delete, seq decides), plain
     // updates, deletes, and inserts — folded into the customer snapshot.
