@@ -110,6 +110,31 @@ object TextAnalysis {
     )
   }
 
+  /** Feature-hashed (hashing-trick) term-frequency vectors in LONG form
+    * (doc, dim_idx, tf): each token lands in md5(token) mod `dim` with
+    * a ±1 sign from an independent md5 nibble (the signed hashing
+    * trick — collisions cancel in expectation instead of biasing up).
+    * Model-free document vectors that feed the ANN/cosine family
+    * without an embedding service, and INTEGER-exact end to end: no
+    * normalization, no floats, so the output hash-checks bit-for-bit.
+    * One explode + one (doc, dim) hash agg + a per-doc dim fan-out for
+    * dense long-form output; every shuffle keyed by the doc id. */
+  def hashedTf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val hashed = toks.select(col(idCol),
+      (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % dim).as("dim_idx"),
+      when(conv(substring(md5(col("tok")), 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+        .otherwise(-1L).as("__sign"))
+    val sums = hashed.groupBy(col(idCol), col("dim_idx"))
+      .agg(sum(col("__sign")).as("tf"))
+    val dims = docs
+      .select(col(idCol), explode(sequence(lit(0), lit(dim - 1))).as("__d"))
+      .select(col(idCol), col("__d").cast("long").as("dim_idx"))
+    dims.join(sums, Seq(idCol, "dim_idx"), "left")
+      .select(col(idCol), col("dim_idx"), coalesce(col("tf"), lit(0L)).as("tf"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * truncated to 16 hex chars — the exact-dedup key. Collapse-then-trim
     * so edge tabs/newlines normalize away (SQL trim strips spaces only). */

@@ -155,4 +155,30 @@ object Quality {
       .groupBy(col(groupCol))
       .agg(round(sum((col("__p") - col("__q")) * log(col("__p") / col("__q"))), 6).as("psi"))
   }
+
+  /** One-pass column profile — the data-governance "describe" table:
+    * per column, presence/null counts, distinct count, and min/max
+    * (stringified for a uniform long-form schema — profile integer/
+    * string columns; float min/max stringification is engine-dependent,
+    * round or cast those upstream). ALL columns profile in ONE hash
+    * aggregation over a single scan (the stack unpivot is projection),
+    * so profiling cost does not grow with the column count beyond the
+    * agg-buffer width. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      count_distinct(col(c)).as(s"__dst_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', __cnt_$c, __dst_$c, __min_$c, __max_$c")
+      .mkString(", ")
+    one.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, __present, n_distinct, min_val, max_val)")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("__present")).as("n_null"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
 }

@@ -664,6 +664,28 @@ object RelationalQueries {
                   FROM lineitem) GROUP BY l_returnflag"""
       }),
 
+    // One-pass column profile (the governance "describe" table):
+    // presence/null/distinct/min/max for four customer columns in ONE
+    // hash agg over one scan; stack unpivots to long form. String
+    // min/max keeps the schema uniform (int/string columns profiled;
+    // float columns need upstream rounding — stringification differs
+    // across engines).
+    Q("dq06_column_profile",
+      (s, d) => graft.operators.Quality.columnProfile(
+        Tables.customer(s, d),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(*) - count($c) AS BIGINT) AS n_null,
+                CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                CAST(min($c) AS VARCHAR) AS min_val,
+                CAST(max($c) AS VARCHAR) AS max_val
+              FROM customer"""
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+          .map(one).mkString("\nUNION ALL\n")
+      }),
+
     // TPC-H Q1 (pricing summary): decimal-exact sums of the classic
     // derived measures — (12,2)³ products stay inside DECIMAL(38,6), so
     // both engines sum exactly and the rounded doubles hash-match.

@@ -275,6 +275,23 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN nbr n ON d.doc_id = n.doc_id
 GROUP BY d.doc_id""")),
 
+    // Feature-hashed TF vectors (hashing trick, signed): model-free
+    // 16-dim document vectors in long form — integer-exact end to end
+    // (no floats), ready for the cosine/ANN family without an
+    // embedding service.
+    Q("tx33_feature_hashing",
+      (s, d) => TextAnalysis.hashedTf(Tables.documents(s, d), "doc_id", "text", 16),
+      Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+h AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS dim_idx,
+             CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tk),
+sm AS (SELECT doc_id, dim_idx, CAST(sum(sgn) AS BIGINT) AS tf FROM h GROUP BY 1, 2),
+dims AS (SELECT doc_id, unnest(generate_series(0, 15)) AS dim_idx FROM documents)
+SELECT d.doc_id, CAST(d.dim_idx AS BIGINT) AS dim_idx, coalesce(sm.tf, 0) AS tf
+FROM dims d LEFT JOIN sm USING (doc_id, dim_idx)""")),
+
     // End-to-end curation accounting: quality gate (dd10's thresholds)
     // → exact substring-strip dedup (dd15) → per-source token ledger —
     // the "what did curation cost each provenance" report a training-
