@@ -549,5 +549,33 @@ FROM agg""")),
                round(cume_dist() OVER w, 9) AS cume
               FROM events
               WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""")),
+
+    // ANSI rank vs dense_rank vs row_number on a TIED order (value
+    // rounded to integers so ties are guaranteed): the three tie
+    // semantics side by side — gaps after ties (rank), no gaps
+    // (dense_rank), arbitrary-but-pinned total order (row_number with
+    // the event_id tiebreak). One user-keyed window shuffle.
+    Q("ex24_rank_ties",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tied = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            floor(col("value")).cast("long").as("v"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("v").asc)
+        val wTotal = Window.partitionBy(col("user_id"))
+          .orderBy(col("v").asc, col("event_id").asc)
+        tied.select(col("event_id"), col("user_id"), col("v"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          row_number().over(wTotal).as("rn"))
+      },
+      Some("""SELECT event_id, user_id, v,
+               CAST(rank() OVER w AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+               CAST(row_number() OVER wt AS INTEGER) AS rn
+              FROM (SELECT event_id, user_id,
+                           CAST(floor(value) AS BIGINT) AS v FROM events) t
+              WINDOW w AS (PARTITION BY user_id ORDER BY v ASC),
+                     wt AS (PARTITION BY user_id ORDER BY v ASC, event_id ASC)""")),
   )
 }
