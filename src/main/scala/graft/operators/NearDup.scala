@@ -358,6 +358,52 @@ object NearDup {
         least(col(idCol), coalesce(col("__mn"), col(idCol))).as("canonical_id"))
   }
 
+  /** Embedding-free near-dup over signed hashed-TF vectors
+    * ([[TextAnalysis.hashedTf]]): LSH-bucket blocking + cosine, with
+    * EVERY sign test and dot product in exact integer arithmetic —
+    * md5-derived rational hyperplanes land exactly on zero against
+    * integer tf values, where a float Σv·w's summation order flips the
+    * bucket bit between engines (caught at sf0.1). The only floats are
+    * the final sqrt/division on exact integer inputs (correctly
+    * rounded, hence engine-identical). Same blocked-self-join cost
+    * profile as the embedding near-dup; all-zero docs drop out with
+    * the sparse tf filter. */
+  def hashedTfNearDup(docs: DataFrame, idCol: String, textCol: String,
+                      dim: Int = 16, numPlanes: Int = 8,
+                      threshold: Double = 0.9): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = TextAnalysis.hashedTf(docs, idCol, textCol, dim)
+      .filter(col("tf") =!= 0)
+    val planes = (0 until numPlanes).flatMap(p => (0 until dim).map(dI =>
+        (p, dI.toLong, Similarity.planeWeightInt(p, dI))))
+      .toDF("p", "dim_idx", "w")
+    val bk = tf.join(broadcast(planes), Seq("dim_idx"))
+      .groupBy(col(idCol), col("p"))
+      .agg(sum(col("tf") * col("w")).as("__dp"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("__dp") >= 0, pow(lit(2.0), col("p")).cast("long"))
+        .otherwise(lit(0L))).as("bucket"))
+    val n2 = tf.groupBy(col(idCol)).agg(sum(col("tf") * col("tf")).as("__n2"))
+    val side = bk.join(n2, Seq(idCol))
+    val a = side.select(col("bucket"), col(idCol).as("id_a"), col("__n2").as("__na"))
+    val b = side.select(col("bucket"), col(idCol).as("id_b"), col("__n2").as("__nb"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val ta = tf.select(col(idCol).as("id_a"), col("dim_idx"), col("tf").as("__ta"))
+    val tb = tf.select(col(idCol).as("id_b"), col("dim_idx"), col("tf").as("__tb"))
+    // candidate-restricted: fan tf rows out to PAIRS, never dim-wide
+    // across the corpus (a bare ta⋈tb on dim_idx is corpus-quadratic)
+    val dots = pairs.select(col("id_a"), col("id_b"))
+      .join(ta, Seq("id_a"))
+      .join(tb, Seq("id_b", "dim_idx"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__ta") * col("__tb")).as("__dp"))
+    pairs.join(dots, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__dp") / (sqrt(col("__na")) * sqrt(col("__nb"))), 6).as("cos_sim"))
+      .filter(col("cos_sim") > threshold)
+  }
+
   /** Quality-aware representative selection over near-dup groups: the
     * production keep rule — each group keeps its HIGHEST-scoring member
     * (length, quality gate score, freshness…), not the arbitrary

@@ -61,6 +61,13 @@ object Similarity {
     ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000).toDouble / 1000.0
   }
 
+  /** [[planeWeight]]'s numerator as an exact integer (w = k/1000 ⇒ k):
+    * for INTEGER-valued vectors the sign test Σ v·k ≥ 0 stays in long
+    * arithmetic — md5-derived rational planes DO hit exactly zero on
+    * integer inputs, where float summation order flips the bit between
+    * engines (the dd17 sf0.1 lesson). */
+  def planeWeightInt(p: Int, d: Int): Long = math.round(planeWeight(p, d) * 1000)
+
   /** Sign-random-projection bucket id: bit p = (v · plane_p >= 0);
     * bucket = Σ bit_p << p. Pure projection — no shuffle. */
   def lshBucket(emb: Column, numPlanes: Int, dim: Int): Column = {

@@ -292,59 +292,50 @@ dims AS (SELECT doc_id, unnest(generate_series(0, 15)) AS dim_idx FROM documents
 SELECT d.doc_id, CAST(d.dim_idx AS BIGINT) AS dim_idx, coalesce(sm.tf, 0) AS tf
 FROM dims d LEFT JOIN sm USING (doc_id, dim_idx)""")),
 
-    // Embedding-FREE near-dup: hashed-TF vectors (tx33) assembled into
-    // 16-dim arrays and pushed through the standard LSH-bucketed
-    // cosine path — near-dup detection with no embedding service in
-    // the loop. Zero-norm (empty-doc) vectors are excluded BEFORE the
-    // cosine: 0/0 is NaN and NaN>t disagrees between engines (DuckDB
-    // sorts NaN greatest). High threshold (0.9): hashed-TF cosine is
-    // near-1 only for genuinely shared token multisets.
+    // Embedding-FREE near-dup: tx33's hashed-TF vectors through LSH-
+    // bucket blocking + cosine with every sign test and dot product in
+    // EXACT INTEGER arithmetic — md5-derived rational hyperplanes land
+    // exactly on zero against integer tf values, where a float Σv·w's
+    // summation order flips the bucket bit between engines (caught at
+    // sf0.1: 69 boundary rows). Only the final sqrt/division touch
+    // floats, on exact integer inputs (correctly rounded ⇒ identical).
     Q("dd17_hashedtf_neardup",
-      (s, d) => {
-        val vecs = TextAnalysis.hashedTf(Tables.documents(s, d), "doc_id", "text", 16)
-          .groupBy(col("doc_id"))
-          .agg(transform(array_sort(collect_list(struct(col("dim_idx"), col("tf")))),
-            x => x.getField("tf").cast("float")).as("embedding"))
-          .select(col("doc_id").as("vec_id"), col("embedding"))
-        val nz = vecs.filter(graft.operators.Similarity.norm(col("embedding")) > 0)
-        graft.operators.Similarity.embeddingNearDupBucketed(nz, 0.9, 8, 16)
-      },
+      (s, d) => graft.operators.NearDup.hashedTfNearDup(
+        Tables.documents(s, d), "doc_id", "text", 16, 8, 0.9),
       Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
 h AS (SELECT doc_id,
              CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS dim_idx,
              CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT) % 2 = 0
                   THEN 1 ELSE -1 END AS sgn
       FROM tk),
-sm AS (SELECT doc_id, dim_idx, CAST(sum(sgn) AS BIGINT) AS tf FROM h GROUP BY 1, 2),
-dimsx AS (SELECT doc_id, unnest(generate_series(0, 15)) AS dim_idx FROM documents),
-vec AS (SELECT d.doc_id AS vec_id, CAST(d.dim_idx AS BIGINT) AS vd,
-               CAST(CAST(coalesce(sm.tf, 0) AS REAL) AS DOUBLE) AS v
-        FROM dimsx d LEFT JOIN sm USING (doc_id, dim_idx)),
-nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM vec GROUP BY 1),
-nz AS (SELECT vec_id FROM nrm WHERE nrm > 0),
-planes16 AS (
+sm AS (SELECT doc_id, dim_idx, CAST(sum(sgn) AS BIGINT) AS tf
+       FROM h GROUP BY 1, 2),
+smnz AS (SELECT doc_id, dim_idx, tf FROM sm WHERE tf <> 0),
+planesI AS (
   SELECT p, vd,
-         ((CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(vd AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000) / 1000.0 AS w
+         (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(vd AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
   FROM (SELECT unnest(generate_series(0, 7)) AS p) pp,
        (SELECT unnest(generate_series(0, 15)) AS vd) dd),
-bits AS (SELECT vec_id, p,
-                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
-         FROM vec JOIN planes16 USING (vd)
-         WHERE vec_id IN (SELECT vec_id FROM nz)
-         GROUP BY vec_id, p),
-bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
-prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-dots AS (SELECT p.id_a, p.id_b, sum(f1.v * f2.v) AS dp
+bits AS (SELECT doc_id, p, sum(tf * w) AS dp
+         FROM smnz JOIN planesI ON planesI.vd = smnz.dim_idx
+         GROUP BY 1, 2),
+bk AS (SELECT doc_id, CAST(sum(CASE WHEN dp >= 0
+                 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       FROM bits GROUP BY 1),
+n2 AS (SELECT doc_id, sum(tf * tf) AS nn FROM smnz GROUP BY 1),
+prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+dots AS (SELECT p.id_a, p.id_b, sum(ta.tf * tb.tf) AS dp
          FROM prs p
-         JOIN vec f1 ON f1.vec_id = p.id_a
-         JOIN vec f2 ON f2.vec_id = p.id_b AND f1.vd = f2.vd
+         JOIN smnz ta ON ta.doc_id = p.id_a
+         JOIN smnz tb ON tb.doc_id = p.id_b AND tb.dim_idx = ta.dim_idx
          GROUP BY 1, 2)
 SELECT id_a, id_b, cos_sim FROM (
-  SELECT d.id_a, d.id_b, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+  SELECT d.id_a, d.id_b,
+         round(dp / (sqrt(n1.nn) * sqrt(nb.nn)), 6) AS cos_sim
   FROM dots d
-  JOIN nrm n1 ON n1.vec_id = d.id_a
-  JOIN nrm n2 ON n2.vec_id = d.id_b) t
+  JOIN n2 n1 ON n1.doc_id = d.id_a
+  JOIN n2 nb ON nb.doc_id = d.id_b) t
 WHERE cos_sim > 0.9""")),
 
     // End-to-end curation accounting: quality gate (dd10's thresholds)
