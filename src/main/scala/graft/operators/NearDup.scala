@@ -367,10 +367,21 @@ object NearDup {
     * the final sqrt/division on exact integer inputs (correctly
     * rounded, hence engine-identical). Same blocked-self-join cost
     * profile as the embedding near-dup; all-zero docs drop out with
-    * the sparse tf filter. */
+    * the sparse tf filter.
+    *
+    * `maxBucketSize` is the hot-bucket guard (the [[minhashCandidates]]
+    * contract): a bucket over the cap is dropped ENTIRELY — bounded
+    * recall loss, bounded cost, and deterministic (bucket sizes are
+    * exact integers), so the oracle mirrors it. The coarse hashed-TF
+    * space concentrates badly (sf0.1 fixture: 1 of 157 buckets holds
+    * 23% of the corpus; unguarded 10× ScaleCheck measured 122× — the
+    * quadratic made real), so the registered query caps at 2000, above
+    * every base-fixture bucket (results unchanged at sf0.01/sf0.1)
+    * while bounding any scale-up. */
   def hashedTfNearDup(docs: DataFrame, idCol: String, textCol: String,
                       dim: Int = 16, numPlanes: Int = 8,
-                      threshold: Double = 0.9): DataFrame = {
+                      threshold: Double = 0.9,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val tf = TextAnalysis.hashedTf(docs, idCol, textCol, dim)
@@ -384,8 +395,15 @@ object NearDup {
       .groupBy(col(idCol))
       .agg(sum(when(col("__dp") >= 0, pow(lit(2.0), col("p")).cast("long"))
         .otherwise(lit(0L))).as("bucket"))
+    val bkCapped = maxBucketSize match {
+      case Some(cap) =>
+        val sizes = bk.groupBy(col("bucket")).agg(count(lit(1)).as("__bc"))
+          .filter(col("__bc") <= cap).select(col("bucket"))
+        bk.join(sizes, Seq("bucket"))
+      case None => bk
+    }
     val n2 = tf.groupBy(col(idCol)).agg(sum(col("tf") * col("tf")).as("__n2"))
-    val side = bk.join(n2, Seq(idCol))
+    val side = bkCapped.join(n2, Seq(idCol))
     val a = side.select(col("bucket"), col(idCol).as("id_a"), col("__n2").as("__na"))
     val b = side.select(col("bucket"), col(idCol).as("id_b"), col("__n2").as("__nb"))
     val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

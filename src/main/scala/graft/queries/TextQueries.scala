@@ -301,7 +301,8 @@ FROM dims d LEFT JOIN sm USING (doc_id, dim_idx)""")),
     // floats, on exact integer inputs (correctly rounded ⇒ identical).
     Q("dd17_hashedtf_neardup",
       (s, d) => graft.operators.NearDup.hashedTfNearDup(
-        Tables.documents(s, d), "doc_id", "text", 16, 8, 0.9),
+        Tables.documents(s, d), "doc_id", "text", 16, 8, 0.9,
+        maxBucketSize = Some(2000)),
       Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
 h AS (SELECT doc_id,
              CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS dim_idx,
@@ -319,9 +320,12 @@ planesI AS (
 bits AS (SELECT doc_id, p, sum(tf * w) AS dp
          FROM smnz JOIN planesI ON planesI.vd = smnz.dim_idx
          GROUP BY 1, 2),
-bk AS (SELECT doc_id, CAST(sum(CASE WHEN dp >= 0
+bk0 AS (SELECT doc_id, CAST(sum(CASE WHEN dp >= 0
                  THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
        FROM bits GROUP BY 1),
+bk AS (SELECT doc_id, bucket FROM bk0
+       WHERE bucket IN (SELECT bucket FROM bk0 GROUP BY bucket
+                        HAVING count(*) <= 2000)),
 n2 AS (SELECT doc_id, sum(tf * tf) AS nn FROM smnz GROUP BY 1),
 prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
