@@ -370,18 +370,32 @@ object NearDup {
     * the sparse tf filter.
     *
     * `maxBucketSize` is the hot-bucket guard (the [[minhashCandidates]]
-    * contract): a bucket over the cap is dropped ENTIRELY — bounded
-    * recall loss, bounded cost, and deterministic (bucket sizes are
-    * exact integers), so the oracle mirrors it. The coarse hashed-TF
-    * space concentrates badly (sf0.1 fixture: 1 of 157 buckets holds
-    * 23% of the corpus; unguarded 10× ScaleCheck measured 122× — the
-    * quadratic made real), so the registered query caps at 2000, above
-    * every base-fixture bucket (results unchanged at sf0.01/sf0.1)
-    * while bounding any scale-up. */
+    * contract): a (band, bucket) over the cap is dropped ENTIRELY —
+    * bounded recall loss, bounded cost, and deterministic (bucket sizes
+    * are exact integers), so the oracle mirrors it. With the cap, cost
+    * per band is ≤ cap × corpus — LINEAR in the corpus, not Σ bucket².
+    *
+    * `bands` splits the signature minhash-style (numPlanes must divide
+    * evenly): band b keys on planes [b·r, (b+1)·r); a pair colliding in
+    * ANY band is a candidate (OR across bands restores the recall a
+    * single wider signature loses on borderline pairs). Sizing lesson
+    * (round 9): 8 planes = a 256-bucket space where one bucket held 23%
+    * of the sf0.1 corpus — the unguarded 10× ScaleCheck measured 122×,
+    * the quadratic made real. Measured on the same fixture, 32 planes
+    * as 2×16 cuts the max bucket 1162 → 874 and Σ bucket² by 32%, and
+    * the cap (2000 in the registered query — above every base-fixture
+    * bucket, so base results keep full recall) turns the 10× replica's
+    * grown hot buckets into dropped buckets instead of quadratic
+    * pair fan-out. Size the cap a few × the expected bucket size
+    * (corpus / 2^rowsPerBand), NOT proportional to corpus — a
+    * corpus-proportional cap re-admits Σ bucket² ∝ n². */
   def hashedTfNearDup(docs: DataFrame, idCol: String, textCol: String,
-                      dim: Int = 16, numPlanes: Int = 8,
+                      dim: Int = 16, numPlanes: Int = 32,
                       threshold: Double = 0.9,
-                      maxBucketSize: Option[Int] = None): DataFrame = {
+                      maxBucketSize: Option[Int] = None,
+                      bands: Int = 2): DataFrame = {
+    require(numPlanes % bands == 0, s"bands=$bands must divide numPlanes=$numPlanes")
+    val rowsPerBand = numPlanes / bands
     val spark = docs.sparkSession
     import spark.implicits._
     val tf = TextAnalysis.hashedTf(docs, idCol, textCol, dim)
@@ -392,31 +406,38 @@ object NearDup {
     val bk = tf.join(broadcast(planes), Seq("dim_idx"))
       .groupBy(col(idCol), col("p"))
       .agg(sum(col("tf") * col("w")).as("__dp"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("__dp") >= 0, pow(lit(2.0), col("p")).cast("long"))
+      .groupBy(col(idCol), (col("p") / lit(rowsPerBand)).cast("int").as("band"))
+      .agg(sum(when(col("__dp") >= 0,
+          pow(lit(2.0), col("p") % lit(rowsPerBand)).cast("long"))
         .otherwise(lit(0L))).as("bucket"))
     val bkCapped = maxBucketSize match {
       case Some(cap) =>
-        val sizes = bk.groupBy(col("bucket")).agg(count(lit(1)).as("__bc"))
-          .filter(col("__bc") <= cap).select(col("bucket"))
-        bk.join(sizes, Seq("bucket"))
+        val sizes = bk.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__bc"))
+          .filter(col("__bc") <= cap).select(col("band"), col("bucket"))
+        bk.join(sizes, Seq("band", "bucket"))
       case None => bk
     }
+    val a = bkCapped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = bkCapped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val pairs0 = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    // multi-band OR: the same pair can collide in several bands — dedup
+    // BEFORE the dot-product verify so each pair is verified once
+    val pairs = if (bands > 1) pairs0.distinct() else pairs0
     val n2 = tf.groupBy(col(idCol)).agg(sum(col("tf") * col("tf")).as("__n2"))
-    val side = bkCapped.join(n2, Seq(idCol))
-    val a = side.select(col("bucket"), col(idCol).as("id_a"), col("__n2").as("__na"))
-    val b = side.select(col("bucket"), col(idCol).as("id_b"), col("__n2").as("__nb"))
-    val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
     val ta = tf.select(col(idCol).as("id_a"), col("dim_idx"), col("tf").as("__ta"))
     val tb = tf.select(col(idCol).as("id_b"), col("dim_idx"), col("tf").as("__tb"))
     // candidate-restricted: fan tf rows out to PAIRS, never dim-wide
     // across the corpus (a bare ta⋈tb on dim_idx is corpus-quadratic)
-    val dots = pairs.select(col("id_a"), col("id_b"))
+    val dots = pairs
       .join(ta, Seq("id_a"))
       .join(tb, Seq("id_b", "dim_idx"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("__ta") * col("__tb")).as("__dp"))
-    pairs.join(dots, Seq("id_a", "id_b"))
+    dots
+      .join(n2.select(col(idCol).as("id_a"), col("__n2").as("__na")), Seq("id_a"))
+      .join(n2.select(col(idCol).as("id_b"), col("__n2").as("__nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(col("__dp") / (sqrt(col("__na")) * sqrt(col("__nb"))), 6).as("cos_sim"))
       .filter(col("cos_sim") > threshold)

@@ -292,17 +292,23 @@ dims AS (SELECT doc_id, unnest(generate_series(0, 15)) AS dim_idx FROM documents
 SELECT d.doc_id, CAST(d.dim_idx AS BIGINT) AS dim_idx, coalesce(sm.tf, 0) AS tf
 FROM dims d LEFT JOIN sm USING (doc_id, dim_idx)""")),
 
-    // Embedding-FREE near-dup: tx33's hashed-TF vectors through LSH-
-    // bucket blocking + cosine with every sign test and dot product in
-    // EXACT INTEGER arithmetic — md5-derived rational hyperplanes land
-    // exactly on zero against integer tf values, where a float Σv·w's
-    // summation order flips the bucket bit between engines (caught at
-    // sf0.1: 69 boundary rows). Only the final sqrt/division touch
-    // floats, on exact integer inputs (correctly rounded ⇒ identical).
+    // Embedding-FREE near-dup: tx33's hashed-TF vectors through BANDED
+    // LSH blocking (32 planes as 2 bands × 16 — a pair colliding in
+    // EITHER 16-bit half is a candidate) + cosine, with every sign test
+    // and dot product in EXACT INTEGER arithmetic — md5-derived
+    // rational hyperplanes land exactly on zero against integer tf
+    // values, where a float Σv·w's summation order flips the bucket bit
+    // between engines (caught at sf0.1: 69 boundary rows). Only the
+    // final sqrt/division touch floats, on exact integer inputs
+    // (correctly rounded ⇒ identical). Round 9's 8-plane single band
+    // was a 256-bucket space (one bucket = 23% of the corpus; unguarded
+    // 10× ScaleCheck measured 122×) — the 2×16 shape cuts the max
+    // bucket to 874 and the 2000 cap (above every base-fixture bucket,
+    // so full recall here) bounds any scale-up to cap×n pairs.
     Q("dd17_hashedtf_neardup",
       (s, d) => graft.operators.NearDup.hashedTfNearDup(
-        Tables.documents(s, d), "doc_id", "text", 16, 8, 0.9,
-        maxBucketSize = Some(2000)),
+        Tables.documents(s, d), "doc_id", "text", 16, 32, 0.9,
+        maxBucketSize = Some(2000), bands = 2),
       Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
 h AS (SELECT doc_id,
              CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS dim_idx,
@@ -315,20 +321,23 @@ smnz AS (SELECT doc_id, dim_idx, tf FROM sm WHERE tf <> 0),
 planesI AS (
   SELECT p, vd,
          (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(vd AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
-  FROM (SELECT unnest(generate_series(0, 7)) AS p) pp,
+  FROM (SELECT unnest(generate_series(0, 31)) AS p) pp,
        (SELECT unnest(generate_series(0, 15)) AS vd) dd),
 bits AS (SELECT doc_id, p, sum(tf * w) AS dp
          FROM smnz JOIN planesI ON planesI.vd = smnz.dim_idx
          GROUP BY 1, 2),
-bk0 AS (SELECT doc_id, CAST(sum(CASE WHEN dp >= 0
-                 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-       FROM bits GROUP BY 1),
-bk AS (SELECT doc_id, bucket FROM bk0
-       WHERE bucket IN (SELECT bucket FROM bk0 GROUP BY bucket
-                        HAVING count(*) <= 2000)),
+bk0 AS (SELECT doc_id, p // 16 AS band,
+               CAST(sum(CASE WHEN dp >= 0
+                 THEN CAST(pow(2, p % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       FROM bits GROUP BY doc_id, p // 16),
+bk AS (SELECT b0.doc_id, b0.band, b0.bucket
+       FROM bk0 b0
+       JOIN (SELECT band, bucket FROM bk0 GROUP BY band, bucket
+             HAVING count(*) <= 2000) ok USING (band, bucket)),
 n2 AS (SELECT doc_id, sum(tf * tf) AS nn FROM smnz GROUP BY 1),
-prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id),
 dots AS (SELECT p.id_a, p.id_b, sum(ta.tf * tb.tf) AS dp
          FROM prs p
          JOIN smnz ta ON ta.doc_id = p.id_a
