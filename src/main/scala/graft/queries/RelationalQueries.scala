@@ -880,7 +880,10 @@ object RelationalQueries {
         val n = Tables.nation(s, d)
         Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
           .join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          // customer is UNFILTERED here — at 100 TB it's one of the
+          // largest dims, so no broadcast hint: let AQE pick (it
+          // broadcasts at fixture scale, shuffles at warehouse scale)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
             col("n_name"), col("c_mktsegment"))
@@ -1186,6 +1189,261 @@ object RelationalQueries {
                     FROM lineitem GROUP BY 1) a ON a.pk = l.l_partkey
               WHERE p_brand = 'Brand#4'
                 AND CAST(l_quantity AS DECIMAL(12,2)) * 2 * qn < qs""")),
+
+    // TPC-H Q2 (minimum-cost supplier): the correlated "cost = min cost
+    // for this part among that region's suppliers" subquery DECORRELATED
+    // into a per-part min joined back on EQUALITY (cost is min of a raw
+    // data value — no computed float, so the equality is engine-exact).
+    // The fixture has no partsupp: the supply relation is the DISTINCT
+    // (part, supplier) edge observed in lineitem, with cost = min
+    // observed price — the same adaptation q16 uses. All dims broadcast;
+    // the fact shuffles once for the (part, supplier) agg.
+    Q("tpch_q2",
+      (s, d) => {
+        val suppEu = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+              .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+                col("n_regionkey") === col("r_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_acctbal"), col("s_name"), col("n_name"))
+        val cost = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+          .join(broadcast(suppEu.select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("l_extendedprice")).as("supply_cost"))
+        val mc = cost.groupBy(col("l_partkey").as("__pk"))
+          .agg(min(col("supply_cost")).as("__mc"))
+        cost
+          .join(mc, col("l_partkey") === col("__pk") &&
+            col("supply_cost") === col("__mc"))
+          .join(broadcast(Tables.part(s, d)
+              .filter(col("p_size") === 15 && col("p_type") === "ECONOMY")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(suppEu), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("supply_cost"))
+      },
+      Some("""WITH supp_eu AS (
+               SELECT s_suppkey, s_acctbal, s_name, n_name
+               FROM supplier JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'EUROPE'),
+             cost AS (
+               SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+               FROM lineitem JOIN supp_eu ON l_suppkey = s_suppkey
+               GROUP BY 1, 2),
+             mc AS (SELECT l_partkey AS pk, min(supply_cost) AS m FROM cost GROUP BY 1)
+             SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, c.supply_cost
+             FROM cost c
+             JOIN mc ON mc.pk = c.l_partkey AND c.supply_cost = mc.m
+             JOIN part p ON p.p_partkey = c.l_partkey
+             JOIN supp_eu s ON s.s_suppkey = c.l_suppkey
+             WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'""")),
+
+    // TPC-H Q9 (product type profit by nation and year): profit =
+    // revenue − cost, decimal-exact inside the sum, ONE double rounding
+    // at the end. The fixture has no ps_supplycost: unit cost is
+    // modeled as 60% of the part's retail price (a fixed decimal
+    // constant, so the arithmetic stays exact). part/supplier/nation
+    // broadcast; the fact shuffles once for l⋈o.
+    Q("tpch_q9",
+      (s, d) => {
+        val p = Tables.part(s, d).filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val sn = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        Tables.lineitem(s, d)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(round(sum(
+            col("l_extendedprice").cast("decimal(12,2)")
+              * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+              - col("p_retailprice").cast("decimal(12,2)")
+                * lit(0.60).cast("decimal(3,2)")
+                * col("l_quantity").cast("decimal(12,2)")).cast("double"), 2)
+            .as("sum_profit"))
+      },
+      Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                 - CAST(p_retailprice AS DECIMAL(12,2))
+                   * CAST(0.60 AS DECIMAL(3,2))
+                   * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_profit
+             FROM lineitem
+             JOIN part ON p_partkey = l_partkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN nation ON n_nationkey = s_nationkey
+             WHERE p_name LIKE '%red%'
+             GROUP BY 1, 2""")),
+
+    // TPC-H Q11 (important stock): per-part inventory value for one
+    // nation's suppliers, kept only when above a GLOBAL-SCALAR
+    // threshold — the last untested decorrelation shape (HAVING
+    // against an aggregate over the whole grouped relation). The
+    // threshold is 2× the mean (scale-invariant, unlike the spec's
+    // 0.0001/SF constant) and the compare is kept in exact decimal:
+    // v · n > 2 · Σv, no float division at the boundary. The scalar
+    // (Σv, n) is ONE broadcast row crossed into the per-part values —
+    // the tpch_q22/tx28 whitelisted scalar fan-out, not a data join.
+    // No partsupp in the fixture: value = Σ price·qty over the
+    // nation's observed lineitem edges.
+    Q("tpch_q11",
+      (s, d) => {
+        val sn = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val v = Tables.lineitem(s, d)
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * col("l_quantity").cast("decimal(12,2)")).as("__v"))
+        val tot = v.agg(sum(col("__v")).as("__tot"), count(lit(1)).as("__n"))
+        v.crossJoin(broadcast(tot))
+          .filter(col("__v") * col("__n") > col("__tot") * 2)
+          .select(col("l_partkey").as("p_partkey"),
+            round(col("__v").cast("double"), 2).as("part_value"))
+      },
+      Some("""WITH val AS (
+               SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS v
+               FROM lineitem
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               WHERE n_name = 'NATION_7'
+               GROUP BY 1)
+             SELECT l_partkey AS p_partkey, round(CAST(v AS DOUBLE), 2) AS part_value
+             FROM val
+             WHERE v * (SELECT count(*) FROM val) > 2 * (SELECT sum(v) FROM val)""")),
+
+    // TPC-H Q12 (shipping-priority audit): conditional counts of
+    // high/low-priority orders among LATE 1997 shipments, grouped by a
+    // lineitem attribute. The fixture has no l_shipmode or
+    // commit/receipt dates: "late" is shipped > 30 days after the
+    // order date (the q4 lateness convention) and the group key is
+    // l_returnflag. One fact-fact shuffle (l⋈o on orderkey); the
+    // date-range filter pushes to the lineitem scan.
+    Q("tpch_q12",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count")),
+      Some("""SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+               AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+             GROUP BY l_returnflag""")),
+
+    // TPC-H Q20 (potential part promotion): suppliers of one nation
+    // who shipped a LOT of 'small%' parts in 1997 — the nested
+    // IN(IN(...) ... HAVING Σ) chain as two semi-join reductions. The
+    // per-supplier quantity sum is decimal-exact so the HAVING
+    // boundary can't float-flip between engines; the fixture has no
+    // ps_availqty, so the "more than half the stock" test becomes a
+    // fixed shipped-quantity threshold (300 ≈ the p55 of the stable
+    // per-supplier distribution).
+    Q("tpch_q20",
+      (s, d) => {
+        val fp = Tables.part(s, d).filter(col("p_name").like("small%"))
+          .select(col("p_partkey"))
+        val hot = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+          .join(broadcast(fp), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("__sq"))
+          .filter(col("__sq") > 300)
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      },
+      Some("""WITH fp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+             hot AS (SELECT l_suppkey
+                     FROM lineitem JOIN fp ON l_partkey = p_partkey
+                     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                     GROUP BY 1
+                     HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+             SELECT s_suppkey, s_name, s_acctbal
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             WHERE n_name = 'NATION_3'
+               AND s_suppkey IN (SELECT l_suppkey FROM hot)""")),
+
+    // TPC-H Q21 (suppliers who kept orders waiting): the multi-EXISTS
+    // self-join — for each LATE line of a finished order, EXISTS
+    // another supplier's line on the same order (multi-supplier
+    // order) and NOT EXISTS another supplier's LATE line (this
+    // supplier is the sole laggard). EXISTS → left-semi, NOT EXISTS →
+    // left-anti, both HASH joins: equi on l_orderkey with the
+    // supplier inequality as a residual conjunct, never a nested
+    // loop. "Late" is the q4/q12 convention (shipped > 60 days after
+    // order date; the fixture has no commit/receipt dates).
+    Q("tpch_q21",
+      (s, d) => {
+        val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val lo = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+        val late = lo
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val sn = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_5")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))
+        late
+          .join(lo.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2")),
+            col("l_orderkey") === col("__ok2") && col("l_suppkey") =!= col("__sk2"),
+            "left_semi")
+          .join(late.select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3")),
+            col("l_orderkey") === col("__ok3") && col("l_suppkey") =!= col("__sk3"),
+            "left_anti")
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderdate FROM orders
+                         WHERE o_orderstatus = 'F'),
+             l AS (SELECT l_orderkey, l_suppkey
+                   FROM lineitem JOIN o ON l_orderkey = o_orderkey),
+             late AS (SELECT li.l_orderkey, li.l_suppkey
+                      FROM lineitem li JOIN o ON li.l_orderkey = o.o_orderkey
+                      WHERE li.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+             SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+             FROM late l1
+             JOIN supplier ON s_suppkey = l1.l_suppkey
+             JOIN nation ON n_nationkey = s_nationkey
+             WHERE n_name = 'NATION_5'
+               AND EXISTS (SELECT 1 FROM l l2
+                           WHERE l2.l_orderkey = l1.l_orderkey
+                             AND l2.l_suppkey <> l1.l_suppkey)
+               AND NOT EXISTS (SELECT 1 FROM late l3
+                               WHERE l3.l_orderkey = l1.l_orderkey
+                                 AND l3.l_suppkey <> l1.l_suppkey)
+             GROUP BY s_name""")),
 
     // CDC apply (type-1 upsert/delete fold): a synthetic change batch —
     // two ops on the same key (update then delete, seq decides), plain

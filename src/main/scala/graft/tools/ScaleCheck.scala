@@ -155,8 +155,46 @@ object ScaleCheck {
     }
   }
 
+  /** One query's measurement at both scales — the gate's input row. */
+  final case class Row(name: String, baseSec: Double, scaledSec: Double,
+                       ratio: Double, error: Option[String],
+                       joinsBase: Map[String, Int], joinsScaled: Map[String, Int])
+
+  /** THE GATE (round-9 verdict item 2): ZeroErrors + sub-linear was a
+    * committed artifact, not an assertion — dd17's 122× quadratic sat
+    * in SCALECHECK.json for a whole round without failing anything.
+    * Pure so a spec can red-test it on a planted quadratic; `main`
+    * wires it to the exit code. A violation is any of:
+    *  - a query erroring at either scale (scale-up must not break plans);
+    *  - wall-clock ratio > maxRatio at R× data (super-linear blow-up —
+    *    R=10 with maxRatio=20 tolerates 2× constant-factor noise but
+    *    catches any quadratic, which lands at ~R² = 100);
+    *  - a BroadcastNestedLoopJoin APPEARING at scale that the base plan
+    *    did not have (an AQE strategy flip into the one join shape that
+    *    cannot survive big inputs). Deliberate base-scale BNLJs
+    *    (scalar/centroid crossJoins, PlanSpec-whitelisted) don't trip
+    *    this — only a flip does. */
+  def violations(rows: Seq[Row], maxRatio: Double): Seq[String] =
+    rows.flatMap { r =>
+      val err = r.error.map(e => s"${r.name}: ERROR $e")
+      val ratio =
+        if (r.error.isEmpty && r.ratio > maxRatio)
+          Some(f"${r.name}: ratio ${r.ratio}%.2f > $maxRatio%.1f (super-linear at scale)")
+        else None
+      val bnljBase = r.joinsBase.getOrElse("bnlj", 0)
+      val bnljScaled = r.joinsScaled.getOrElse("bnlj", 0)
+      val flip =
+        if (r.error.isEmpty && bnljScaled > bnljBase)
+          Some(s"${r.name}: BroadcastNestedLoopJoin flip at scale ($bnljBase -> $bnljScaled)")
+        else None
+      err.toSeq ++ ratio ++ flip
+    }
+
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
+    val maxRatio = flags.collectFirst {
+      case f if f.startsWith("--max-ratio=") => f.stripPrefix("--max-ratio=").toDouble
+    }.getOrElse(20.0)
     val pos = args.filterNot(_.startsWith("--"))
     val baseDir = pos.headOption.getOrElse("/root/testdata/sf0.1")
     val r = pos.lift(1).map(_.toInt).getOrElse(10)
@@ -186,20 +224,35 @@ object ScaleCheck {
         if (bErr.isEmpty && sErr.isEmpty && bSec > 0)
           math.rint(sSec / bSec * 100) / 100
         else -1.0
-      val err = (bErr.toSeq ++ sErr.toSeq).headOption.getOrElse("")
+      val err = (bErr.toSeq ++ sErr.toSeq).headOption
       def ops(m: Map[String, Int]) =
         m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
       println(f"$name%-28s base=$bSec%7.2fs scaled=$sSec%8.2fs ratio=$ratio%6.2f " +
-        s"joins(base=${ops(bOps)} scaled=${ops(sOps)}) ${if (err.nonEmpty) s"ERR=$err" else ""}")
-      s""""$name":{"base_sec":$bSec,"scaled_sec":$sSec,"ratio":$ratio,""" +
-        s""""joins_base":${ops(bOps)},"joins_scaled":${ops(sOps)}""" +
-        (if (err.nonEmpty) s""","error":"$err"""" else "") + "}"
+        s"joins(base=${ops(bOps)} scaled=${ops(sOps)}) ${err.fold("")(e => s"ERR=$e")}")
+      Row(name, bSec, sSec, ratio, err, bOps, sOps)
     }
+    def ops(m: Map[String, Int]) =
+      m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val rowJson = rows.map { w =>
+      s""""${w.name}":{"base_sec":${w.baseSec},"scaled_sec":${w.scaledSec},""" +
+        s""""ratio":${w.ratio},"joins_base":${ops(w.joinsBase)},"joins_scaled":${ops(w.joinsScaled)}""" +
+        w.error.fold("")(e => s""","error":"$e"""") + "}"
+    }
+    val viols = violations(rows, maxRatio)
     val json = s"""{"metric":"scale_check","replication":$r,"base":"$baseDir",""" +
-      s""""scaled_dir":"$workDir","queries":{${rows.mkString(",")}}}"""
+      s""""scaled_dir":"$workDir","max_ratio":$maxRatio,""" +
+      s""""violations":[${viols.map(v => "\"" + v.replace("\"", "'") + "\"").mkString(",")}],""" +
+      s""""queries":{${rowJson.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALECHECK.json"),
       (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()
+    // Gate: a committed-artifact check a human has to read is not a
+    // gate. Exit nonzero on any violation so CI/driver runs go red.
+    if (viols.nonEmpty) {
+      System.err.println(s"SCALE GATE FAILED (${viols.length} violation(s)):")
+      viols.foreach(v => System.err.println(s"  - $v"))
+      sys.exit(1)
+    }
   }
 }

@@ -330,6 +330,9 @@ class PlanSpec extends SparkSpec {
       // row crossed into customer — scalar fan-out; the orders
       // anti-join is equi
       "tpch_q22",
+      // TPC-H Q11: the global (Σv, n) threshold is ONE broadcast row
+      // crossed into the per-part values — the same scalar fan-out
+      "tpch_q11",
       // token-budget mix: same shape as tx28 — the (Σtok, Σtok^α)
       // corpus-stats row crossed into the stratum-sized rate table,
       // then an equi-join back to the docs
