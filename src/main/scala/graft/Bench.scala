@@ -149,10 +149,14 @@ object Bench {
   }
 
   private def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                      spark: SparkSession, sfDir: String): (Double, Option[String]) = {
+                      spark: SparkSession, sfDir: String,
+                      inspect: Option[org.apache.spark.sql.DataFrame => Unit] = None)
+      : (Double, Option[String]) = {
     val t0 = System.nanoTime()
     try {
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val df = fn(spark, sfDir)
+      inspect.foreach(_(df))
+      df.write.format("noop").mode("overwrite").save()
       ((System.nanoTime() - t0) / 1e9, None)
     } catch {
       case scala.util.control.NonFatal(t) =>
@@ -188,10 +192,32 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val samples = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]]()
     names.foreach(n => samples(n) = scala.collection.mutable.ArrayBuffer[Double]())
+    // Global-window hygiene (round-9 verdict item 4): the whitelisted
+    // dim-scale queries emit `WindowExec: No Partition Defined` log
+    // noise on every run, which a NEW single-partition window could
+    // hide inside. Print the expected set up front, then sweep every
+    // query's OPTIMIZED plan during pass 1 (the frame is already built
+    // for timing — the sweep is a driver-side tree walk, no extra
+    // jobs); any global window on a non-whitelisted query fails the
+    // bench run AFTER the artifacts are written.
+    val gwWhitelist = graft.queries.Registry.globalWindowDimScaleAllowed
+    println(s"expected WindowExec-no-partition warnings come only from: " +
+      gwWhitelist.toSeq.sorted.mkString(", "))
+    val gwViolations = scala.collection.mutable.LinkedHashMap[String, Int]()
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (pass <- 1 to 3; name <- names if !errors.contains(name)) {
+      val inspect =
+        if (pass == 1 && name != JobEntry)
+          Some((df: org.apache.spark.sql.DataFrame) => {
+            val n = df.queryExecution.optimizedPlan.collect {
+              case w: LWindow if w.partitionSpec.isEmpty => w
+            }.length
+            if (n > 0 && !gwWhitelist(name)) gwViolations(name) = n
+          })
+        else None
       val (t, e) =
         if (name == JobEntry) runJobOnce(spark, sfDir)
-        else runOnce(SparkEntry.queries(name), spark, sfDir)
+        else runOnce(SparkEntry.queries(name), spark, sfDir, inspect)
       val ms = math.rint(t * 1000) / 1000
       samples(name) += (if (e.isDefined) -ms else ms)
       e.foreach(err => errors(name) = err)
@@ -227,7 +253,9 @@ object Bench {
     // reading round-over-round trends.
     val lc = runLifecycle(spark, sfDir)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"errors":$esFull,"samples":$ss,"lifecycle":$lc,"sf":"$sfDir"}"""
+    val gwv = gwViolations.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"errors":$esFull,"samples":$ss,"lifecycle":$lc,"global_window_violations":$gwv,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
 
@@ -236,7 +264,14 @@ object Bench {
     val qsHead = results.filter { case (k, _) => headline.contains(k) }
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsHead,"errors":$es,"n_errors":${errors.size},"n_queries":${results.size},"full":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsHead,"errors":$es,"n_errors":${errors.size},"n_queries":${results.size},"gw_violations":${gwViolations.size},"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
+    // Red AFTER the artifacts are written: the numbers stay readable,
+    // the run still fails loudly on a new single-partition window.
+    if (gwViolations.nonEmpty) {
+      System.err.println("BENCH GATE FAILED — global window outside the " +
+        s"dim-scale whitelist: ${gwViolations.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -81,5 +81,23 @@ object StreamBench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    // Streaming perf BUDGET (round-9 verdict item 5): batch queries
+    // have BASELINE.md's 2× rule; the streaming sinks now get the same.
+    // Budgets are the round-9 sf0.01 steady-state measurements
+    // (BASELINE.md "Streaming budgets"); a steady-state above 2× budget
+    // fails the run AFTER the artifact is written. Only enforced on the
+    // sf0.01 fixture the budgets were measured on.
+    if (sfDir.endsWith("sf0.01")) {
+      val budgets = Seq(
+        ("dedup_ingest", steady(dedupTimes), 3.35),
+        ("publish_snapshots", steady(snapTimes), 0.84))
+      val viol = budgets.filter { case (_, v, b) => v > 2 * b }
+      if (viol.nonEmpty) {
+        viol.foreach { case (n, v, b) =>
+          System.err.println(f"STREAM BUDGET FAILED: $n steady $v%.2f s > 2x budget $b%.2f s")
+        }
+        sys.exit(1)
+      }
+    }
   }
 }

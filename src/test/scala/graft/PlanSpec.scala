@@ -223,16 +223,10 @@ class PlanSpec extends SparkSpec {
     // (localCheckpoint) truncate the visible plan, hiding anything
     // upstream of them — the source-level lint below covers that class.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val dimScaleAllowed = Set(
-      // findOrInsert: global row_number over the NEW keys only (delta-
-      // sized) and denseId over a distinct catalog (dim-sized).
-      "op22b_find_or_insert",
-      // prestacion catalog: distinct trimmed service names — bounded by
-      // the nomenclature, not by fact volume.
-      "his_prestacion",
-      // BPE merge-candidate rank: the windowed table is the pair-count
-      // table — alphabet²-sized, not corpus-sized.
-      "tx29_bpe_train_round")
+    // ONE whitelist, shared with the Bench pass-1 sweep (Registry is
+    // the single source of truth — a query added here but not there
+    // would pass tests and then fail every bench run, or vice versa).
+    val dimScaleAllowed = graft.queries.Registry.globalWindowDimScaleAllowed
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val globals = df.queryExecution.optimizedPlan.collect {
