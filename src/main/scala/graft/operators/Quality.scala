@@ -166,19 +166,30 @@ object Quality {
     * agg-buffer width. */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"__cnt_$c"),
-      count_distinct(col(c)).as(s"__dst_$c"),
-      min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c")))
+    // Identifier safety: user column names appear ONLY as backtick-
+    // escaped references (`` escapes a literal backtick) and as lit()
+    // values — never spliced into selectExpr or into generated alias
+    // names, where a quote/space/dot would break parsing or inject SQL
+    // into the plan. Internal aliases are POSITIONAL (__cnt_0, ...).
+    def ref(c: String) = col("`" + c.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(ref(c)).as(s"__cnt_$i"),
+      count_distinct(ref(c)).as(s"__dst_$i"),
+      min(ref(c)).cast("string").as(s"__min_$i"),
+      max(ref(c)).cast("string").as(s"__max_$i"))
+    }
     val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', __cnt_$c, __dst_$c, __min_$c, __max_$c")
-      .mkString(", ")
-    one.selectExpr("n_rows",
-        s"stack(${cols.size}, $stackArgs) AS (col_name, __present, n_distinct, min_val, max_val)")
-      .select(col("col_name"), col("n_rows"),
-        (col("n_rows") - col("__present")).as("n_null"),
-        col("n_distinct"), col("min_val"), col("max_val"))
+    // Unpivot via explode(array(struct(...))) — pure Column expressions
+    // (same projection-only cost as stack(), no string parsing).
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"__cnt_$i").as("__present"),
+        col(s"__dst_$i").as("n_distinct"), col(s"__min_$i").as("min_val"),
+        col(s"__max_$i").as("max_val"))
+    }
+    one.select(col("n_rows"), explode(array(entries: _*)).as("__e"))
+      .select(col("__e.col_name").as("col_name"), col("n_rows"),
+        (col("n_rows") - col("__e.__present")).as("n_null"),
+        col("__e.n_distinct").as("n_distinct"),
+        col("__e.min_val").as("min_val"), col("__e.max_val").as("max_val"))
   }
 }

@@ -100,25 +100,85 @@ object Sampling {
     * No sort, no window: one token-sum agg, a broadcast stratum-sized
     * rate table, and a codegen'd integer hash compare per row — the
     * 100 TB shape (a cumulative-sum cutoff would need a per-source
-    * global sort for exact budgets; the hash threshold hits the budget
-    * in expectation, which is what a training mix needs). Rates are
-    * rounded to 6 decimals (data-derived, so the rounding pins
-    * cross-engine float agreement); keeps the `__rate` column for
-    * audit. `tokenCount` must be an integral-typed column expression. */
+    * global sort for exact budgets; the hash threshold hits its RATE in
+    * expectation). Rates are rounded to 6 decimals (data-derived, so
+    * the rounding pins cross-engine float agreement); keeps the
+    * `__rate` column for audit. `tokenCount` must be an integral-typed
+    * column expression.
+    *
+    * BUDGET CAVEAT: the rate clamp at 1.0 does NOT redistribute the
+    * clipped surplus — whenever a source's temperature allocation
+    * exceeds its size (small source, α < 1), the realized token count
+    * systematically UNDERSHOOTS budgetFrac. That is the documented
+    * one-pass contract; when hitting the budget matters, set
+    * `waterfill = true`: the per-source token sums (one row per
+    * stratum — a mixing config is dozens of sources, so this is
+    * config-sized, not data-sized) are collected and the rates solved
+    * exactly by [[waterfillRates]] (cap saturated sources at 1.0,
+    * re-allocate their surplus over the rest, repeat — ≤ #strata
+    * rounds), then broadcast back. Same hash-threshold selection, same
+    * output schema, exact budget in expectation. */
   def tokenBudgetMix(df: DataFrame, idCol: String, strataCol: String,
                      tokenCount: Column, budgetFrac: Double,
-                     alpha: Double): DataFrame = {
+                     alpha: Double, waterfill: Boolean = false): DataFrame = {
     val perSrc = df.groupBy(col(strataCol))
       .agg(sum(tokenCount).cast("double").as("__tok_s"))
-    val tot = perSrc.agg(sum(col("__tok_s")).as("__tok_tot"),
-      sum(pow(col("__tok_s"), lit(alpha))).as("__pw"))
-    val rates = perSrc.crossJoin(broadcast(tot))
-      .select(col(strataCol),
-        round(least(lit(1.0),
-          lit(budgetFrac) * col("__tok_tot") *
-            pow(col("__tok_s"), lit(alpha - 1)) / col("__pw")), 6).as("__rate"))
+    val rates =
+      if (waterfill) {
+        val toks = perSrc.collect()
+          .map(r => r.get(0).toString -> r.getDouble(1)).toSeq
+        val solved = waterfillRates(toks, budgetFrac, alpha)
+        val spark = df.sparkSession
+        import spark.implicits._
+        solved.toSeq.toDF(strataCol, "__rate")
+          .select(col(strataCol), round(col("__rate"), 6).as("__rate"))
+      } else {
+        val tot = perSrc.agg(sum(col("__tok_s")).as("__tok_tot"),
+          sum(pow(col("__tok_s"), lit(alpha))).as("__pw"))
+        perSrc.crossJoin(broadcast(tot))
+          .select(col(strataCol),
+            round(least(lit(1.0),
+              lit(budgetFrac) * col("__tok_tot") *
+                pow(col("__tok_s"), lit(alpha - 1)) / col("__pw")), 6).as("__rate"))
+      }
     val b = hashBucket(col(idCol), 10000)
     df.join(broadcast(rates), Seq(strataCol))
       .filter(b < round(col("__rate") * 10000))
+  }
+
+  /** Exact temperature-rule token allocation with saturation
+    * (waterfilling): allocate `budgetFrac · Σtokens` over the sources
+    * with share ∝ tokens^α; any source whose allocation exceeds its
+    * size is capped at rate 1.0 and its surplus re-allocated over the
+    * remaining sources, until no source saturates. Pure driver-side
+    * math over the CONFIG-sized (stratum, tokens) list — ≤ one round
+    * per stratum, each O(#strata). Returns stratum → keep-rate in
+    * [0, 1]; Σ rate_s · tokens_s = budget exactly (unless the budget
+    * exceeds the corpus, in which case every rate is 1). */
+  def waterfillRates(tokens: Seq[(String, Double)], budgetFrac: Double,
+                     alpha: Double): Map[String, Double] = {
+    require(budgetFrac >= 0, s"negative budgetFrac: $budgetFrac")
+    val total = tokens.map(_._2).sum
+    var budget = budgetFrac * total
+    var open = tokens.filter(_._2 > 0)
+    val rates = Map.newBuilder[String, Double]
+    tokens.filter(_._2 <= 0).foreach { case (s, _) => rates += s -> 0.0 }
+    var saturating = true
+    while (saturating && open.nonEmpty) {
+      val pw = open.map { case (_, t) => math.pow(t, alpha) }.sum
+      val alloc = open.map { case (s, t) =>
+        (s, t, budget * math.pow(t, alpha) / pw) }
+      val over = alloc.filter { case (_, t, a) => a >= t }
+      if (over.isEmpty) {
+        alloc.foreach { case (s, t, a) => rates += s -> (a / t) }
+        saturating = false
+      } else {
+        over.foreach { case (s, _, _) => rates += s -> 1.0 }
+        budget -= over.map(_._2).sum
+        val capped = over.map(_._1).toSet
+        open = open.filterNot { case (s, _) => capped(s) }
+      }
+    }
+    rates.result()
   }
 }

@@ -774,11 +774,27 @@ object Similarity {
     * high-cardinality vec_id, parallel at any scale). Vectors alone in
     * their bucket have no in-bucket neighbors and are absent from the
     * output, exactly like dd06b's pair semantics — probe more planes
-    * down or multi-probe for coverage. */
+    * down or multi-probe for coverage.
+    *
+    * `maxBucketSize` is the hot-bucket guard (the minhashCandidates /
+    * hashedTfNearDup contract): a bucket over the cap is dropped
+    * ENTIRELY before the self-join — its members lose their in-bucket
+    * neighbors (bounded, deterministic recall loss) instead of the
+    * bucket going Σ bucket²-quadratic when one LSH bucket concentrates
+    * (the exact shape that made dd17 measure 122× at 10× data before
+    * its cap). Off by default; set it ~a few × corpus/2^numPlanes. */
   def knnGraph(corpus: DataFrame, k: Int,
-               numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val b = corpus.select(col("vec_id"), col("embedding"),
+               numPlanes: Int = 8, dim: Int = 64,
+               maxBucketSize: Option[Int] = None): DataFrame = {
+    val b0 = corpus.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), numPlanes, dim).as("__bk"))
+    val b = maxBucketSize match {
+      case Some(cap) =>
+        val keep = b0.groupBy(col("__bk")).agg(count(lit(1)).as("__bc"))
+          .filter(col("__bc") <= cap).select(col("__bk"))
+        b0.join(keep, Seq("__bk"))
+      case None => b0
+    }
     val a = b.select(col("__bk"), col("vec_id"), col("embedding"))
     val bb = b.select(col("__bk"), col("vec_id").as("nbr_id"),
       col("embedding").as("__nemb"))

@@ -104,4 +104,53 @@ class SamplingSpec extends SparkSpec {
       Sampling.tokenBudgetMix(docs, "id", "src", $"tk", 0.5, 0.5)
         .select($"id").as[Long].collect().sorted.toSeq)
   }
+
+  test("waterfillRates: no saturation ⇒ the plain temperature rates; budget hit exactly") {
+    val toks = Seq("a" -> 4000.0, "b" -> 4000.0, "c" -> 2000.0)
+    val r = Sampling.waterfillRates(toks, 0.5, 1.0)
+    // α=1: every rate equals budgetFrac
+    assert(r.values.forall(v => math.abs(v - 0.5) < 1e-12))
+    val realized = toks.map { case (s, t) => r(s) * t }.sum
+    assert(math.abs(realized - 0.5 * 10000.0) < 1e-6)
+  }
+
+  test("waterfillRates: saturated source caps at 1.0 and its surplus is re-allocated") {
+    // α=0 allocates the budget EQUALLY (1000 each) — the tiny source
+    // can only supply 10, so the one-pass clamp would undershoot by
+    // 990; waterfilling moves that surplus to the big sources.
+    val toks = Seq("tiny" -> 10.0, "big1" -> 5000.0, "big2" -> 5000.0)
+    val budgetFrac = 3000.0 / 10010.0
+    val r = Sampling.waterfillRates(toks, budgetFrac, 0.0)
+    assert(r("tiny") == 1.0)
+    assert(math.abs(r("big1") - 2990.0 / 10000.0) < 1e-9)
+    val realized = toks.map { case (s, t) => r(s) * t }.sum
+    assert(math.abs(realized - 3000.0) < 1e-6,
+      s"waterfilled budget must be exact, realized $realized")
+    // the clamp-only rule demonstrably undershoots the same config
+    val clampRealized = toks.map { case (_, t) =>
+      math.min(1.0, (budgetFrac * 10010.0 / 3) / t) * t }.sum
+    assert(clampRealized < 2100.0, s"clamp undershoots: $clampRealized")
+  }
+
+  test("waterfillRates: budget above the corpus ⇒ every rate is 1; zero-token strata get 0") {
+    val r = Sampling.waterfillRates(Seq("a" -> 100.0, "b" -> 0.0), 2.0, 0.7)
+    assert(r("a") == 1.0 && r("b") == 0.0)
+  }
+
+  test("tokenBudgetMix waterfill=true realizes the budget where the clamp undershoots") {
+    // one tiny source + two big ones, α=0 (equal split): the clamp
+    // loses the tiny source's unfillable share; waterfill recovers it.
+    val docs = ((1 to 10).map(i => (i.toLong, "tiny", 10L)) ++
+      (11 to 1010).map(i => (i.toLong, "big1", 10L)) ++
+      (1011 to 2010).map(i => (i.toLong, "big2", 10L))).toDF("id", "src", "tk")
+    val totTk = 20100.0
+    val budgetFrac = 0.3
+    val clamped = Sampling.tokenBudgetMix(docs, "id", "src", $"tk", budgetFrac, 0.0)
+      .agg(sum($"tk")).as[Long].head().toDouble / totTk
+    val filled = Sampling.tokenBudgetMix(docs, "id", "src", $"tk", budgetFrac, 0.0,
+      waterfill = true).agg(sum($"tk")).as[Long].head().toDouble / totTk
+    assert(clamped < 0.24, s"clamp should undershoot 0.3, got $clamped")
+    assert(math.abs(filled - budgetFrac) < 0.04,
+      s"waterfill should realize ≈ $budgetFrac, got $filled")
+  }
 }
