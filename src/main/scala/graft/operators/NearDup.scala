@@ -396,6 +396,12 @@ object NearDup {
                       bands: Int = 2): DataFrame = {
     require(numPlanes % bands == 0, s"bands=$bands must divide numPlanes=$numPlanes")
     val rowsPerBand = numPlanes / bands
+    // Bucket ids are built as Σ 2^(p % rowsPerBand) in a LONG — beyond
+    // 62 bits the pow(2.0, _) cast saturates and distinct signatures
+    // silently collapse into one bucket (bogus candidate sets).
+    require(rowsPerBand <= 62,
+      s"numPlanes/bands = $rowsPerBand exceeds the 62-bit long bucket " +
+        "id; use more bands or fewer planes")
     val spark = docs.sparkSession
     import spark.implicits._
     val tf = TextAnalysis.hashedTf(docs, idCol, textCol, dim)

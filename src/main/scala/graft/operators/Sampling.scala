@@ -125,13 +125,30 @@ object Sampling {
       .agg(sum(tokenCount).cast("double").as("__tok_s"))
     val rates =
       if (waterfill) {
-        val toks = perSrc.collect()
-          .map(r => r.get(0).toString -> r.getDouble(1)).toSeq
+        // Keep the stratum key in its ORIGINAL Spark type: the solve is
+        // keyed by collected-row index (never the key's toString, which
+        // can disagree with Spark's own cast for timestamp/decimal keys
+        // and NPEs on null), and the rates frame is rebuilt from the
+        // collected rows with the source schema — the join back is then
+        // same-type, no implicit string/double coercion. Null strata
+        // never match an equi-join key, so they drop here exactly as in
+        // the one-pass path.
+        val collected = perSrc.collect().filter(!_.isNullAt(0))
+        val toks = collected.zipWithIndex
+          .map { case (r, i) => i.toString -> r.getDouble(1) }.toSeq
         val solved = waterfillRates(toks, budgetFrac, alpha)
+        val outRows = collected.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.get(0),
+            BigDecimal(solved(i.toString))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
         val spark = df.sparkSession
-        import spark.implicits._
-        solved.toSeq.toDF(strataCol, "__rate")
-          .select(col(strataCol), round(col("__rate"), 6).as("__rate"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          perSrc.schema.head.copy(name = strataCol),
+          org.apache.spark.sql.types.StructField("__rate",
+            org.apache.spark.sql.types.DoubleType)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(outRows.toSeq, 1), schema)
       } else {
         val tot = perSrc.agg(sum(col("__tok_s")).as("__tok_tot"),
           sum(pow(col("__tok_s"), lit(alpha))).as("__pw"))

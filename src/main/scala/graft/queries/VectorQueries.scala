@@ -1022,8 +1022,13 @@ SELECT 'ivfpq_refine', 10, round(count(*) / 100.0, 6)
     // input to graph-based dedup / kNN-LM curation. dd06b's blocked
     // self-join cost profile plus one per-vector rank (vec_id-keyed
     // window, WindowGroupLimit-pushed).
+    // The 200 hot-bucket cap (oracle-mirrored below) is far above every
+    // base-fixture bucket (max 7 at sf0.01, 21 at sf0.1 — full recall
+    // here) and bounds a scale-up's concentrated bucket to cap×n pairs
+    // instead of Σ bucket² quadratic — the dd17 contract.
     Q("ann12_knn_graph",
-      (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), 5),
+      (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), 5,
+        maxBucketSize = Some(200)),
       Some(s"""WITH $planesSql,
 fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
               unnest(embedding)::DOUBLE AS v
@@ -1031,7 +1036,10 @@ fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
 bits AS (SELECT vec_id, p,
                 CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
          FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
-bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+bk0 AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+bk AS (SELECT b0.vec_id, b0.bucket FROM bk0 b0
+       JOIN (SELECT bucket FROM bk0 GROUP BY bucket
+             HAVING count(*) <= 200) ok USING (bucket)),
 ${flatCte()},
 prs AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id
         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),

@@ -86,8 +86,11 @@ object StreamBench {
     // Budgets are the round-9 sf0.01 steady-state measurements
     // (BASELINE.md "Streaming budgets"); a steady-state above 2× budget
     // fails the run AFTER the artifact is written. Only enforced on the
-    // sf0.01 fixture the budgets were measured on.
-    if (sfDir.endsWith("sf0.01")) {
+    // sf0.01 fixture the budgets were measured on, at the SAME batch
+    // slicing (nBatches == 5): fewer batches mean proportionally larger
+    // batches, which would fail the budget spuriously; more would
+    // weaken it.
+    if (sfDir.endsWith("sf0.01") && nBatches == 5) {
       val budgets = Seq(
         ("dedup_ingest", steady(dedupTimes), 3.35),
         ("publish_snapshots", steady(snapTimes), 0.84))

@@ -67,6 +67,15 @@ class NearDupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("hashedTfNearDup rejects band widths past the 62-bit long bucket id") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      NearDup.hashedTfNearDup(docs, "doc_id", "text",
+        numPlanes = 64, bands = 1)
+    }
+    assert(e.getMessage.contains("62-bit"))
+  }
+
   test("bucket cap bounds cost on hot buckets but keeps cold-bucket recall") {
     // 15 identical boilerplate docs (every band bucket is hot, size 15)
     // + one genuine near-dup pair of distinct docs (bucket size 2).

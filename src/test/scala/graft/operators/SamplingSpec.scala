@@ -153,4 +153,32 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(filled - budgetFrac) < 0.04,
       s"waterfill should realize ≈ $budgetFrac, got $filled")
   }
+
+  test("tokenBudgetMix waterfill=true keeps non-string strata types and drops null strata") {
+    // LONG-typed strata above 2^53 (where a string↔double coercion
+    // would silently mismatch) plus a null stratum: the rates frame
+    // must carry the ORIGINAL key type and null-strata rows must drop
+    // exactly as the equi-join drops them on the one-pass path.
+    val big1 = (1L << 53) + 1L
+    val big2 = (1L << 53) + 2L // rounds to the same double as big1
+    val docs = ((1 to 500).map(i => (i.toLong, Some(big1), 10L)) ++
+      (501 to 1000).map(i => (i.toLong, Some(big2), 10L)) ++
+      (1001 to 1010).map(i => (i.toLong, Option.empty[Long], 10L)))
+      .toDF("id", "src", "tk")
+    val out = Sampling.tokenBudgetMix(docs, "id", "src", $"tk", 0.5, 1.0,
+      waterfill = true)
+    assert(out.schema("src").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val bySrc = out.groupBy($"src").count().as[(Option[Long], Long)]
+      .collect().toMap
+    assert(!bySrc.contains(None), "null strata must be dropped")
+    // both distinct long keys survive the join (no double collapse)
+    assert(bySrc.contains(Some(big1)) && bySrc.contains(Some(big2)),
+      s"both 2^53-adjacent keys must join back, got ${bySrc.keys}")
+    Seq(big1, big2).foreach { k =>
+      val n = bySrc(Some(k)).toDouble
+      assert(math.abs(n / 500.0 - 0.5) < 0.15,
+        s"stratum $k keep-rate ≈ 0.5, got ${n / 500.0}")
+    }
+  }
 }
