@@ -219,6 +219,51 @@ object TextAnalysis {
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
   }
 
+  /** Add-one-smoothed bigram language-model cross-entropy per document —
+    * the CCNet/Gopher-style perplexity filter, self-trained on the
+    * corpus so it needs no external model: P(w₂|w₁) = (c(w₁w₂)+1) /
+    * (c(w₁·)+V), per-doc ce = avg(−ln P) over its bigrams, ppl =
+    * exp(ce). Unlike [[bigramLogFreqScore]] (unnormalized ln-frequency)
+    * this is a proper conditional LM score: boilerplate-heavy docs sit
+    * at low perplexity, lexically incoherent ones at high — the
+    * standard cut points for pretraining curation.
+    *
+    * Shape at 100 TB: the model IS two hash aggregations (bigram and
+    * context counts, map-side combined, vocabulary-sized outputs), V is
+    * one scalar row broadcast-crossed into the vocab-sized prob table
+    * (PlanSpec-whitelisted scalar fan-out), and scoring is one shuffle
+    * hash-join of corpus bigrams against that table — no windows, no
+    * sorts. Determinism: every probability is a ratio of exact integers
+    * (identical in any engine) through one correctly-rounded ln; only
+    * the per-doc avg is summation-order-sensitive, and it is rounded to
+    * the repo-wide 6 decimals. Docs with < 2 tokens surface with null
+    * metrics (no bigrams to score).
+    * Output: (idCol, n_bigrams, ce, ppl). */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.NearDup
+    val bg = NearDup.shingleRows(docs, idCol, textCol, 2)
+      .select(col(idCol), col("shingle").as("bigram"))
+    val c12 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("__n"))
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+    val c1 = c12.groupBy(col("__w1")).agg(sum(col("__n")).as("__cn"))
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).as("__v"))
+    val probs = c12.join(c1, Seq("__w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bigram"),
+        log((col("__n") + lit(1)).cast("double") /
+          (col("__cn") + col("__v"))).as("__lp"))
+    val scored = bg.join(probs, Seq("bigram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-col("__lp")), 6).as("ce"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("n_bigrams"), col("ce"),
+        round(exp(col("ce")), 6).as("ppl"))
+  }
+
   /** Deterministic dataset split — the reproducible train/val/test
     * assignment every training pipeline needs: bucket = first 8 md5 hex
     * chars of the id, mod 100; ranges [0,trainPct), [trainPct,

@@ -33,6 +33,21 @@ class KmvBottomK(k: Int) extends Aggregator[Long, KmvBuf, KmvSketch] {
   def outputEncoder: Encoder[KmvSketch] = Encoders.product[KmvSketch]
 }
 
+/** [[KmvBottomK]] that surfaces the RETAINED HASH SET itself (ascending,
+  * ≤ k longs) instead of the collapsed (n, hk) pair — the form needed
+  * for KMV SET OPERATIONS, where two strata's sketches are merged and
+  * intersected downstream. Same ≤ k-longs-per-group state bound. */
+class KmvBottomKSet(k: Int) extends Aggregator[Long, KmvBuf, Seq[Long]] {
+  private val inner = new KmvBottomK(k)
+  def zero: KmvBuf = inner.zero
+  def reduce(b: KmvBuf, h: Long): KmvBuf = inner.reduce(b, h)
+  def merge(a: KmvBuf, b: KmvBuf): KmvBuf = inner.merge(a, b)
+  def finish(b: KmvBuf): Seq[Long] = b.hs
+  def bufferEncoder: Encoder[KmvBuf] = inner.bufferEncoder
+  def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
 /** One top-k candidate: descending-`score` rank with ascending-`id`
   * tiebreak (a total order), `id` doubling as the carried payload key. */
 case class TopKRow(score: Double, id: Long)
@@ -145,6 +160,49 @@ object EventOps {
         when(col("__s.n") < k, col("__s.n").cast("double"))
           .otherwise(round(lit((k - 1).toDouble * math.pow(2, 60)) / col("__s.hk"), 6))
           .as("est_users"))
+  }
+
+  /** Pairwise KMV set-operation estimates between per-stratum DISTINCT
+    * hash sets (Beyer et al. 2007): per stratum one bottom-k sketch
+    * ([[KmvBottomKSet]] — ≤ k longs of state, map-side combined), then
+    * for every stratum pair (a < b) the merged sketch = bottom-k of the
+    * sketch union, |A∪B| from its kth value ((k−1)·2⁶⁰/h_k, the ex04b
+    * estimator — exact when the merge holds under k hashes), Jaccard =
+    * share of merged hashes present in BOTH sketches, |A∩B| = J·|A∪B|.
+    *
+    * The 100 TB shape: the corpus pass is ONE hash aggregation whose
+    * per-group state is k longs; everything after operates on the
+    * stratum-sized sketch table (a mixing config is dozens of sources),
+    * so the a<b pair join is a broadcast of tiny-by-construction rows
+    * (PlanSpec-whitelisted) and the set arithmetic is codegen'd array
+    * ops over 64-element arrays. Deterministic md5-derived hashes ⇒
+    * identical estimates in any engine — fully oracle-checkable.
+    * Input: (strataCol, hashCol) rows, duplicates fine (the sketch
+    * dedups); hashes must be the 60-bit md5-prefix convention.
+    * Output: (src_a, src_b, est_union, jaccard, est_inter). */
+  def kmvSetOverlap(rows: DataFrame, strataCol: String, hashCol: String,
+                    k: Int = 64): DataFrame = {
+    val bottomK = udaf(new KmvBottomKSet(k))
+    val sk = rows.where(col(hashCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(bottomK(col(hashCol)).as("__hs"))
+    val a = sk.select(col(strataCol).as("src_a"), col("__hs").as("__ha"))
+    val b = sk.select(col(strataCol).as("src_b"), col("__hs").as("__hb"))
+    val merged = slice(array_sort(array_union(col("__ha"), col("__hb"))), 1, k)
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("__ha"), col("__hb"),
+        merged.as("__u"))
+      .select(col("src_a"), col("src_b"),
+        size(col("__u")).as("__m"),
+        element_at(col("__u"), size(col("__u"))).as("__hk"),
+        size(array_intersect(array_intersect(col("__u"), col("__ha")),
+          col("__hb"))).as("__jn"))
+      .select(col("src_a"), col("src_b"),
+        when(col("__m") < k, col("__m").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * math.pow(2, 60)) / col("__hk"), 6))
+          .as("est_union"),
+        round(col("__jn").cast("double") / col("__m"), 6).as("jaccard"))
+      .withColumn("est_inter", round(col("est_union") * col("jaccard"), 6))
   }
 
   /** Count-min sketch over a string key column: `depth` md5-derived

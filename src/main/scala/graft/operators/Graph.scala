@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link analysis over plain (src, dst) edge lists — the graph
+  * layer a curation pipeline builds ON TOP of the kNN /near-dup
+  * machinery (centrality over [[Similarity.knnGraph]] edges ranks
+  * "representative" documents in embedding space; the same scores
+  * drive graph-based data selection).
+  *
+  * Deliberately DataFrame-shaped, not a graph framework: each PageRank
+  * iteration is one hash equi-join (ranks × edges on src) plus one
+  * hash aggregation (contributions by dst) — the exact shape Spark
+  * already scales (map-side partial sums, AQE-handled skew). Lineage is
+  * truncated per iteration with [[NearDup.stage]] (localCheckpoint), so
+  * the plan stays iteration-sized instead of growing by one join+agg
+  * per round; at cluster scale you'd pre-bucket the staged edge list by
+  * `src` so the per-iteration join is co-located.
+  *
+  * Determinism contract (what makes it oracle-checkable): ranks are
+  * rounded to 9 decimals after EVERY iteration — both engines then feed
+  * bit-identical inputs into the next round, and the ≤1e-15
+  * summation-order skew of a single iteration's Σ(rank/outdeg) can
+  * never reach the 9th decimal. Final output rounds to the repo-wide 6.
+  */
+object Graph {
+
+  /** Damped PageRank, `iters` synchronous rounds from a uniform 1/N
+    * start. Node set = src ∪ dst (a dst-only node — possible on
+    * general edge lists, never on a kNN graph — keeps receiving rank
+    * but contributes none; dangling mass is NOT redistributed, and the
+    * DuckDB oracle mirrors exactly that).
+    * Output: (node, pagerank), one row per node. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 5, damping: Double = 0.85): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, None, iters, damping)
+
+  /** PageRank with edge weights: a node's outflow splits ∝ weight
+    * instead of uniformly (on a [[Similarity.knnGraph]] the natural
+    * weight is `cos_sim` — strong neighbors inherit more rank, weak
+    * tail edges almost none). Per-source weight sums are rounded to 9
+    * decimals so the per-edge transition probabilities — the inputs to
+    * the next iteration — are bit-identical across engines; weights
+    * must be non-negative with a positive per-source sum. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int = 5,
+                       damping: Double = 0.85): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, Some(weightCol), iters, damping)
+
+  /** Personalized PageRank (random walk with restart): the teleport
+    * mass lands ONLY on `seeds` — rank measures proximity to the seed
+    * set, the "expand from curated seed documents" selection score.
+    * Seeds: one column of node ids (deduped; ids absent from the graph
+    * contribute nothing). Start vector = uniform over seeds∩nodes. Same
+    * per-iteration join+agg shape and 9-decimal rounding as
+    * [[pageRank]]; the seed membership flag rides the node frame as one
+    * broadcast-joined bit. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int = 5, damping: Double = 0.85): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, None, iters, damping,
+      Some(seeds.select(col(seedCol).as("node")).distinct()))
+
+  private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                           weightCol: Option[String], iters: Int,
+                           damping: Double,
+                           seeds: Option[DataFrame] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    val e = NearDup.stage(edges.select(
+      col(srcCol).as("__src") +: col(dstCol).as("__dst") +:
+        weightCol.map(w => col(w).cast("double").as("__w")).toSeq: _*))
+    val nodes0 = e.select(col("__src").as("node"))
+      .unionAll(e.select(col("__dst").as("node"))).distinct()
+    // seed flag joined once; nodes carry (node, __seed)
+    val nodes = NearDup.stage(seeds match {
+      case Some(sd) => nodes0
+        .join(broadcast(sd.withColumn("__seed", lit(true))), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      case None => nodes0.withColumn("__seed", lit(true))
+    })
+    // uniform: share = 1/outdeg; weighted: share = w / round(Σw, 9)
+    val deg = weightCol match {
+      case Some(_) =>
+        e.groupBy(col("__src")).agg(round(sum(col("__w")), 9).as("__od"))
+      case None => e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
+    }
+    val share = weightCol match {
+      case Some(_) => col("__r") * col("__w") / col("__od")
+      case None => col("__r") / col("__od")
+    }
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.select(col("node"), lit(0.0).as("pagerank")).limit(0)
+    // teleport base count: all nodes (plain PR) or the in-graph seeds
+    val nT = if (seeds.isEmpty) n
+             else nodes.filter(col("__seed")).count()
+    require(nT > 0, "personalized PageRank needs >= 1 seed present in the graph")
+    val teleport = when(col("__seed"), lit((1.0 - damping) / nT))
+      .otherwise(lit(0.0))
+    var r = nodes.select(col("node"), col("__seed"),
+      when(col("__seed"), round(lit(1.0 / nT), 9)).otherwise(lit(0.0)).as("__r"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r.select(col("node").as("__src"), col("__r")), Seq("__src"))
+        .join(deg, Seq("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(share).as("__m"))
+      r = NearDup.stage(
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"), col("__seed"),
+            round(teleport +
+              lit(damping) * coalesce(col("__m"), lit(0.0)), 9).as("__r")))
+    }
+    r.select(col("node"), round(col("__r"), 6).as("pagerank"))
+  }
+}

@@ -1514,6 +1514,80 @@ SELECT train_id, eval_id, cos_sim, source FROM (
   JOIN norms n2 ON n2.vec_id = d.eval_id) t
 JOIN documents doc ON doc.doc_id = t.train_id
 WHERE cos_sim > 0.1""")),
+
+    // Self-trained bigram-LM perplexity filter (CCNet/Gopher style):
+    // add-one-smoothed P(w2|w1) from corpus bigram/context counts,
+    // per-doc cross-entropy and perplexity. Proper conditional LM —
+    // unlike tx09's unnormalized ln-frequency score — so the low tail
+    // is boilerplate and the high tail lexical noise, the standard
+    // curation cut points.
+    Q("tx34_bigram_lm",
+      (s, d) => TextAnalysis.bigramLmScore(
+        Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram, toks[i] AS w1
+       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+             FROM t WHERE len(toks) >= 2) x),
+c12 AS (SELECT bigram, w1, count(*) AS n FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(n) AS cn FROM c12 GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS vs
+      FROM (SELECT unnest(toks) AS tok FROM t)),
+pr AS (SELECT c12.bigram,
+              ln((c12.n + 1) / CAST(c1.cn + v.vs AS DOUBLE)) AS lp
+       FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(avg(-lp), 6) AS ce
+       FROM bg JOIN pr USING (bigram) GROUP BY 1)
+SELECT d.doc_id, sc.n_bigrams, sc.ce, round(exp(sc.ce), 6) AS ppl
+FROM documents d LEFT JOIN sc USING (doc_id)""")),
+
+    // Cross-source vocabulary overlap via KMV set operations: one
+    // bottom-64 sketch per source (k longs of state, map-side
+    // combined), pairwise union/Jaccard/intersection estimates from
+    // merged sketches — the O(1)-state answer to "how much vocabulary
+    // do two corpus slices share" that at 100 TB replaces any
+    // distinct-join between sources.
+    Q("tx35_vocab_overlap_kmv",
+      (s, d) => {
+        val rows = Tables.documents(s, d)
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .select(col("source"),
+            conv(substring(md5(col("tok")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+        graft.operators.EventOps.kmvSetOverlap(rows, "source", "h", 64)
+      },
+      Some(s"""WITH dh AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT source, unnest($toksSql) AS tok FROM documents) x),
+bk AS (SELECT source, h FROM (
+         SELECT source, h,
+                row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         FROM dh) z
+       WHERE rn <= 64),
+p AS (SELECT a.source AS sa, b.source AS sb
+      FROM (SELECT DISTINCT source FROM dh) a
+      JOIN (SELECT DISTINCT source FROM dh) b ON a.source < b.source),
+u0 AS (SELECT p.sa, p.sb, k.h,
+              max(CASE WHEN k.source = p.sa THEN 1 ELSE 0 END) AS ina,
+              max(CASE WHEN k.source = p.sb THEN 1 ELSE 0 END) AS inb
+       FROM p JOIN bk k ON k.source = p.sa OR k.source = p.sb
+       GROUP BY 1, 2, 3),
+rk AS (SELECT sa, sb, h, ina, inb,
+              row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       FROM u0),
+mm AS (SELECT sa, sb, count(*) AS m, max(h) AS hk,
+              sum(ina * inb) AS jn
+       FROM rk WHERE rn <= 64 GROUP BY 1, 2),
+fin AS (SELECT sa AS src_a, sb AS src_b,
+               CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                    ELSE round(63.0 * power(2.0, 60) / hk, 6) END AS est_union,
+               round(CAST(jn AS DOUBLE) / m, 6) AS jaccard
+        FROM mm)
+SELECT src_a, src_b, est_union, jaccard,
+       round(est_union * jaccard, 6) AS est_inter
+FROM fin""")),
   )
 
   /** Shared simhash CTE chain mirroring [[NearDup.simhash]]. */

@@ -26,6 +26,82 @@ norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY vec_id)"""
        (SELECT unnest(generate_series(0, 63)) AS d) dd
 )"""
 
+  /** DuckDB mirror of [[Similarity.knnGraph]] (ann12's exact chain:
+    * 8-plane LSH buckets, 200 hot-bucket cap, within-bucket cosine,
+    * top-5 rank) ending in CTE `edges(vec_id, nbr_id, cos_sim, rk)` —
+    * shared by ann12 itself and the graph queries built on it. */
+  private val knnEdgesCtes: String = s"""$planesSql,
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
+bk0 AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+bk AS (SELECT b0.vec_id, b0.bucket FROM bk0 b0
+       JOIN (SELECT bucket FROM bk0 GROUP BY bucket
+             HAVING count(*) <= 200) ok USING (bucket)),
+${flatCte()},
+prs AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+dots AS (SELECT p.vec_id, p.nbr_id, sum(f1.v * f2.v) AS dp
+         FROM prs p
+         JOIN flat f1 ON f1.vec_id = p.vec_id
+         JOIN flat f2 ON f2.vec_id = p.nbr_id AND f1.i = f2.i
+         GROUP BY 1, 2),
+scored AS (SELECT d.vec_id, d.nbr_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
+           FROM dots d
+           JOIN norms n1 ON n1.vec_id = d.vec_id
+           JOIN norms n2 ON n2.vec_id = d.nbr_id),
+edges AS (SELECT vec_id, nbr_id, cos_sim, rk FROM (
+  SELECT vec_id, nbr_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY vec_id
+           ORDER BY cos_sim DESC, nbr_id ASC) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 5)"""
+
+  /** Unrolled PageRank iterations mirroring [[graft.operators.Graph
+    * .pageRank]]: expects CTEs `edges(vec_id, nbr_id, …)`, `nodes`,
+    * `deg(src, od)`, `nn(n)`, `r0(vec_id, r)`; emits `s1/r1 … s$iters/
+    * r$iters` with the same per-iteration 9-decimal rounding. */
+  private def pageRankIterCtes(iters: Int, damping: Double,
+                               share: String = "r.r / d.od"): String =
+    (1 to iters).map { i =>
+      // CASTs pin DOUBLE arithmetic: a bare 0.85 literal is DECIMAL in
+      // DuckDB and decimal division would truncate at a different scale
+      // than Spark's float path.
+      s"""s$i AS (SELECT e.nbr_id AS vec_id, sum($share) AS m
+       FROM edges e
+       JOIN r${i - 1} r ON r.vec_id = e.vec_id
+       JOIN deg d ON d.src = e.vec_id
+       GROUP BY 1),
+r$i AS (SELECT n.vec_id,
+               round((1 - CAST($damping AS DOUBLE)) / nn.n +
+                     CAST($damping AS DOUBLE) * coalesce(s$i.m, 0), 9) AS r
+        FROM nodes n CROSS JOIN nn
+        LEFT JOIN s$i ON s$i.vec_id = n.vec_id)"""
+    }.mkString(",\n")
+
+  /** [[pageRankIterCtes]] variant for personalized PageRank: teleport
+    * only at seeds (CTEs `sd(vec_id)` and `nt(n)` supply the seed set
+    * and its size). */
+  private def pprIterCtes(iters: Int, damping: Double): String =
+    (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.nbr_id AS vec_id, sum(r.r / d.od) AS m
+       FROM edges e
+       JOIN r${i - 1} r ON r.vec_id = e.vec_id
+       JOIN deg d ON d.src = e.vec_id
+       GROUP BY 1),
+r$i AS (SELECT n.vec_id,
+               round(CASE WHEN sd.vec_id IS NOT NULL
+                          THEN (1 - CAST($damping AS DOUBLE)) / nt.n
+                          ELSE CAST(0 AS DOUBLE) END +
+                     CAST($damping AS DOUBLE) * coalesce(s$i.m, 0), 9) AS r
+        FROM nodes n CROSS JOIN nt
+        LEFT JOIN sd ON sd.vec_id = n.vec_id
+        LEFT JOIN s$i ON s$i.vec_id = n.vec_id)"""
+    }.mkString(",\n")
+
   /** DuckDB mirror of [[Similarity.kmeansCentroids]] in flattened
     * (centroid_id, i, v) space: init = first `k` vectors rounded to 6
     * decimals, then per iteration a cosine argmax assignment and a
@@ -1029,35 +1105,79 @@ SELECT 'ivfpq_refine', 10, round(count(*) / 100.0, 6)
     Q("ann12_knn_graph",
       (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), 5,
         maxBucketSize = Some(200)),
-      Some(s"""WITH $planesSql,
-fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
-              unnest(embedding)::DOUBLE AS v
-       FROM embeddings),
-bits AS (SELECT vec_id, p,
-                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
-         FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
-bk0 AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
-bk AS (SELECT b0.vec_id, b0.bucket FROM bk0 b0
-       JOIN (SELECT bucket FROM bk0 GROUP BY bucket
-             HAVING count(*) <= 200) ok USING (bucket)),
-${flatCte()},
-prs AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id
-        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-dots AS (SELECT p.vec_id, p.nbr_id, sum(f1.v * f2.v) AS dp
-         FROM prs p
-         JOIN flat f1 ON f1.vec_id = p.vec_id
-         JOIN flat f2 ON f2.vec_id = p.nbr_id AND f1.i = f2.i
-         GROUP BY 1, 2),
-scored AS (SELECT d.vec_id, d.nbr_id, round(dp / (n1.nrm * n2.nrm), 6) AS cos_sim
-           FROM dots d
-           JOIN norms n1 ON n1.vec_id = d.vec_id
-           JOIN norms n2 ON n2.vec_id = d.nbr_id)
-SELECT vec_id, nbr_id, cos_sim, rk FROM (
-  SELECT vec_id, nbr_id, cos_sim,
-         CAST(row_number() OVER (PARTITION BY vec_id
-           ORDER BY cos_sim DESC, nbr_id ASC) AS BIGINT) AS rk
-  FROM scored) t
-WHERE rk <= 5""")),
+      Some(s"""WITH $knnEdgesCtes
+SELECT vec_id, nbr_id, cos_sim, rk FROM edges""")),
+
+    // PageRank over the ann12 kNN graph — centrality in embedding
+    // space, the graph-based data-selection score (representative docs
+    // rank high, isolated near-dup satellites low). 5 damped rounds,
+    // uniform start; per-iteration 9-decimal rounding pins cross-engine
+    // agreement (see operators/Graph.scala).
+    Q("gr01_pagerank",
+      (s, d) => graft.operators.Graph.pageRank(
+        Similarity.knnGraph(Tables.embeddings(s, d), 5,
+          maxBucketSize = Some(200)),
+        "vec_id", "nbr_id", iters = 5, damping = 0.85)
+        .withColumnRenamed("node", "vec_id"),
+      Some(s"""WITH $knnEdgesCtes,
+nodes AS (SELECT vec_id FROM edges UNION SELECT nbr_id FROM edges),
+deg AS (SELECT vec_id AS src, count(*) AS od FROM edges GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT vec_id, round(CAST(1 AS DOUBLE) / nn.n, 9) AS r FROM nodes, nn),
+${pageRankIterCtes(5, 0.85)}
+SELECT vec_id, round(r, 6) AS pagerank FROM r5""")),
+
+    // Weighted PageRank on the same graph: outflow splits ∝ edge
+    // weight — the similarity-aware centrality (a strong near-neighbor
+    // inherits more rank than a weak tail edge). Weight = 1 + cos_sim:
+    // the fixture's random vectors produce NEGATIVE similarities (and
+    // even negative per-source sums, measured −0.31 at sf0.01), which
+    // would invert the rank flow; the +1 shift keeps weights strictly
+    // positive while preserving the ordering. Per-source weight sums
+    // are rounded to 9 decimals on BOTH sides so the transition
+    // probabilities feeding each iteration are bit-identical.
+    Q("gr02_pagerank_weighted",
+      (s, d) => graft.operators.Graph.pageRankWeighted(
+        Similarity.knnGraph(Tables.embeddings(s, d), 5,
+          maxBucketSize = Some(200))
+          .withColumn("w", col("cos_sim") + lit(1)),
+        "vec_id", "nbr_id", "w", iters = 5, damping = 0.85)
+        .withColumnRenamed("node", "vec_id"),
+      Some(s"""WITH $knnEdgesCtes,
+nodes AS (SELECT vec_id FROM edges UNION SELECT nbr_id FROM edges),
+deg AS (SELECT vec_id AS src, round(sum(cos_sim + 1), 9) AS od
+        FROM edges GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT vec_id, round(CAST(1 AS DOUBLE) / nn.n, 9) AS r FROM nodes, nn),
+${pageRankIterCtes(5, 0.85, share = "r.r * (e.cos_sim + 1) / d.od")}
+SELECT vec_id, round(r, 6) AS pagerank FROM r5""")),
+
+    // Personalized PageRank from a curated seed set (vec_id < 25):
+    // teleport mass restarts ONLY at seeds, so rank = random-walk
+    // proximity to the seeds — the "expand from known-good documents"
+    // selection score. Seeds outside the graph (capped/singleton
+    // buckets) are ignored on both sides.
+    Q("gr03_ppr_seeds",
+      (s, d) => graft.operators.Graph.personalizedPageRank(
+        Similarity.knnGraph(Tables.embeddings(s, d), 5,
+          maxBucketSize = Some(200)),
+        "vec_id", "nbr_id",
+        Tables.embeddings(s, d).select(col("vec_id")).filter(col("vec_id") < 25),
+        "vec_id", iters = 5, damping = 0.85)
+        .withColumnRenamed("node", "vec_id"),
+      Some(s"""WITH $knnEdgesCtes,
+nodes AS (SELECT vec_id FROM edges UNION SELECT nbr_id FROM edges),
+deg AS (SELECT vec_id AS src, count(*) AS od FROM edges GROUP BY 1),
+sd AS (SELECT vec_id FROM nodes WHERE vec_id < 25),
+nt AS (SELECT count(*) AS n FROM sd),
+r0 AS (SELECT n.vec_id,
+              CASE WHEN sd.vec_id IS NOT NULL
+                   THEN round(CAST(1 AS DOUBLE) / nt.n, 9)
+                   ELSE CAST(0 AS DOUBLE) END AS r
+       FROM nodes n CROSS JOIN nt
+       LEFT JOIN sd ON sd.vec_id = n.vec_id),
+${pprIterCtes(5, 0.85)}
+SELECT vec_id, round(r, 6) AS pagerank FROM r5""")),
 
     // Embedding near-dup, corpus-scale form: LSH-bucket blocking over
     // the FULL table (no id block) — bucket equi-join, not an all-pairs

@@ -334,7 +334,15 @@ class PlanSpec extends SparkSpec {
       // IVF-PQ refine rides ann10's k-means assignment (corpus ×
       // broadcast(16 centroids)); the exact re-rank leg is an
       // equi-join on (vec_id) × broadcast queries
-      "ann11_ivfpq_refine")
+      "ann11_ivfpq_refine",
+      // bigram LM: the vocabulary size is ONE broadcast row crossed
+      // into the vocab-sized prob table — scalar fan-out; the corpus
+      // scoring join is equi on bigram
+      "tx34_bigram_lm",
+      // KMV set ops: the a<b pair join is over the stratum-sized
+      // sketch table (one k-long row per source, broadcast) — tiny by
+      // construction; the corpus pass is a plain hash agg
+      "tx35_vocab_overlap_kmv")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val nonEqui = df.queryExecution.optimizedPlan.collect {

@@ -126,6 +126,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).get == 0.0)
   }
 
+  test("bigramLmScore: hand-computed smoothed conditional cross-entropy; short docs null") {
+    import spark.implicits._
+    // V = {a,b,c} = 3; bigram counts: "a b"→3, "b a"→1; context counts:
+    // a→3, b→1. P(b|a) = (3+1)/(3+3), P(a|b) = (1+1)/(1+3).
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None
+         else Some((r.getLong(1), r.getDouble(2), r.getDouble(3))))).toMap
+    assert(out(3L).isEmpty, "single-token doc has no bigrams")
+    val pba = 4.0 / 6; val pab = 2.0 / 4
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ce1 = r6(-(math.log(pba) * 2 + math.log(pab)) / 3)
+    val ce2 = r6(-math.log(pba))
+    assert(out(1L).get == ((3L, ce1, r6(math.exp(ce1)))))
+    assert(out(2L).get == ((1L, ce2, r6(math.exp(ce2)))))
+    // doc1 carries the rare "b a" bigram → strictly higher ce than
+    // doc2, which is purely the modal bigram
+    assert(ce1 > ce2)
+  }
+
   test("scrubPii redacts emails, IPs, phones; leaves prose and ordinary numbers") {
     import spark.implicits._
     val out = Seq(

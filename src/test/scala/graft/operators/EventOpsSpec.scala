@@ -145,6 +145,33 @@ class EventOpsSpec extends SparkSpec {
     assert(est == again, "deterministic estimator")
   }
 
+  test("kmvSetOverlap: exact set algebra under k; estimates and identities above k") {
+    val h = (s: String) => // any injective 60-bit stand-in works for the test
+      java.nio.ByteBuffer.wrap(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))).getLong >>> 4
+    // A = {1..40}, B = {21..60} → |A∪B| = 60, |A∩B| = 20, J = 1/3 —
+    // all under k=64, so every estimate must be EXACT.
+    val rows = ((1 to 40).map(i => ("a", h(s"x$i"))) ++
+      (21 to 60).map(i => ("b", h(s"x$i")))).toDF("src", "h")
+    val out = EventOps.kmvSetOverlap(rows, "src", "h", 64).collect().head
+    assert(out.getAs[String]("src_a") == "a" && out.getAs[String]("src_b") == "b")
+    assert(out.getAs[Double]("est_union") == 60.0)
+    assert(math.abs(out.getAs[Double]("jaccard") - 20.0 / 60) < 1e-6)
+    assert(math.abs(out.getAs[Double]("est_inter") - 20.0) < 1e-3)
+    // Above k: disjoint sets → jaccard 0; identical sets → jaccard 1,
+    // union estimate within sampling error of the true 2000.
+    val big = ((1 to 2000).map(i => ("p", h(s"p$i"))) ++
+      (1 to 2000).map(i => ("q", h(s"p$i"))) ++
+      (1 to 2000).map(i => ("r", h(s"r$i")))).toDF("src", "h")
+    val m = EventOps.kmvSetOverlap(big, "src", "h", 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (uPq, jPq, iPq) = m(("p", "q"))
+    assert(jPq == 1.0 && math.abs(uPq - 2000) / 2000 < 0.4 && iPq == uPq)
+    assert(m(("p", "r"))._2 == 0.0 && m(("p", "r"))._3 == 0.0)
+  }
+
   test("CMS: bounded cells, estimates upper-bound truth, exact at ample width") {
     val words = Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
       (1 to 30).map(i => s"cold$i")

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: symmetric pair splits mass evenly; sink-heavy star ranks the hub highest") {
+    // Two components: a 2-cycle (a↔b) and a star where 1..3 all point
+    // at hub 10 and the hub points back at 1 only.
+    val edges = Seq(
+      (100L, 101L), (101L, 100L),
+      (1L, 10L), (2L, 10L), (3L, 10L), (10L, 1L))
+      .toDF("src", "dst")
+    // 40 rounds: the 1↔10 loop oscillates with period 2 (damped by
+    // d² = 0.7225 per cycle) — near convergence the hub strictly wins.
+    val pr = Graph.pageRank(edges, "src", "dst", iters = 40, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(pr.size == 6)
+    // the 2-cycle is closed and symmetric: both nodes keep exactly 1/n
+    assert(pr(100L) == pr(101L))
+    assert(math.abs(pr(100L) - 1.0 / 6) < 1e-6)
+    // the hub receives three nodes' full rank — strictly the largest
+    assert(pr(10L) == pr.values.max)
+    // 1 receives the hub's entire outflow — ranks above the leaf 2/3
+    assert(pr(1L) > pr(2L) && pr(2L) == pr(3L))
+  }
+
+  test("pageRank: total mass ≈ 1 on a dangling-free graph; deterministic rerun") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "t")
+    val run1 = Graph.pageRank(edges, "s", "t", 5, 0.85)
+      .orderBy($"node").as[(Long, Double)].collect().toSeq
+    assert(math.abs(run1.map(_._2).sum - 1.0) < 1e-4)
+    val run2 = Graph.pageRank(edges, "s", "t", 5, 0.85)
+      .orderBy($"node").as[(Long, Double)].collect().toSeq
+    assert(run1 == run2)
+  }
+
+  test("pageRank: dst-only node receives rank but its mass is not redistributed") {
+    // 1 → 2, 2 has no out-edges (dangling): documented semantics — 2
+    // accumulates, total mass decays below 1.
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, "src", "dst", 3, 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(pr.keySet == Set(1L, 2L))
+    assert(pr(2L) > pr(1L))
+    assert(pr.values.sum < 1.0)
+  }
+
+  test("pageRankWeighted: outflow splits proportionally to edge weight") {
+    // 0 sends to 1 with weight 3 and to 2 with weight 1; both send
+    // back. After one round, 1's inflow is exactly 3× 2's.
+    val edges = Seq((0L, 1L, 3.0), (0L, 2L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0))
+      .toDF("src", "dst", "w")
+    val pr = Graph.pageRankWeighted(edges, "src", "dst", "w", iters = 1)
+      .as[(Long, Double)].collect().toMap
+    val in1 = pr(1L) - 0.05 // strip teleport (1-d)/3
+    val in2 = pr(2L) - 0.05
+    assert(math.abs(in1 / in2 - 3.0) < 1e-3,
+      s"weighted split must be 3:1, got $in1 : $in2")
+    // uniform variant splits the same edges 1:1
+    val u = Graph.pageRank(edges, "src", "dst", iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(u(1L) == u(2L))
+  }
+
+  test("personalizedPageRank: mass concentrates near the seed; off-graph seeds ignored") {
+    // chain 1 → 2 → 3 → 4 with back edges; seed at 1 (and a phantom
+    // seed 99 that is not in the graph).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 1L), (3L, 2L), (4L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("id")
+    val pr = Graph.personalizedPageRank(edges, "src", "dst", seeds, "id",
+      iters = 20, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L), "phantom seed stays out")
+    // proximity to the seed decays down the chain (node 1 funnels its
+    // whole rank into 2, so 2 edges out 1 — but both dominate 3 and 4)
+    assert(pr(2L) > pr(3L) && pr(3L) > pr(4L) && pr(1L) > pr(3L))
+    // a node with no walk from the seed would be 0; all are reachable
+    assert(pr(4L) > 0.0)
+    val e = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, "src", "dst",
+        Seq(99L).toDF("id"), "id")
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
+  test("pageRank: empty edge list yields an empty frame with the output schema") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Graph.pageRank(empty, "src", "dst")
+    assert(out.columns.toSeq == Seq("node", "pagerank"))
+    assert(out.count() == 0)
+  }
+}
