@@ -41,6 +41,29 @@ object Formats {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Raw text ingestion: one row per LINE (`value: string`) — splittable,
+    * the crawl-dump shape; `wholeFile = true` reads one row per FILE
+    * (document-per-file corpora; non-splittable, so pair it with many
+    * input files, not one giant one). */
+  def readText(spark: SparkSession, path: String,
+               wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+
+  /** Multimodal ingestion: Spark's `binaryFile` source reads raw
+    * image/audio/video files into (path, modificationTime, length,
+    * content: binary) rows — the entry point of the Multimodal family
+    * (decode/feature steps consume the `content` column). Per-file
+    * rows are non-splittable; `glob` (e.g. `*.png`) prunes at FILE
+    * LISTING time, before any bytes are read — at 100 TB the listing
+    * filter is the difference between scanning a prefix and scanning
+    * a lake. */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   /** Partitioned-JDBC read options — the OP-01 scale path. The reference
     * does ONE single-threaded fetchAll (EtlHisTurnosCommand.php:323-324);
     * at scale the read must be split into `numPartitions` range slices

@@ -53,6 +53,32 @@ class FormatsSpec extends SparkSpec {
     assert(ids.count(_.isEmpty) == 1) // malformed field nulled, not fatal
   }
 
+  test("readText: one row per line; wholeFile=true one row per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_text")
+    java.nio.file.Files.write(dir.resolve("a.txt"), "line1\nline2\n".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.txt"), "solo\n".getBytes)
+    val lines = Formats.readText(spark, dir.toString)
+    assert(lines.as[String].collect().sorted.toSeq == Seq("line1", "line2", "solo"))
+    val whole = Formats.readText(spark, dir.toString, wholeFile = true)
+    assert(whole.as[String].collect().map(_.linesIterator.size).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("readBinaryFiles: raw bytes with metadata; glob prunes at listing time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    val png = Array[Byte](0x50, 0x4e, 0x47, 0x00, 0x7f)
+    java.nio.file.Files.write(dir.resolve("img.png"), png)
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "skip me".getBytes)
+    val all = Formats.readBinaryFiles(spark, dir.toString)
+    assert(all.count() == 2)
+    assert(all.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val onlyPng = Formats.readBinaryFiles(spark, dir.toString, Some("*.png"))
+      .select("content", "length").collect()
+    assert(onlyPng.length == 1)
+    assert(onlyPng.head.getAs[Array[Byte]]("content").toSeq == png.toSeq)
+    assert(onlyPng.head.getAs[Long]("length") == png.length.toLong)
+  }
+
   test("jdbcReadOptions builds a complete partitioned-read spec") {
     val opts = Formats.jdbcReadOptions("jdbc:postgresql://h/db", "turnos",
       "id", 1L, 1000000L, 32)
