@@ -62,6 +62,50 @@ object Graph {
     pageRankImpl(edges, srcCol, dstCol, None, iters, damping,
       Some(seeds.select(col(seedCol).as("node")).distinct()))
 
+  /** Exact triangle counting + local clustering coefficients over an
+    * edge list treated as UNDIRECTED (direction and duplicates
+    * collapse to canonical a<b pairs; self-loops dropped). On a kNN
+    * graph the coefficient separates tight near-dup clusters
+    * (neighbors-of-neighbors interconnect, coeff → 1) from hub-like
+    * boilerplate nodes (high degree, sparse neighborhoods).
+    *
+    * Compact-forward algorithm as three hash equi-joins: canonical
+    * edges sharing their LOWER endpoint form wedges (b, c | a, b<c),
+    * closed by an equi-probe of (b, c) against the edge list — each
+    * triangle a<b<c counted exactly once. Wedge fan-out is
+    * Σ_a lowdeg(a)², bounded by k²·n on a k-NN graph, never n²; the
+    * b<c residual rides an a=a equi-join, so no nested loop anywhere.
+    * Integer counts end to end; the coefficient 2T/(d(d−1)) is one
+    * exact-integer division rounded to 6 (null for degree < 2).
+    * Output: (node, degree, n_triangles, clustering_coeff). */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = NearDup.stage(edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct())
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val wedges = und.as("w1")
+      .join(und.as("w2"),
+        col("w1.a") === col("w2.a") && col("w1.b") < col("w2.b"))
+      .select(col("w1.a").as("a"), col("w1.b").as("b"), col("w2.b").as("c"))
+      .as("w")
+    val tri = wedges
+      .join(und.as("e"),
+        col("w.b") === col("e.a") && col("w.c") === col("e.b"))
+      .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round((lit(2) * coalesce(col("n_triangles"), lit(0L))).cast("double") /
+            (col("degree") * (col("degree") - 1)), 6)).as("clustering_coeff"))
+  }
+
   private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
                            weightCol: Option[String], iters: Int,
                            damping: Double,

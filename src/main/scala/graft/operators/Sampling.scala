@@ -163,6 +163,39 @@ object Sampling {
       .filter(b < round(col("__rate") * 10000))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006
+    * A-Res), deterministic: each row gets the key ln(u)/w with
+    * u = (h+1)/2⁶⁰ md5-uniform in (0,1] and w its POSITIVE weight; the
+    * k LARGEST keys per stratum are an exact weight-proportional sample
+    * without replacement. ln(u)/w is the monotone equivalent of the
+    * textbook u^(1/w) — division instead of pow keeps the only
+    * transcendental call one ln on engine-identical inputs. Keys are
+    * rounded to 9 decimals with an id tiebreak, pinning the selection
+    * across engines.
+    *
+    * The 100 TB shape: the key is a pure codegen projection (no RNG
+    * state), and the per-stratum top-k runs through Spark's
+    * WindowGroupLimit — a PARTIAL k-limit per map partition before the
+    * shuffle, so the sort never sees more than k·partitions rows per
+    * stratum (PlanSpec's pushdown sweep gates this). Weights must be
+    * strictly positive (shift count-like weights by +1); this is the
+    * quality-weighted curation sampler — "pick 10k docs ∝ quality
+    * score, no duplicates, reproducibly". */
+  def weightedSample(df: DataFrame, idCol: String, strataCol: String,
+                     weight: Column, k: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val u = (h + lit(1)).cast("double") / lit(math.pow(2, 60))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("__k").desc, col(idCol).asc)
+    df.withColumn("__k", round(log(u) / weight, 9))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(strataCol), col("rnk"), col(idCol),
+        col("__k").as("ares_key"))
+  }
+
   /** Exact temperature-rule token allocation with saturation
     * (waterfilling): allocate `budgetFrac · Σtokens` over the sources
     * with share ∝ tokens^α; any source whose allocation exceeds its

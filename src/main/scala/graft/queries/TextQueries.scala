@@ -1588,6 +1588,31 @@ fin AS (SELECT sa AS src_a, sb AS src_b,
 SELECT src_a, src_b, est_union, jaccard,
        round(est_union * jaccard, 6) AS est_inter
 FROM fin""")),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    // A-Res): 16 docs per source ∝ (tokens+1), deterministic
+    // md5-uniform keys — the reproducible quality-weighted curation
+    // sampler. ln(u)/w keys, 9-decimal rounding + id tiebreak pin the
+    // selection across engines; WindowGroupLimit keeps the per-stratum
+    // top-k partial before the shuffle.
+    Q("tx36_weighted_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            (size(TextAnalysis.tokens(col("text"))) + lit(1)).as("__w"))
+        Sampling.weightedSample(docs, "doc_id", "source", col("__w"), 16)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, len($toksSql) + 1 AS w FROM documents),
+ky AS (SELECT doc_id, source,
+              round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                       / power(2.0, 60)) / w, 9) AS ares_key
+       FROM t),
+r AS (SELECT source, doc_id, ares_key,
+             row_number() OVER (PARTITION BY source
+               ORDER BY ares_key DESC, doc_id ASC) AS rnk
+      FROM ky)
+SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, ares_key
+FROM r WHERE rnk <= 16""")),
   )
 
   /** Shared simhash CTE chain mirroring [[NearDup.simhash]]. */

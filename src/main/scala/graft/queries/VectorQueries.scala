@@ -1179,6 +1179,40 @@ r0 AS (SELECT n.vec_id,
 ${pprIterCtes(5, 0.85)}
 SELECT vec_id, round(r, 6) AS pagerank FROM r5""")),
 
+    // Exact triangles + clustering coefficients on the kNN graph —
+    // the structure metric that separates tight near-dup clusters
+    // (coeff → 1) from hub-like sparse neighborhoods. Wedge join on
+    // the canonical lower endpoint: Σ lowdeg² fan-out (k²·n on a kNN
+    // graph), closed by one equi-probe; integer counts end to end.
+    Q("gr04_triangles",
+      (s, d) => graft.operators.Graph.triangleStats(
+        Similarity.knnGraph(Tables.embeddings(s, d), 5,
+          maxBucketSize = Some(200)),
+        "vec_id", "nbr_id")
+        .withColumnRenamed("node", "vec_id"),
+      Some(s"""WITH $knnEdgesCtes,
+und AS (SELECT DISTINCT least(vec_id, nbr_id) AS a,
+               greatest(vec_id, nbr_id) AS b
+        FROM edges WHERE vec_id <> nbr_id),
+nbr AS (SELECT a AS node FROM und UNION ALL SELECT b FROM und),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM nbr GROUP BY 1),
+tri AS (SELECT w1.a AS a, w1.b AS b, w2.b AS c
+        FROM und w1
+        JOIN und w2 ON w1.a = w2.a AND w1.b < w2.b
+        JOIN und e ON e.a = w1.b AND e.b = w2.b),
+pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM (SELECT a AS node FROM tri UNION ALL
+             SELECT b FROM tri UNION ALL
+             SELECT c FROM tri) x
+       GROUP BY 1)
+SELECT deg.node AS vec_id, deg.degree,
+       coalesce(pn.n_triangles, 0) AS n_triangles,
+       CASE WHEN deg.degree >= 2
+            THEN round(CAST(2 * coalesce(pn.n_triangles, 0) AS DOUBLE) /
+                       (deg.degree * (deg.degree - 1)), 6)
+       END AS clustering_coeff
+FROM deg LEFT JOIN pn USING (node)""")),
+
     // Embedding near-dup, corpus-scale form: LSH-bucket blocking over
     // the FULL table (no id block) — bucket equi-join, not an all-pairs
     // theta-join. Threshold is low (0.1) because the fixture vectors

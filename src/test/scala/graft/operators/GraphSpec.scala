@@ -87,6 +87,23 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("seed"))
   }
 
+  test("triangleStats: hand-counted K4-minus-an-edge; duplicates, direction, self-loops collapse") {
+    // 1-2, 1-3, 2-3, 2-4, 3-4 (K4 without 1-4) + a pendant 5-1.
+    // Triangles: {1,2,3}, {2,3,4}. Noise: reversed dup (2,1), self-loop
+    // (3,3) — all must collapse into the canonical undirected set.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (2L, 1L), (3L, 3L)).toDF("s", "t")
+    val out = Graph.triangleStats(edges, "s", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(1L) == ((3L, 1L, Some(0.333333))))
+    assert(out(2L) == ((3L, 2L, Some(0.666667))))
+    assert(out(3L) == ((3L, 2L, Some(0.666667))))
+    assert(out(4L) == ((2L, 1L, Some(1.0))))
+    assert(out(5L) == ((1L, 0L, None)), "degree-1 node: no coefficient")
+  }
+
   test("pageRank: empty edge list yields an empty frame with the output schema") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     val out = Graph.pageRank(empty, "src", "dst")

@@ -154,6 +154,36 @@ class SamplingSpec extends SparkSpec {
       s"waterfill should realize ≈ $budgetFrac, got $filled")
   }
 
+  test("weightedSample: selection equals the A-Res formula computed independently") {
+    def key(id: Long, w: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / math.pow(2, 60)
+      BigDecimal(math.log(u) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = (1L to 50L).map(i => (i, "s", 1.0 + (i % 3)))
+    val expected = rows.map { case (i, _, w) => (key(i, w), i) }
+      .sortBy { case (k, i) => (-k, i) }.take(8).map(_._2).toSet
+    val df = rows.toDF("id", "src", "w")
+    val got = Sampling.weightedSample(df, "id", "src", $"w", 8)
+      .select($"id").as[Long].collect().toSet
+    assert(got == expected, s"operator picked $got, formula says $expected")
+    // deterministic rerun
+    assert(Sampling.weightedSample(df, "id", "src", $"w", 8)
+      .select($"id").as[Long].collect().toSet == got)
+  }
+
+  test("weightedSample: an overwhelming weight is always drawn first; k caps per stratum") {
+    val df = ((1L to 30L).map(i => (i, "a", 1.0)) :+ (99L, "a", 1e9))
+      .toDF("id", "src", "w")
+    val out = Sampling.weightedSample(df, "id", "src", $"w", 5)
+      .orderBy($"rnk").as[(String, Long, Long, Double)].collect()
+    assert(out.length == 5)
+    assert(out.head._3 == 99L, "1e9-weight row must rank first")
+  }
+
   test("tokenBudgetMix waterfill=true keeps non-string strata types and drops null strata") {
     // LONG-typed strata above 2^53 (where a string↔double coercion
     // would silently mismatch) plus a null stratum: the rates frame
