@@ -198,4 +198,69 @@ class PropertySpec extends AnyFunSuite {
     // closed rows only ever gain valid_to = batch date
     assert(merged.filter(!col("is_current") && col("valid_to").isNull).count() == 0)
   }
+
+  test("pageRank conserves total mass on random dangle-free graphs") {
+    // Out-edges from EVERY node (a random function graph plus its
+    // reversal's targets all have out-degree >= 1) ⇒ Σ rank = 1 up to
+    // per-node rounding (n · 1e-6 final-round slack).
+    for (_ <- 1 to 5) {
+      val n = 30
+      val tgt = Gen.listOfN(n, Gen.chooseNum(0, n - 1)).sample.get
+      val edges = tgt.zipWithIndex.flatMap { case (t, i) =>
+        // i → t plus t → i: both endpoints keep an out-edge, no dangling
+        Seq((i.toLong, t.toLong), (t.toLong, i.toLong))
+      }.filter { case (a, b) => a != b }.distinct
+      whenever(edges.nonEmpty) {
+        val pr = operators.Graph.pageRank(edges.toDF("s", "t"), "s", "t", 6)
+          .agg(sum(col("pagerank"))).head.getDouble(0)
+        assert(math.abs(pr - 1.0) < n * 1e-5, s"mass $pr drifted from 1")
+      }
+    }
+  }
+
+  test("triangleStats agrees with brute-force counting on random graphs") {
+    for (_ <- 1 to 5) {
+      val n = 14
+      val pairs = (for { a <- 0 until n; b <- a + 1 until n } yield (a, b))
+      val mask = Gen.listOfN(pairs.length, Gen.chooseNum(0, 3)).sample.get
+      val und = pairs.zip(mask).collect { case (p, 0) => p }
+      whenever(und.nonEmpty) {
+        val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val brute = (for {
+          a <- 0 until n; b <- a + 1 until n; c <- b + 1 until n
+          if adj.getOrElse(a, Set()).contains(b) &&
+             adj.getOrElse(a, Set()).contains(c) &&
+             adj.getOrElse(b, Set()).contains(c)
+        } yield 1).sum
+        val out = operators.Graph.triangleStats(
+          und.map { case (a, b) => (a.toLong, b.toLong) }.toDF("s", "t"),
+          "s", "t")
+          .agg(sum(col("n_triangles"))).head
+        val total = if (out.isNullAt(0)) 0L else out.getLong(0)
+        assert(total == 3L * brute,
+          s"per-node triangle total $total != 3 x $brute")
+      }
+    }
+  }
+
+  test("kmvSetOverlap is EXACT set algebra whenever the union fits under k") {
+    for (_ <- 1 to 5) {
+      val xs = Gen.listOfN(40, Gen.chooseNum(1L, 30L)).sample.get.toSet
+      val ys = Gen.listOfN(40, Gen.chooseNum(15L, 45L)).sample.get.toSet
+      whenever(xs.nonEmpty && ys.nonEmpty) {
+        // |A∪B| <= 45 < k=64 ⇒ estimates must equal the true algebra
+        val rows = (xs.map(("a", _)) ++ ys.map(("b", _))).toSeq.toDF("s", "h")
+        val r = operators.EventOps.kmvSetOverlap(rows, "s", "h", 64)
+          .collect().head
+        assert(r.getDouble(2) == (xs ++ ys).size.toDouble)
+        val j = BigDecimal((xs & ys).size.toDouble / (xs ++ ys).size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(3) == j)
+      }
+    }
+  }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
 }
