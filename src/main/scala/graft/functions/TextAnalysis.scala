@@ -231,31 +231,52 @@ object TextAnalysis {
     * Shape at 100 TB: the model IS two hash aggregations (bigram and
     * context counts, map-side combined, vocabulary-sized outputs), V is
     * one scalar row broadcast-crossed into the vocab-sized prob table
-    * (PlanSpec-whitelisted scalar fan-out), and scoring is one shuffle
-    * hash-join of corpus bigrams against that table — no windows, no
-    * sorts. Determinism: every probability is a ratio of exact integers
+    * (PlanSpec-whitelisted scalar fan-out), and scoring splits the
+    * zipfian bigram key into a broadcast top-K head plus a shuffled
+    * long tail (the [[bigramLogFreqScore]] skew shape) — no windows,
+    * no sorts, no hot-key shuffle partitions. The staged (one-pass)
+    * shingle explode feeds both branches.
+    * Determinism: every probability is a ratio of exact integers
     * (identical in any engine) through one correctly-rounded ln; only
     * the per-doc avg is summation-order-sensitive, and it is rounded to
     * the repo-wide 6 decimals. Docs with < 2 tokens surface with null
     * metrics (no bigrams to score).
     * Output: (idCol, n_bigrams, ce, ppl). */
   def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                    textCol: String): org.apache.spark.sql.DataFrame = {
+                    textCol: String,
+                    headK: Int = 1024): org.apache.spark.sql.DataFrame = {
     import graft.operators.NearDup
-    val bg = NearDup.shingleRows(docs, idCol, textCol, 2)
-      .select(col(idCol), col("shingle").as("bigram"))
+    // The shingle explode feeds BOTH the count branch and the scoring
+    // join — stage it once (localCheckpoint) so the corpus is
+    // tokenized/exploded a single time, not recomputed per branch.
+    val bg = NearDup.stage(NearDup.shingleRows(docs, idCol, textCol, 2)
+      .select(col(idCol), col("shingle").as("bigram")))
     val c12 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("__n"))
       .withColumn("__w1", substring_index(col("bigram"), " ", 1))
     val c1 = c12.groupBy(col("__w1")).agg(sum(col("__n")).as("__cn"))
     val vocab = docs
       .select(explode(tokens(col(textCol))).as("tok"))
       .agg(count_distinct(col("tok")).as("__v"))
-    val probs = c12.join(c1, Seq("__w1"))
+    val probs = NearDup.stage(c12.join(c1, Seq("__w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("bigram"),
+      .select(col("bigram"), col("__n"),
         log((col("__n") + lit(1)).cast("double") /
-          (col("__cn") + col("__v"))).as("__lp"))
-    val scored = bg.join(probs, Seq("bigram"))
+          (col("__cn") + col("__v"))).as("__lp")))
+    // Zipfian-key shuffle split (the bigramLogFreqScore shape): corpus
+    // bigrams are power-law distributed, so joining them all by key
+    // would funnel the hot head through a few skewed shuffle
+    // partitions at 100 TB. Broadcast the deterministic top-K head
+    // (tiebreak only pins the split, not the result) and shuffle only
+    // the long tail.
+    val head = probs.orderBy(col("__n").desc, col("bigram").asc).limit(headK)
+    val tagged = bg.join(broadcast(head.select(col("bigram"), col("__lp"))),
+      Seq("bigram"), "left")
+    val hot = tagged.filter(col("__lp").isNotNull)
+    val tail = probs.join(broadcast(head.select(col("bigram"))),
+      Seq("bigram"), "left_anti")
+    val cold = tagged.filter(col("__lp").isNull).drop("__lp")
+      .join(tail.select(col("bigram"), col("__lp")), Seq("bigram"))
+    val scored = hot.unionByName(cold)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-col("__lp")), 6).as("ce"))

@@ -183,9 +183,18 @@ object EventOps {
   def kmvSetOverlap(rows: DataFrame, strataCol: String, hashCol: String,
                     k: Int = 64): DataFrame = {
     val bottomK = udaf(new KmvBottomKSet(k))
+    // The (k−1)·2⁶⁰/h_k estimator is only valid under the 60-bit
+    // md5-prefix hash convention; a full-64-bit or negative hash would
+    // silently produce wildly wrong est_union. Enforce the range at
+    // the sketch projection instead of documenting it away.
+    val hSafe = when(col(hashCol) < 0 || col(hashCol) >= lit(1L << 60),
+        raise_error(format_string(
+          "kmvSetOverlap: hash outside [0, 2^60) — not the md5-prefix " +
+            "convention: %s", col(hashCol).cast("string"))))
+      .otherwise(col(hashCol))
     val sk = rows.where(col(hashCol).isNotNull)
       .groupBy(col(strataCol))
-      .agg(bottomK(col(hashCol)).as("__hs"))
+      .agg(bottomK(hSafe).as("__hs"))
     val a = sk.select(col(strataCol).as("src_a"), col("__hs").as("__ha"))
     val b = sk.select(col(strataCol).as("src_b"), col("__hs").as("__hb"))
     val merged = slice(array_sort(array_union(col("__ha"), col("__hb"))), 1, k)

@@ -124,12 +124,30 @@ object Graph {
         .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
       case None => nodes0.withColumn("__seed", lit(true))
     })
-    // uniform: share = 1/outdeg; weighted: share = w / round(Σw, 9)
+    // uniform: share = 1/outdeg; weighted: share = w / round(Σw, 9).
+    // The weighted denominator must be strictly positive — a zero or
+    // negative rounded Σw divides to null/inverted shares that sum()
+    // silently drops, deflating rank mass with no error (e.g. a
+    // 1+cos_sim weight is exactly 0 at cos_sim = −1). Fail loudly.
     val deg = weightCol match {
       case Some(_) =>
-        e.groupBy(col("__src")).agg(round(sum(col("__w")), 9).as("__od"))
+        e.groupBy(col("__src")).agg(round(sum(col("__w")), 9).as("__od0"))
+          .select(col("__src"),
+            when(col("__od0").isNull || col("__od0") <= 0,
+                raise_error(format_string(
+                  "pageRankWeighted: per-source weight sum must be > 0 " +
+                    "(src=%s, sum=%s)",
+                  col("__src").cast("string"), col("__od0").cast("string"))))
+              .otherwise(col("__od0")).as("__od"))
       case None => e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
     }
+    // Fold the (static) outflow denominator into the staged edge list
+    // ONCE: `deg` never changes across rounds, so joining it inside the
+    // loop paid one extra hash join per iteration for nothing. The
+    // share expression is untouched (__r * __w / __od term order), so
+    // the arithmetic — and the 9-decimal-rounded ranks — are
+    // bit-identical to the two-join form.
+    val eDeg = NearDup.stage(e.join(deg, Seq("__src")))
     val share = weightCol match {
       case Some(_) => col("__r") * col("__w") / col("__od")
       case None => col("__r") / col("__od")
@@ -146,17 +164,29 @@ object Graph {
     var r = nodes.select(col("node"), col("__seed"),
       when(col("__seed"), round(lit(1.0 / nT), 9)).otherwise(lit(0.0)).as("__r"))
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(r.select(col("node").as("__src"), col("__r")), Seq("__src"))
-        .join(deg, Seq("__src"))
-        .groupBy(col("__dst").as("node"))
-        .agg(sum(share).as("__m"))
-      r = NearDup.stage(
-        nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"), col("__seed"),
-            round(teleport +
-              lit(damping) * coalesce(col("__m"), lit(0.0)), 9).as("__r")))
+      r = NearDup.stage(prRound(eDeg, nodes, r, share, teleport, damping))
     }
     r.select(col("node"), round(col("__r"), 6).as("pagerank"))
+  }
+
+  /** One synchronous PageRank round over the denominator-carrying
+    * staged edge list: exactly ONE hash equi-join against the rank
+    * vector (the outflow denominator rides `eDeg`, pre-joined once
+    * outside the loop), one map-side-combined aggregation by `__dst`,
+    * and the teleport left-join back onto the node frame.
+    * Package-private so PlanSpec can gate the per-iteration join count
+    * — the shape that multiplies by `iters` at 100 TB. */
+  private[graft] def prRound(eDeg: DataFrame, nodes: DataFrame,
+                             r: DataFrame, share: org.apache.spark.sql.Column,
+                             teleport: org.apache.spark.sql.Column,
+                             damping: Double): DataFrame = {
+    val contrib = eDeg
+      .join(r.select(col("node").as("__src"), col("__r")), Seq("__src"))
+      .groupBy(col("__dst").as("node"))
+      .agg(sum(share).as("__m"))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"), col("__seed"),
+        round(teleport +
+          lit(damping) * coalesce(col("__m"), lit(0.0)), 9).as("__r"))
   }
 }

@@ -133,7 +133,13 @@ object Sampling {
         // same-type, no implicit string/double coercion. Null strata
         // never match an equi-join key, so they drop here exactly as in
         // the one-pass path.
-        val collected = perSrc.collect().filter(!_.isNullAt(0))
+        // Drop null token SUMS alongside null keys: an all-null
+        // tokenCount column yields sum = null, and getDouble(1) on it
+        // would NPE. A null-sum stratum has no measurable tokens — it
+        // gets no budget, exactly like the one-pass path where the
+        // null rate comparison drops its rows.
+        val collected = perSrc.collect()
+          .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
         val toks = collected.zipWithIndex
           .map { case (r, i) => i.toString -> r.getDouble(1) }.toSeq
         val solved = waterfillRates(toks, budgetFrac, alpha)
@@ -186,10 +192,20 @@ object Sampling {
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
     val u = (h + lit(1)).cast("double") / lit(math.pow(2, 60))
+    // Enforce the strictly-positive contract at runtime: a negative
+    // weight would FLIP ln(u)/w to a positive key (those rows would
+    // silently sort first — the opposite of weight-proportional) and
+    // w = 0 yields ±Inf/NaN keys. Fail loudly instead, like the 62-bit
+    // hash check in NearDup.
+    val wSafe = when(weight.isNull || weight <= 0,
+        raise_error(format_string(
+          "weightedSample: weight must be strictly positive, got %s",
+          weight.cast("string"))))
+      .otherwise(weight.cast("double"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(col("__k").desc, col(idCol).asc)
-    df.withColumn("__k", round(log(u) / weight, 9))
+    df.withColumn("__k", round(log(u) / wSafe, 9))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col(strataCol), col("rnk"), col(idCol),

@@ -1613,7 +1613,68 @@ r AS (SELECT source, doc_id, ares_key,
       FROM ky)
 SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, ares_key
 FROM r WHERE rnk <= 16""")),
+
+    // Waterfilled token-budget mix — tx31's saturation-aware half
+    // (Sampling.waterfillRates), previously spec-only: a UNIFORM
+    // per-language token budget (α = 0) of 80% of the corpus. The four
+    // small languages can't fill their equal share (they saturate at
+    // rate 1.0) and the plain temperature rule would just cap them and
+    // UNDERSHOOT the budget (~73% realized on this fixture); the
+    // waterfill reflows their surplus into `en` until the budget is
+    // met exactly. α = 0 also keeps the fixpoint integer-exact until
+    // the final two float ops (one multiply, one divide per round), so
+    // both engines agree bitwise before the 6-decimal rounding. The
+    // oracle unrolls the solve as one CTE layer per possible round
+    // (#strata layers — converged layers are fixpoints, so extras are
+    // harmless).
+    Q("tx31b_waterfill_budget",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).as("__tk"))
+        Sampling.tokenBudgetMix(docs, "doc_id", "lang", col("__tk"), 0.8, 0.0,
+            waterfill = true)
+          .groupBy(col("lang"))
+          .agg(max(col("__rate")).as("rate"),
+            count(lit(1)).as("n_docs"),
+            sum(col("__tk")).as("n_tokens"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, len($toksSql) AS tk FROM documents),
+w0 AS (SELECT lang AS s, CAST(sum(tk) AS DOUBLE) AS t, CAST(NULL AS DOUBLE) AS rate
+       FROM toks GROUP BY 1),
+bud AS (SELECT CAST(0.8 AS DOUBLE) * sum(t) AS b FROM w0),
+${waterfillLayersSql(5)},
+wr AS (SELECT s, t, round(coalesce(rate,
+         ((SELECT b FROM bud) - (SELECT coalesce(sum(t), 0) FROM w5 WHERE rate IS NOT NULL))
+         / (SELECT NULLIF(count(*), 0) FROM w5 WHERE rate IS NULL) / t), 6) AS rate
+      FROM w5),
+kept AS (SELECT k.doc_id, k.lang, k.tk, wr.rate
+         FROM toks k JOIN wr ON wr.s = k.lang
+         WHERE CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+               < round(wr.rate * 10000))
+SELECT lang, rate, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tk) AS BIGINT) AS n_tokens
+FROM kept GROUP BY 1, 2""")),
   )
+
+  /** One CTE layer per possible waterfill round (α = 0): re-allocate
+    * the remaining budget uniformly over the still-open strata and cap
+    * any stratum whose share meets its mass at rate 1.0. A round that
+    * saturates nothing is a fixpoint — every later layer recomputes the
+    * identical allocation — so #strata layers always suffice (each
+    * productive round closes ≥ 1 stratum). NULLIF guards the
+    * all-saturated case (open count 0 → NULL alloc → no-op layer). */
+  private def waterfillLayersSql(k: Int): String =
+    (1 to k).map { i =>
+      val prev = s"w${i - 1}"
+      s"""w$i AS (SELECT s, t,
+       CASE WHEN rate IS NOT NULL THEN rate
+            WHEN ((SELECT b FROM bud) -
+                  (SELECT coalesce(sum(t), 0) FROM $prev WHERE rate IS NOT NULL))
+                 / (SELECT NULLIF(count(*), 0) FROM $prev WHERE rate IS NULL) >= t
+            THEN CAST(1.0 AS DOUBLE) END AS rate
+       FROM $prev)"""
+    }.mkString(",\n")
 
   /** Shared simhash CTE chain mirroring [[NearDup.simhash]]. */
   private lazy val simhashCtes: String = {

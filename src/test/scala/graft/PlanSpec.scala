@@ -429,6 +429,44 @@ class PlanSpec extends SparkSpec {
       "no interpreted higher-order function in the tokenize path")
   }
 
+  test("tx34 bigram-LM plan explodes the shingle subtree exactly once (staged reuse)") {
+    // Round-11 verdict: `bg` fed the count branch AND the scoring join
+    // unstaged — two full corpus tokenize+explode passes. After the
+    // fix, the explode runs once at stage (localCheckpoint) time, so
+    // the FINAL plan must contain zero Generate nodes: both branches
+    // read the checkpointed bigram rows.
+    val plan = formatted(q("tx34_bigram_lm"))
+    val generates = plan.linesIterator.count(_.contains("Generate"))
+    assert(generates == 0,
+      s"tx34 final plan re-explodes the shingle subtree ($generates Generate nodes):\n$plan")
+  }
+
+  test("PageRank iteration joins the rank vector exactly once (denominator pre-joined)") {
+    // Round-11 verdict: `deg` is static across rounds but was re-joined
+    // every iteration. After the pre-join fix, one round = ONE equi-join
+    // of the staged (edge ⨝ denominator) list against the rank vector,
+    // plus the teleport left-join back onto nodes — 2 joins total, not 3.
+    // Parquet-backed inputs so nothing constant-folds.
+    val li = Tables.lineitem(spark, sf0001)
+    val eDeg = li.select(col("l_suppkey").as("__src"), col("l_partkey").as("__dst"))
+      .withColumn("__od", lit(2L))
+    val nodes = li.select(col("l_suppkey").as("node")).distinct()
+      .withColumn("__seed", lit(true))
+    val r = nodes.withColumn("__r", lit(0.5))
+    val round1 = graft.operators.Graph.prRound(
+      eDeg, nodes, r, col("__r") / col("__od"), lit(0.15), 0.85)
+    round1.collect() // finalize AQE, then read ONLY the final tree
+    val plan = round1.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==").head
+    val joins = plan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(joins == 2,
+      s"per-iteration plan must carry exactly 2 joins (rank ⨝ eDeg, teleport left-join), got $joins:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"no nested loop in the PR round:\n$plan")
+  }
+
   test("native graft_array_dot stays inside whole-stage codegen") {
     import spark.implicits._
     // parquet-backed input (a local relation would be constant-folded).

@@ -13,12 +13,21 @@ class PropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** `Gen.sample` can legitimately return None (generator backtracking);
+    * a bare `.sample.get` therefore flakes with NoSuchElementException.
+    * Retry
+    * until a value materialises — every generator here is total, so the
+    * loop terminates on the first or second draw. */
+  private implicit class GenOps[T](g: Gen[T]) {
+    def sampled: T = Iterator.continually(g.sample).flatten.next()
+  }
+
   private val messyString: Gen[String] = Gen.listOf(Gen.oneOf(
     Gen.alphaNumStr.map(_.take(6)), Gen.const("  "), Gen.const("\t"),
     Gen.const("ñá"), Gen.const("X"))).map(_.mkString(" "))
 
   test("limpiarNombres is idempotent and produces no double spaces (bulk)") {
-    val samples = Gen.listOfN(300, messyString).sample.get
+    val samples = Gen.listOfN(300, messyString).sampled
     val out = samples.toDF("v")
       .select(
         Cleaning.limpiarNombres(col("v")).as("once"),
@@ -32,7 +41,7 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("tokens never yields empty tokens; shingle count = max(0, n-k+1)") {
-    val samples = Gen.listOfN(300, messyString).sample.get
+    val samples = Gen.listOfN(300, messyString).sampled
     val out = samples.toDF("v")
       .select(
         TextAnalysis.tokens(col("v")).as("toks"),
@@ -53,8 +62,8 @@ class PropertySpec extends AnyFunSuite {
       Gen.listOfN(40, Gen.chooseNum(0L, 50L * 60000L)).map(_.map(_ / 1000 * 1000))
     val splits: Gen[List[Int]] = Gen.listOfN(40, Gen.chooseNum(0, 3))
     for (_ <- 1 to 100) {
-      val ts = eventTimes.sample.get
-      val cut = splits.sample.get
+      val ts = eventTimes.sampled
+      val cut = splits.sampled
       val allAtOnce = StreamingOps.mergeAll(Nil, ts, gapMs)
       // partition ts into up to 4 batches by the cut labels, in order
       val batches = ts.zip(cut.padTo(ts.length, 0)).groupBy(_._2)
@@ -77,7 +86,7 @@ class PropertySpec extends AnyFunSuite {
     // The distributed-sketch property: per-shard bottom-k sets merged by
     // union → re-take-k must equal the bottom-k over all data, so the
     // per-group estimate is independent of how the data was partitioned.
-    val users = Gen.listOfN(3000, Gen.chooseNum(1L, 900L)).sample.get
+    val users = Gen.listOfN(3000, Gen.chooseNum(1L, 900L)).sampled
     val k = 64
     def hash(u: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -102,7 +111,7 @@ class PropertySpec extends AnyFunSuite {
 
   test("firstWins is idempotent and keeps exactly one row per key (bulk)") {
     val rows = Gen.listOfN(500,
-      Gen.zip(Gen.chooseNum(0, 40), Gen.chooseNum(0L, 1000L))).sample.get
+      Gen.zip(Gen.chooseNum(0, 40), Gen.chooseNum(0L, 1000L))).sampled
     val df = rows.toDF("k", "v")
     val order = Seq(col("v").desc, col("k").asc)
     val once = operators.Dedup.firstWins(df, Seq("k"), order)
@@ -114,7 +123,7 @@ class PropertySpec extends AnyFunSuite {
 
   test("incremental rollup merge == full recompute for ANY split of the facts (bulk)") {
     val rows = Gen.listOfN(400,
-      Gen.zip(Gen.chooseNum(0, 15), Gen.chooseNum(0, 99999))).sample.get
+      Gen.zip(Gen.chooseNum(0, 15), Gen.chooseNum(0, 99999))).sampled
       .map { case (g, cents) => (s"g$g", cents / 100.0) }
     val df = rows.toDF("g", "value")
     val keys = Seq("g")
@@ -133,7 +142,7 @@ class PropertySpec extends AnyFunSuite {
 
   test("zorderValue stays within 2*bits bits and is monotone-safe on known orderings (bulk)") {
     val pts = Gen.listOfN(300,
-      Gen.zip(Gen.chooseNum(0L, 1023L), Gen.chooseNum(0L, 1023L))).sample.get
+      Gen.zip(Gen.chooseNum(0L, 1023L), Gen.chooseNum(0L, 1023L))).sampled
     val out = pts.toDF("x", "y")
       .select(col("x"), col("y"),
         graft.sinks.Lake.zorderValue(col("x"), col("y"), 10).as("z"))
@@ -167,7 +176,7 @@ class PropertySpec extends AnyFunSuite {
   test("tableDigest: distinct rows give distinct digests under adversarial delimiters (bulk)") {
     val gen = Gen.listOfN(2, Gen.oneOf("|", "V", "N", ":", "a", "b", ""))
       .map(_.mkString)
-    val rows = Gen.listOfN(300, Gen.zip(gen, gen)).sample.get.distinct
+    val rows = Gen.listOfN(300, Gen.zip(gen, gen)).sampled.distinct
     val df = rows.toDF("p", "q")
     val perRow = df.distinct().collect().length
     // digest the whole table once per row is overkill; instead digest
@@ -187,7 +196,7 @@ class PropertySpec extends AnyFunSuite {
       .withColumn("valid_to", lit(null).cast("date"))
       .withColumn("is_current", lit(true))
     val updates = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 60L), Gen.alphaStr.map(_.take(4))))
-      .sample.get.distinct.groupBy(_._1).map(_._2.head).toSeq // unique per key
+      .sampled.distinct.groupBy(_._1).map(_._2.head).toSeq // unique per key
       .toDF("k", "v")
     val merged = operators.Scd2.merge(base, updates, "k", Seq("v"), d1)
     // exactly one OPEN row per key, for every key ever seen
@@ -205,7 +214,7 @@ class PropertySpec extends AnyFunSuite {
     // per-node rounding (n · 1e-6 final-round slack).
     for (_ <- 1 to 5) {
       val n = 30
-      val tgt = Gen.listOfN(n, Gen.chooseNum(0, n - 1)).sample.get
+      val tgt = Gen.listOfN(n, Gen.chooseNum(0, n - 1)).sampled
       val edges = tgt.zipWithIndex.flatMap { case (t, i) =>
         // i → t plus t → i: both endpoints keep an out-edge, no dangling
         Seq((i.toLong, t.toLong), (t.toLong, i.toLong))
@@ -222,7 +231,7 @@ class PropertySpec extends AnyFunSuite {
     for (_ <- 1 to 5) {
       val n = 14
       val pairs = (for { a <- 0 until n; b <- a + 1 until n } yield (a, b))
-      val mask = Gen.listOfN(pairs.length, Gen.chooseNum(0, 3)).sample.get
+      val mask = Gen.listOfN(pairs.length, Gen.chooseNum(0, 3)).sampled
       val und = pairs.zip(mask).collect { case (p, 0) => p }
       whenever(und.nonEmpty) {
         val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
@@ -246,8 +255,8 @@ class PropertySpec extends AnyFunSuite {
 
   test("kmvSetOverlap is EXACT set algebra whenever the union fits under k") {
     for (_ <- 1 to 5) {
-      val xs = Gen.listOfN(40, Gen.chooseNum(1L, 30L)).sample.get.toSet
-      val ys = Gen.listOfN(40, Gen.chooseNum(15L, 45L)).sample.get.toSet
+      val xs = Gen.listOfN(40, Gen.chooseNum(1L, 30L)).sampled.toSet
+      val ys = Gen.listOfN(40, Gen.chooseNum(15L, 45L)).sampled.toSet
       whenever(xs.nonEmpty && ys.nonEmpty) {
         // |A∪B| <= 45 < k=64 ⇒ estimates must equal the true algebra
         val rows = (xs.map(("a", _)) ++ ys.map(("b", _))).toSeq.toDF("s", "h")

@@ -172,6 +172,21 @@ class EventOpsSpec extends SparkSpec {
     assert(m(("p", "r"))._2 == 0.0 && m(("p", "r"))._3 == 0.0)
   }
 
+  test("kmvSetOverlap: hashes outside the 60-bit md5-prefix convention raise") {
+    // The (k−1)·2⁶⁰/h_k estimator silently mis-scales on full-64-bit
+    // or negative hashes — the sketch projection must reject them.
+    val neg = Seq(("a", -5L), ("b", 7L)).toDF("src", "h")
+    val e = intercept[Exception] {
+      EventOps.kmvSetOverlap(neg, "src", "h", 64).collect()
+    }
+    assert(e.getMessage.contains("md5-prefix"), e.getMessage)
+    val wide = Seq(("a", 1L << 62), ("b", 7L)).toDF("src", "h")
+    val e2 = intercept[Exception] {
+      EventOps.kmvSetOverlap(wide, "src", "h", 64).collect()
+    }
+    assert(e2.getMessage.contains("md5-prefix"), e2.getMessage)
+  }
+
   test("CMS: bounded cells, estimates upper-bound truth, exact at ample width") {
     val words = Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
       (1 to 30).map(i => s"cold$i")

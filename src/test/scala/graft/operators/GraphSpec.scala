@@ -65,6 +65,23 @@ class GraphSpec extends SparkSpec {
     assert(u(1L) == u(2L))
   }
 
+  test("pageRankWeighted: a zero or negative per-source weight sum raises, not deflates") {
+    // A 1+cos_sim edge weight is exactly 0 at cos_sim = −1; a zero Σw
+    // divides to null shares that sum() silently drops — rank mass
+    // would deflate with no error. The deg projection must fail loudly.
+    val edges = Seq((0L, 1L, 0.0), (1L, 0L, 1.0)).toDF("src", "dst", "w")
+    val e = intercept[Exception] {
+      Graph.pageRankWeighted(edges, "src", "dst", "w", iters = 1).collect()
+    }
+    assert(e.getMessage.contains("weight sum must be > 0"), e.getMessage)
+    val neg = Seq((0L, 1L, 2.0), (0L, 2L, -2.0), (1L, 0L, 1.0), (2L, 0L, 1.0))
+      .toDF("src", "dst", "w")
+    val e2 = intercept[Exception] {
+      Graph.pageRankWeighted(neg, "src", "dst", "w", iters = 1).collect()
+    }
+    assert(e2.getMessage.contains("weight sum must be > 0"), e2.getMessage)
+  }
+
   test("personalizedPageRank: mass concentrates near the seed; off-graph seeds ignored") {
     // chain 1 → 2 → 3 → 4 with back edges; seed at 1 (and a phantom
     // seed 99 that is not in the graph).

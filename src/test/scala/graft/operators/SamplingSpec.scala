@@ -184,6 +184,32 @@ class SamplingSpec extends SparkSpec {
     assert(out.head._3 == 99L, "1e9-weight row must rank first")
   }
 
+  test("weightedSample: zero or negative weights raise instead of silently inverting") {
+    // A negative weight flips ln(u)/w positive — those rows would sort
+    // FIRST (the opposite of weight-proportional); w = 0 is ±Inf/NaN.
+    // The key projection must fail loudly on either.
+    val df = Seq((1L, "a", 2.0), (2L, "a", -1.0)).toDF("id", "src", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(df, "id", "src", $"w", 5).collect()
+    }
+    assert(e.getMessage.contains("strictly positive"), e.getMessage)
+    val z = Seq((1L, "a", 0.0)).toDF("id", "src", "w")
+    val e2 = intercept[Exception] {
+      Sampling.weightedSample(z, "id", "src", $"w", 5).collect()
+    }
+    assert(e2.getMessage.contains("strictly positive"), e2.getMessage)
+  }
+
+  test("tokenBudgetMix waterfill=true: an all-null token stratum drops instead of NPEing") {
+    val docs = ((1 to 100).map(i => (i.toLong, "a", Some(10L))) ++
+      (101 to 120).map(i => (i.toLong, "b", Option.empty[Long])))
+      .toDF("id", "src", "tk")
+    val out = Sampling.tokenBudgetMix(docs, "id", "src", $"tk", 0.5, 1.0,
+      waterfill = true)
+    assert(out.filter($"src" === "b").count() == 0, "null-sum stratum gets no budget")
+    assert(out.filter($"src" === "a").count() > 0)
+  }
+
   test("tokenBudgetMix waterfill=true keeps non-string strata types and drops null strata") {
     // LONG-typed strata above 2^53 (where a string↔double coercion
     // would silently mismatch) plus a null stratum: the rates frame
