@@ -48,6 +48,41 @@ class KmvBottomKSet(k: Int) extends Aggregator[Long, KmvBuf, Seq[Long]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
 
+/** One (hash, value) pair retained by [[QuantileBottomK]]. */
+case class QsRow(h: Long, v: Double)
+/** Buffer rows sorted by (hash, value) ascending, capped at k. */
+case class QsBuf(rows: Seq[QsRow])
+
+/** Mergeable quantile sketch as a typed [[Aggregator]]: the k rows with
+  * the SMALLEST row-id hashes — a deterministic uniform-without-
+  * replacement row sample (bottom-k sampling, Cohen & Kaplan 2007) —
+  * carrying their values; quantile estimates are order statistics of
+  * the sampled values. State is AT MOST k (hash, value) pairs at every
+  * stage, map-side partials included, and merge is the bottom-k union
+  * rule — a semilattice, so the sketch is a pure function of the input
+  * SET: any partitioning, any merge order, any engine produces the
+  * identical sketch. That is the property KLL/t-digest fundamentally
+  * lack (randomized / merge-order-dependent compaction), and it is what
+  * makes this sketch DuckDB-oracle-checkable like the KMV family; the
+  * price is O(1/√k) rank error instead of KLL's O(1/k) — exact whenever
+  * the group has ≤ k rows. Hashes are assumed distinct (unique row
+  * ids); identical (h, v) duplicates collapse, keeping merges
+  * idempotent under shard overlap. */
+class QuantileBottomK(k: Int) extends Aggregator[QsRow, QsBuf, Seq[Double]] {
+  require(k > 1, s"quantile sketch needs k > 1, got $k")
+  def zero: QsBuf = QsBuf(Vector.empty)
+  def reduce(b: QsBuf, r: QsRow): QsBuf =
+    if (b.rows.length == k && r.h >= b.rows.last.h) b // can't enter
+    else if (b.rows.contains(r)) b
+    else QsBuf((b.rows :+ r).sortBy(x => (x.h, x.v)).take(k))
+  def merge(a: QsBuf, b: QsBuf): QsBuf =
+    QsBuf((a.rows ++ b.rows).distinct.sortBy(x => (x.h, x.v)).take(k))
+  def finish(b: QsBuf): Seq[Double] = b.rows.map(_.v).sorted
+  def bufferEncoder: Encoder[QsBuf] = Encoders.product[QsBuf]
+  def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
 /** One top-k candidate: descending-`score` rank with ascending-`id`
   * tiebreak (a total order), `id` doubling as the carried payload key. */
 case class TopKRow(score: Double, id: Long)
@@ -459,6 +494,37 @@ object EventOps {
       .agg(min(col("__bin")).as("__qbin"))
       .select(col(groupCol), col("q"),
         round((col("__qbin") + 1) * binWidth, 6).as("quantile_est"))
+  }
+
+  /** Per-group quantile estimates from the [[QuantileBottomK]] sketch —
+    * the range-free sibling of [[histogramQuantiles]] (which needs a
+    * known value range to pick a bin width). One hash aggregation whose
+    * per-group state is ≤ k (hash, value) pairs; the estimate for
+    * quantile q is the sample's type-1 order statistic (1-based rank
+    * ⌈q·m⌉ over the m ≤ k retained values) — exact when the group fits
+    * in k, within O(1/√k) rank error above it, and bit-identical in any
+    * engine because the sample is pinned by md5 row-id hashes and the
+    * selection rule is pure integer/IEEE arithmetic.
+    * Requires `idCol` unique per row (the sample is a function of the
+    * id set). Null values are excluded (the aggregate-function
+    * posture). Output: (groupCol, q, quantile_est, n_sample). */
+  def quantileSketch(events: DataFrame, groupCol: String, idCol: String,
+                     valueCol: String, qs: Seq[Double],
+                     k: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1], got $qs")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val sk = udaf(new QuantileBottomK(k))
+    events.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sk(h, col(valueCol).cast("double")).as("__vs"))
+      .select(col(groupCol), explode(array(qs.map(lit): _*)).as("q"), col("__vs"))
+      .select(col(groupCol), col("q"),
+        round(element_at(col("__vs"),
+          greatest(lit(1L), ceil(col("q") * size(col("__vs")))).cast("int")), 6)
+          .as("quantile_est"),
+        size(col("__vs")).cast("long").as("n_sample"))
   }
 
   def jsonExtractAgg(events: DataFrame): DataFrame =

@@ -437,6 +437,41 @@ FROM agg""")),
               WHERE cum >= ceil(q * n)
               GROUP BY event_type, q""")),
 
+    // Range-FREE quantile sketch (QuantileBottomK): bottom-k row-id-
+    // hash sampling carrying values — mergeable bounded state like the
+    // KMV family, no bin width / value range to configure (ex19's
+    // histogram needs one). Deterministic md5-pinned sample ⇒ the
+    // "approximate" structure is bitwise reproducible in DuckDB; k=256
+    // is well under the per-type row count at sf0.01+, so the sampled
+    // estimator path (not the exact small-group path) is what the
+    // oracle gates.
+    Q("ex19b_quantile_sketch",
+      (s, d) => EventOps.quantileSketch(
+        Tables.events(s, d), "event_type", "event_id", "value",
+        Seq(0.25, 0.5, 0.75, 0.95), 256),
+      Some("""WITH h AS (
+                SELECT event_type, value,
+                       CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM events WHERE value IS NOT NULL),
+              s AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h, value) AS rh
+                FROM h),
+              samp AS (SELECT event_type, value FROM s WHERE rh <= 256),
+              m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m
+                    FROM samp GROUP BY 1),
+              rv AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rv
+                FROM samp),
+              qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q)
+              SELECT rv.event_type, qs.q, round(rv.value, 6) AS quantile_est,
+                     m.m AS n_sample
+              FROM rv JOIN m USING (event_type), qs
+              WHERE rv.rv = greatest(1, CAST(ceil(qs.q * m.m) AS BIGINT))""")),
+
     // Distribution-drift gate (PSI) between the first and second half
     // of the month, per event type — the fixture's value distribution
     // is stationary, so PSI lands near 0 (the interesting check is

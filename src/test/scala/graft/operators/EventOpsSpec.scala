@@ -187,6 +187,58 @@ class EventOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("md5-prefix"), e2.getMessage)
   }
 
+  test("quantileSketch: exact type-1 quantiles when the group fits in k") {
+    // n = 100 ≤ k = 256 → the sample IS the group, so every estimate
+    // must be the exact order statistic at rank ⌈q·n⌉.
+    val rows = (1 to 100).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("id", "g", "v")
+    val got = EventOps.quantileSketch(rows, "g", "id", "v",
+        Seq(0.25, 0.5, 0.75, 1.0), 256)
+      .collect().map(r => r.getDouble(1) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got(0.25) == (25.0, 100L))
+    assert(got(0.5) == (50.0, 100L))
+    assert(got(0.75) == (75.0, 100L))
+    assert(got(1.0) == (100.0, 100L))
+  }
+
+  test("quantileSketch: sampled estimates stay within O(1/sqrt(k)) rank error") {
+    // 20k uniform values, k = 256: Hoeffding puts the rank error well
+    // under 3/sqrt(k) ≈ 0.19 with overwhelming probability; assert a
+    // loose 0.15 on a fixed (deterministic md5) fixture.
+    val n = 20000
+    val rows = (1 to n).map(i => (i.toLong, "a", (i * 37 % n).toDouble))
+      .toDF("id", "g", "v")
+    val got = EventOps.quantileSketch(rows, "g", "id", "v",
+        Seq(0.1, 0.5, 0.9), 256)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    got.foreach { case (q, est) =>
+      val rank = est / n // values are a permutation of 0..n-1 → CDF(v) ≈ v/n
+      assert(math.abs(rank - q) < 0.15, s"q=$q est=$est rank=$rank")
+    }
+    // and nulls are excluded, not pooled
+    val withNulls = rows.union(Seq((90001L, "a", null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "g", "v"))
+    assert(EventOps.quantileSketch(withNulls, "g", "id", "v", Seq(0.5), 256)
+      .head.getLong(3) == 256L)
+  }
+
+  test("QuantileBottomK merges are partition-invariant (semilattice, host-side)") {
+    // sketch(whole) == fold of per-shard sketches for ANY split — the
+    // distributed-correctness property (same shape as the KMV test).
+    val agg = new QuantileBottomK(256)
+    def sketch(rows: Seq[QsRow]): QsBuf = rows.foldLeft(agg.zero)(agg.reduce)
+    val rows = (1 to 5000).map { i =>
+      QsRow((i * 2654435761L) % (1L << 60), (i % 97).toDouble)
+    }
+    val whole = sketch(rows)
+    Seq(3, 7, 64).foreach { shards =>
+      val parts = rows.grouped(rows.length / shards + 1).map(sketch).toSeq
+      assert(parts.reduce(agg.merge) == whole, s"$shards-shard merge diverged")
+      // reversed merge order too — commutativity, not just associativity
+      assert(parts.reverse.reduce(agg.merge) == whole)
+    }
+  }
+
   test("CMS: bounded cells, estimates upper-bound truth, exact at ample width") {
     val words = Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
       (1 to 30).map(i => s"cold$i")

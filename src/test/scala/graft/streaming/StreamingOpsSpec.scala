@@ -510,6 +510,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(Similarity.bucketedTopKStored(spark, compacted, queries, 5).collect().toSet == a)
   }
 
+  test("streaming quantileSketch (complete mode) equals the batch sketch on the same events") {
+    // The QuantileBottomK Aggregator is a semilattice, so incremental
+    // micro-batch aggregation must land on the SAME sketch — and hence
+    // the same quantile rows — as one batch pass over all events.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = (1 to 300).map { i =>
+      Ev(i.toLong, ts("2026-01-01 10:00:00"), i.toLong % 7,
+        if (i % 2 == 0) "click" else "view", (i * 13 % 101).toDouble)
+    }
+    val input = MemoryStream[Ev]
+    val q = graft.operators.EventOps.quantileSketch(
+        input.toDF(), "event_type", "event_id", "value", Seq(0.5, 0.9), 64)
+      .writeStream.format("memory").queryName("t_qsketch")
+      .outputMode("complete").start()
+    try {
+      events.grouped(90).foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("t_qsketch").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+      val batch = graft.operators.EventOps.quantileSketch(
+          events.toDF(), "event_type", "event_id", "value", Seq(0.5, 0.9), 64)
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"streaming sketch diverged:\n  streamed=$streamed\n  batch=$batch")
+    } finally q.stop()
+  }
+
   test("mergeAll unit: merge rules and counts") {
     import StreamingOps.{mergeAll, OpenSession}
     val gap = 600000L // 10 min
