@@ -588,4 +588,44 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) > 0.9, "pairs must clear the threshold")
     }
   }
+
+  test("ann07 recall ladder: per-path floors at sf0.01 (silent-collapse tripwire)") {
+    // The ladder was previously MEASURED but not GATED: a refactor
+    // silently halving any path's recall would have passed every hash
+    // gate (the ladder hash just changes with it). Floors sit a few
+    // points under the committed sf0.01 fixture values (0.118 → 0.77)
+    // so fixture-noise-sized drift passes and a real collapse fails.
+    val floors = Map(
+      "lsh_bucketed" -> 0.10, "lsh_multiprobe4" -> 0.13,
+      "pq_adc" -> 0.30, "jl_rerank" -> 0.35,
+      "ivf_nprobe1" -> 0.50, "ivf_nprobe2" -> 0.55,
+      "ivf_pq" -> 0.58, "pq_trained" -> 0.60, "ivfpq_refine" -> 0.70)
+    val got = graft.SparkEntry.queries("ann07_recall")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == floors.keySet,
+      s"ladder paths changed: ${got.keySet} vs ${floors.keySet}")
+    floors.foreach { case (m, f) =>
+      assert(got(m) >= f, s"$m recall ${got(m)} fell below its $f floor")
+    }
+    // ordering identities that must never invert, whatever the drift
+    assert(got("ivf_nprobe2") >= got("ivf_nprobe1"), "multi-probe lost recall")
+    assert(got("ivfpq_refine") >= got("ivf_pq"), "exact refine lost recall")
+    assert(got("lsh_multiprobe4") >= got("lsh_bucketed"), "multi-probe LSH lost recall")
+  }
+
+  test("the refine floor has teeth: a planted no-op refine (factor 1) trips it") {
+    // Plant the regression class the 0.70 floor exists to catch:
+    // refineFactor = 1 makes the exact re-rank a no-op, collapsing
+    // ivfpq_refine to raw IVF-PQ recall (~0.65 on this fixture) —
+    // below the floor, so the ladder test above WOULD fail on it.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = emb.filter($"vec_id" < 10)
+    val exact = NearDup.stage(Similarity.bruteForceTopK(emb, q, 10)
+      .select($"query_id", $"vec_id"))
+    val degraded = Similarity.ivfPqRefineTopK(emb, q, 10, refineFactor = 1)
+      .select($"query_id", $"vec_id")
+      .join(exact, Seq("query_id", "vec_id")).count() / 100.0
+    assert(degraded < 0.70,
+      s"planted no-op refine still clears the floor ($degraded) — the floor is toothless")
+  }
 }
