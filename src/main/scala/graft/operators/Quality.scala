@@ -156,6 +156,76 @@ object Quality {
       .agg(round(sum((col("__p") - col("__q")) * log(col("__p") / col("__q"))), 6).as("psi"))
   }
 
+  /** Per-group empirical-CDF rank of every row's value, estimated from
+    * the [[EventOps.QuantileBottomK]] bottom-k sample — per-source
+    * QUALITY-SCORE CALIBRATION: raw quality scores are not comparable
+    * across provenances (a web crawl's median differs from curated
+    * text), so curation thresholds are set on the per-source
+    * percentile, not the raw score. rank(v) = |sample ≤ v| / |sample|,
+    * exact when the group fits in k, O(1/√k) above.
+    *
+    * The 100 TB shape: ONE bounded-state hash agg builds the
+    * group-sized sample table, which broadcasts back onto the fact
+    * rows; the per-row probe is the native codegen
+    * [[graft.plans.ArrayCountLeq]] (k comparisons inside whole-stage
+    * codegen, no interpreted lambda in the hot loop). No window, no
+    * per-group sort of the fact table — the rank()-window formulation
+    * this replaces sorts every group member. Deterministic md5 sample
+    * ⇒ oracle-checkable. Requires unique `idCol`; null values drop. */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String, k: Int = 256): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+    val sk = udaf(new QuantileBottomK(k))
+    val samples = rows.groupBy(col(groupCol))
+      .agg(sk(idHash60(col(idCol)), col(valueCol).cast("double")).as("__vs"))
+    rows.join(broadcast(samples), Seq(groupCol))
+      .select(col(groupCol), col(idCol), col(valueCol),
+        round(call_function("graft_array_count_leq",
+            col("__vs"), col(valueCol).cast("double")).cast("double") /
+          size(col("__vs")), 6).as("pct_rank_est"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift per group — the rank-based
+    * sibling of [[psiDrift]] (PSI needs a bin width; KS is
+    * distribution-free): split rows into baseline/current by
+    * `baselineSide`, sketch each side with [[EventOps.QuantileBottomK]]
+    * (bounded k state), and take sup |F̂_base(x) − F̂_cur(x)| over the
+    * union of both samples' points — the exact two-sample KS statistic
+    * OF THE SAMPLES, within O(1/√k) of the population statistic.
+    *
+    * Scale shape: one bounded-state hash agg over the facts, then all
+    * arithmetic on group-sized rows (the 2·k-point sup is a per-group
+    * array traversal, dim-scale, HOF cost irrelevant there). Both
+    * counts are integers, both CDFs exact integer ratios — engines
+    * agree bitwise before the final 6-decimal rounding.
+    * Output: (groupCol, n_base, n_cur, ks). Groups missing a side drop
+    * (no drift to measure). */
+  def ksDrift(df: DataFrame, groupCol: String, idCol: String,
+              valueCol: String, baselineSide: Column,
+              k: Int = 256): DataFrame = {
+    val sk = udaf(new QuantileBottomK(k))
+    val sides = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), baselineSide.as("__base"))
+      .agg(sk(idHash60(col(idCol)), col(valueCol).cast("double")).as("__vs"))
+    val a = sides.filter(col("__base")).select(col(groupCol), col("__vs").as("__a"))
+    val b = sides.filter(!col("__base")).select(col(groupCol), col("__vs").as("__b"))
+    def cdf(sample: Column, x: Column): Column =
+      call_function("graft_array_count_leq", sample, x).cast("double") /
+        size(sample)
+    a.join(b, Seq(groupCol))
+      .select(col(groupCol),
+        size(col("__a")).cast("long").as("n_base"),
+        size(col("__b")).cast("long").as("n_cur"),
+        round(array_max(transform(concat(col("__a"), col("__b")),
+          x => abs(cdf(col("__a"), x) - cdf(col("__b"), x)))), 6).as("ks"))
+  }
+
+  /** The repo-wide 60-bit md5-prefix row-id hash (the KMV/quantile-
+    * sketch convention) — one definition here so the two sketch
+    * consumers above can never drift from the oracle's formula. */
+  private def idHash60(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** One-pass column profile — the data-governance "describe" table:
     * per column, presence/null counts, distinct count, and min/max
     * (stringified for a uniform long-form schema — profile integer/

@@ -107,5 +107,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
       (children: Seq[Expression]) => BpeEncode(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_array_count_leq"),
+      new ExpressionInfo(classOf[ArrayCountLeq].getName, "graft_array_count_leq"),
+      (children: Seq[Expression]) => ArrayCountLeq(children.head, children(1))))
   }
 }

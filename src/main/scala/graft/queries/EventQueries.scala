@@ -472,6 +472,43 @@ FROM agg""")),
               FROM rv JOIN m USING (event_type), qs
               WHERE rv.rv = greatest(1, CAST(ceil(qs.q * m.m) AS BIGINT))""")),
 
+    // KS drift between the same two halves — the distribution-FREE
+    // sibling of dq05 (PSI needs a bin width; KS is rank-based): both
+    // halves sketched with the bounded bottom-256 row sample, sup
+    // |F̂₁−F̂₂| over the union of sample points. Exact integer-ratio
+    // CDFs ⇒ bitwise cross-engine agreement on an "approximate" stat.
+    Q("dq07_ks_drift",
+      (s, d) => graft.operators.Quality.ksDrift(
+        Tables.events(s, d), "event_type", "event_id", "value",
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")), 256),
+      Some("""WITH h AS (
+                SELECT event_type, CAST(value AS DOUBLE) AS v,
+                       CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+                       (ts < TIMESTAMP '2024-01-16 00:00:00') AS base
+                FROM events WHERE value IS NOT NULL),
+              s AS (
+                SELECT event_type, v, base,
+                       row_number() OVER (PARTITION BY event_type, base
+                                          ORDER BY h, v) AS rh
+                FROM h),
+              samp AS (SELECT event_type, v, base FROM s WHERE rh <= 256),
+              ms AS (SELECT event_type,
+                            CAST(count(CASE WHEN base THEN 1 END) AS DOUBLE) AS ma,
+                            CAST(count(CASE WHEN NOT base THEN 1 END) AS DOUBLE) AS mb
+                     FROM samp GROUP BY 1),
+              pts AS (SELECT DISTINCT event_type, v AS x FROM samp),
+              cdf AS (SELECT p.event_type, p.x,
+                             CAST(count(CASE WHEN sa.base AND sa.v <= p.x THEN 1 END) AS DOUBLE) AS ca,
+                             CAST(count(CASE WHEN (NOT sa.base) AND sa.v <= p.x THEN 1 END) AS DOUBLE) AS cb
+                      FROM pts p JOIN samp sa USING (event_type)
+                      GROUP BY 1, 2)
+              SELECT c.event_type, CAST(ms.ma AS BIGINT) AS n_base,
+                     CAST(ms.mb AS BIGINT) AS n_cur,
+                     round(max(abs(c.ca / ms.ma - c.cb / ms.mb)), 6) AS ks
+              FROM cdf c JOIN ms USING (event_type)
+              WHERE ms.ma > 0 AND ms.mb > 0
+              GROUP BY 1, 2, 3""")),
+
     // Distribution-drift gate (PSI) between the first and second half
     // of the month, per event type — the fixture's value distribution
     // is stationary, so PSI lands near 0 (the interesting check is

@@ -1655,6 +1655,39 @@ kept AS (SELECT k.doc_id, k.lang, k.tk, wr.rate
 SELECT lang, rate, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(tk) AS BIGINT) AS n_tokens
 FROM kept GROUP BY 1, 2""")),
+
+    // Per-source quality-score calibration: each doc's PERCENTILE of
+    // its own source's score distribution (raw scores aren't
+    // comparable across provenances — thresholds are set on the
+    // per-source rank). CDF rank probed against the bottom-64
+    // QuantileBottomK sample via the native codegen ArrayCountLeq —
+    // one bounded-state agg + a broadcast of the source-sized sample
+    // table; no window, no per-source sort of the corpus. k=64 makes
+    // the sf0.01 gate exercise the exact (n ≤ k) path and the sf0.1
+    // gate the SAMPLED estimator path.
+    Q("tx37_quality_calibration",
+      (s, d) => graft.operators.Quality.quantileNormalize(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", 64),
+      Some(s"""WITH toks AS (SELECT doc_id, source,
+                    CAST(len($toksSql) AS DOUBLE) AS tk FROM documents),
+h AS (SELECT doc_id, source, tk,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM toks),
+s AS (SELECT source, tk,
+             row_number() OVER (PARTITION BY source ORDER BY h, tk) AS rh
+      FROM h),
+samp AS (SELECT source, tk FROM s WHERE rh <= 64),
+m AS (SELECT source, CAST(count(*) AS DOUBLE) AS m FROM samp GROUP BY 1),
+c AS (SELECT t.doc_id, t.source, t.tk,
+             CAST(count(CASE WHEN sa.tk <= t.tk THEN 1 END) AS DOUBLE) AS cl
+      FROM h t JOIN samp sa USING (source)
+      GROUP BY 1, 2, 3)
+SELECT c.source, c.doc_id, CAST(c.tk AS BIGINT) AS n_tokens,
+       round(c.cl / m.m, 6) AS pct_rank_est
+FROM c JOIN m USING (source)""")),
   )
 
   /** One CTE layer per possible waterfill round (α = 0): re-allocate

@@ -476,4 +476,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("* Project"), s"dot must codegen:\n$plan")
     assert(df.as[Double].head() > 0.0)
   }
+
+  test("native graft_array_count_leq stays inside whole-stage codegen (CDF probe)") {
+    import spark.implicits._
+    // the tx37 hot loop: sketch array broadcast onto fact rows, k
+    // comparisons per row — must compile, not interpret a lambda.
+    val df = Tables.embeddings(spark, sf0001)
+      .select(call_function("graft_array_count_leq",
+        col("embedding").cast("array<double>"), lit(0.0)).as("c"))
+    val plan = formatted(df)
+    assert(plan.contains("* Project"), s"count_leq must codegen:\n$plan")
+    val c = df.as[Long].head()
+    assert(c >= 0L)
+  }
 }

@@ -140,4 +140,42 @@ class QualitySpec extends SparkSpec {
       col("is_base"), 10.0).as[(String, Double)].collect().head._2
     assert(pp > 0.0 && pp < psi("shifted"))
   }
+
+  test("quantileNormalize: exact empirical CDF when the group fits in k") {
+    // 50 rows, k = 256 → the sample IS the group: pct_rank(v) must be
+    // exactly rank(v)/n, including tie semantics (count of values <= v).
+    val rows = (1 to 50).map(i => (i.toLong, "a", (i % 10).toDouble))
+      .toDF("id", "src", "score")
+    val got = Quality.quantileNormalize(rows, "src", "id", "score", 256)
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.length == 50)
+    got.foreach { case (_, _, v, r) =>
+      val exact = (1 to 50).count(i => (i % 10).toDouble <= v) / 50.0
+      assert(math.abs(r - exact) < 1e-9, s"v=$v rank $r != exact $exact")
+    }
+    // sampled path: estimates within O(1/sqrt(k)) of the true CDF
+    val big = (1 to 20000).map(i => (i.toLong, "b", (i % 1000).toDouble))
+      .toDF("id", "src", "score")
+    Quality.quantileNormalize(big, "src", "id", "score", 256)
+      .as[(String, Long, Double, Double)].collect().foreach { case (_, _, v, r) =>
+        assert(math.abs(r - (v + 1) / 1000.0) < 0.15, s"v=$v rank=$r")
+      }
+  }
+
+  test("ksDrift: identical halves stay near 0; a planted shift is detected; KS in [0,1]") {
+    // stationary: both halves the same ramp → sample-level KS near 0
+    val same = (0 until 2000).map(i => (i.toLong, "s", (i % 500).toDouble, i % 2 == 0))
+    // planted: current half shifted by +250 of a 500 range → true KS 0.5
+    val shifted = (0 until 2000).map(i =>
+      (10000L + i, "d", (i % 500) + (if (i % 2 == 0) 0.0 else 250.0), i % 2 == 0))
+    val ks = Quality.ksDrift((same ++ shifted).toDF("id", "grp", "value", "is_base"),
+        "grp", "id", "value", col("is_base"), 256)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (sa, sb, sKs) = ks("s")
+    assert(sa == 256L && sb == 256L, "both sides must cap at k")
+    assert(sKs < 0.15, s"stationary KS should be near 0, got $sKs")
+    val dKs = ks("d")._3
+    assert(dKs > 0.3 && dKs <= 1.0, s"planted 0.5-shift missed: $dKs")
+    assert(dKs > sKs, "shifted must exceed stationary")
+  }
 }
