@@ -106,6 +106,47 @@ object Graph {
             (col("degree") * (col("degree") - 1)), 6)).as("clustering_coeff"))
   }
 
+  /** Multi-source BFS hop distances: `maxHops` synchronous frontier
+    * rounds over a DIRECTED edge list; dist(v) = length of the
+    * shortest edge path from ANY seed (0 for seeds), reported only
+    * for nodes reached within `maxHops`. The curation-radius
+    * primitive over [[Similarity.knnGraph]]: which documents sit
+    * within h hops of a curated seed set (seed expansion /
+    * contamination blast-radius).
+    *
+    * Pregel-shaped but frontier-sized: each round hash-equi-joins
+    * only the NEWLY settled nodes against the staged edge list (on
+    * src), anti-joins the already-settled set, and admits survivors
+    * at distance h — work per round is O(frontier·outdeg), total
+    * O(edges of the reached subgraph), never nodes × rounds. An
+    * empty frontier makes remaining rounds no-ops over empty staged
+    * frames. Integer distances end to end — no float drift, so no
+    * rounding contract is needed; lineage is truncated per round
+    * like the PageRank loop. Output: (node, hops). */
+  def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = NearDup.stage(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct())
+    var settled = NearDup.stage(
+      seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("hops", lit(0)))
+    var frontier = settled
+    for (h <- 1 to maxHops) {
+      val reached = frontier.select(col("node").as("src"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("node")).distinct()
+      frontier = NearDup.stage(
+        reached.join(settled, Seq("node"), "left_anti")
+          .withColumn("hops", lit(h)))
+      settled = NearDup.stage(settled.unionAll(frontier))
+    }
+    settled
+  }
+
   private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
                            weightCol: Option[String], iters: Int,
                            damping: Double,

@@ -280,6 +280,78 @@ object NearDup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** EXACT set-similarity self-join via positional prefix filtering
+    * (the AllPairs / PPJoin family — Bayardo et al., WWW'07; Xiao et
+    * al., VLDB'08): every (id_a < id_b) pair with shingle-set Jaccard
+    * ≥ `minJaccard` — the same contract as [[jaccardGroundTruth]] —
+    * but candidate generation joins only on each document's RAREST
+    * shingles instead of all of them.
+    *
+    * Global shingle order = (document frequency ASC, shingle ASC). A
+    * doc with |x| distinct shingles indexes only its first
+    * p = |x| − ⌈t·|x|⌉ + 1 shingles in that order. Lossless: if
+    * J(x,y) ≥ t then the pair shares o ≥ ⌈t·|x|⌉ shingles, and its
+    * MINIMAL common shingle w bounds every common shingle from below
+    * in the global order — were w outside x's prefix, all o common
+    * shingles would sit in x's last ⌈t·|x|⌉ − 1 slots, a
+    * contradiction; symmetrically w sits in y's prefix, so the
+    * prefix⋈prefix equi-join surfaces the pair. A two-sided length
+    * filter (t·|x| ≤ |y| ∧ t·|y| ≤ |x|, a necessary condition of
+    * J ≥ t) prunes the survivors, and [[jaccardOnPairs]] verifies
+    * exactly, so the OUTPUT is threshold-exact regardless of how
+    * generous the candidate set is — which is why the prefix length
+    * and length filter deliberately use floor/epsilon slack instead
+    * of trusting `ceil` over binary-inexact t·|x| products.
+    *
+    * The 100 TB shape — and the reason this exists next to the
+    * LSH-banded [[minhashCandidates]]: the candidate join key is by
+    * construction the LOW-frequency end of the shingle distribution
+    * (hot boilerplate shingles sort LAST and fall out of every
+    * prefix), so the shuffle is skew-free — the exact opposite of the
+    * naive shared-shingle join of [[jaccardGroundTruth]], whose
+    * hottest shingle pairs quadratically and which therefore only
+    * grades audit samples. Cost: one df aggregation (map-side
+    * combinable), one doc_id shuffle to assemble sorted sets, a
+    * prefix-sized self-join, and candidate-sized verification —
+    * with an exactness guarantee LSH cannot give. */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int, minJaccard: Double): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val shd = stage(shingleRows(docs, idCol, textCol, shingleSize)
+      .select(col(idCol), col("shingle")).distinct())
+    val dfreq = shd.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // Per-doc shingle set sorted by (df, shingle): the (df, shingle)
+    // struct IS the global order — no integer rank (and no vocab-wide
+    // global sort) needed. One doc_id shuffle builds the arrays.
+    val sorted = shd.join(dfreq, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("ns"))
+    // Prefix length with floor-slack: ns − floor(t·ns) + 1 ≥ the
+    // required ns − ⌈t·ns⌉ + 1, immune to 0.6·5 = 3.0000000000000004
+    // style float-ceil overshoot (a SHORT prefix would silently drop
+    // true pairs; a long one only adds candidates the verifier kills).
+    val pref = sorted
+      .withColumn("__plen",
+        (col("ns") - floor(lit(minJaccard) * col("ns")) + 1)
+          .cast("int"))
+      .select(col(idCol), col("ns"),
+        explode(slice(col("__toks"), lit(1), col("__plen"))).as("__pt"))
+      .select(col(idCol), col("ns"), col("__pt.shingle").as("shingle"))
+    val p = stage(pref)
+    val eps = 1e-9
+    val cand = p.select(col(idCol).as("id_a"), col("ns").as("na"), col("shingle"))
+      .join(p.select(col(idCol).as("id_b"), col("ns").as("nb"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        col("nb").cast("double") >= lit(minJaccard) * col("na") - lit(eps) &&
+        col("na").cast("double") >= lit(minJaccard) * col("nb") - lit(eps))
+      .select(col("id_a"), col("id_b")).distinct()
+    jaccardOnPairs(docs, cand, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash near-dup pairs via the byte-band pigeonhole trick: split
     * the 32-bit simhash into `numBands` equal bands; any pair within
     * hamming distance < numBands must agree exactly on at least one

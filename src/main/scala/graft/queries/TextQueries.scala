@@ -351,6 +351,35 @@ SELECT id_a, id_b, cos_sim FROM (
   JOIN n2 nb ON nb.doc_id = d.id_b) t
 WHERE cos_sim > 0.9""")),
 
+    // Prefix-filtered EXACT similarity self-join (AllPairs/PPJoin,
+    // Bayardo WWW'07 / Xiao VLDB'08): same output contract as the
+    // exact all-pairs ground truth — every pair with 3-shingle
+    // Jaccard ≥ 0.6 — but the ENGINE generates candidates only
+    // through each doc's rarest shingles (global (df, shingle) order
+    // + per-doc prefix + two-sided length filter), so the join key is
+    // the low-frequency tail of the shingle distribution: skew-free
+    // at corpus scale where the naive shared-shingle join (which the
+    // ORACLE runs, tractable at gate SF) pairs its hottest shingle
+    // quadratically. Exact verification makes the result identical
+    // regardless of candidate generosity.
+    Q("dd18_prefix_filter_join",
+      (s, d) => graft.operators.NearDup.prefixFilterJoin(
+        Tables.documents(s, d), "doc_id", "text", 3, 0.6)
+        .select("id_a", "id_b", "jaccard"),
+      Some(s"""WITH $minhashCtes,
+pfd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+pfsz AS (SELECT doc_id, count(*) AS ns FROM pfd GROUP BY doc_id),
+pfi AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS ni
+        FROM pfd sa JOIN pfd sb
+          ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2),
+pfj AS (SELECT i.id_a, i.id_b,
+               round(CAST(i.ni AS DOUBLE) / (za.ns + zb.ns - i.ni), 6) AS jaccard
+        FROM pfi i
+        JOIN pfsz za ON za.doc_id = i.id_a
+        JOIN pfsz zb ON zb.doc_id = i.id_b)
+SELECT id_a, id_b, jaccard FROM pfj WHERE jaccard >= 0.6""")),
+
     // End-to-end curation accounting: quality gate (dd10's thresholds)
     // → exact substring-strip dedup (dd15) → per-source token ledger —
     // the "what did curation cost each provenance" report a training-

@@ -1213,6 +1213,34 @@ SELECT deg.node AS vec_id, deg.degree,
        END AS clustering_coeff
 FROM deg LEFT JOIN pn USING (node)""")),
 
+    // Multi-source BFS hop distances from a curated seed set over the
+    // kNN graph — the curation-radius query (which documents sit
+    // within 3 hops of known-good seeds; the discrete sibling of
+    // gr03's PPR proximity). Engine: frontier-sized Pregel rounds
+    // (each round joins only NEWLY settled nodes, anti-joins the
+    // settled set — O(reached edges) total). Oracle: layered
+    // walk-length CTEs; min over walk lengths = shortest-path hops.
+    // Integer distances end to end, no rounding contract.
+    Q("gr05_bfs_hops",
+      (s, d) => graft.operators.Graph.hopDistances(
+        Similarity.knnGraph(Tables.embeddings(s, d), 5,
+          maxBucketSize = Some(200)),
+        "vec_id", "nbr_id",
+        Tables.embeddings(s, d).select(col("vec_id")).filter(col("vec_id") < 50),
+        "vec_id", maxHops = 3)
+        .withColumnRenamed("node", "vec_id"),
+      Some(s"""WITH $knnEdgesCtes,
+r0 AS (SELECT DISTINCT vec_id AS node FROM embeddings WHERE vec_id < 50),
+r1 AS (SELECT DISTINCT e.nbr_id AS node FROM edges e JOIN r0 ON e.vec_id = r0.node),
+r2 AS (SELECT DISTINCT e.nbr_id AS node FROM edges e JOIN r1 ON e.vec_id = r1.node),
+r3 AS (SELECT DISTINCT e.nbr_id AS node FROM edges e JOIN r2 ON e.vec_id = r2.node),
+lv AS (SELECT node, 0 AS h FROM r0
+       UNION ALL SELECT node, 1 FROM r1
+       UNION ALL SELECT node, 2 FROM r2
+       UNION ALL SELECT node, 3 FROM r3)
+SELECT node AS vec_id, CAST(min(h) AS INTEGER) AS hops
+FROM lv GROUP BY 1""")),
+
     // Embedding near-dup, corpus-scale form: LSH-bucket blocking over
     // the FULL table (no id block) — bucket equi-join, not an all-pairs
     // theta-join. Threshold is low (0.1) because the fixture vectors

@@ -127,4 +127,37 @@ class GraphSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("node", "pagerank"))
     assert(out.count() == 0)
   }
+
+  test("hopDistances: chain + shortcut = min path; horizon and unreachable nodes excluded") {
+    // seed 0; chain 0→1→2→3→4, shortcut 0→3 (so 3 is 1 hop, not 3),
+    // back-edge 2→0 (cycle must not loop forever or lower settled
+    // dists), and 9→8 unreachable from the seed.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L),
+      (2L, 0L), (9L, 8L)).toDF("src", "dst")
+    val out = Graph.hopDistances(edges, "src", "dst",
+      Seq(0L).toDF("id"), "id", maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(0L -> 0, 1L -> 1, 3L -> 1, 2L -> 2, 4L -> 2))
+  }
+
+  test("hopDistances: multi-source takes the nearest seed; seeds outside the graph settle at 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 3L)).toDF("src", "dst")
+    val out = Graph.hopDistances(edges, "src", "dst",
+      Seq(1L, 5L, 77L).toDF("id"), "id", maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    // 3 is 1 hop from seed 5 (not 2 hops from seed 1); 77 has no edges
+    assert(out == Map(1L -> 0, 5L -> 0, 77L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("hopDistances: empty frontier rounds are no-ops; deterministic rerun") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val run1 = Graph.hopDistances(edges, "src", "dst",
+      Seq(1L).toDF("id"), "id", maxHops = 5)
+      .as[(Long, Int)].collect().toMap
+    assert(run1 == Map(1L -> 0, 2L -> 1))
+    val run2 = Graph.hopDistances(edges, "src", "dst",
+      Seq(1L).toDF("id"), "id", maxHops = 5)
+      .as[(Long, Int)].collect().toMap
+    assert(run1 == run2)
+  }
 }

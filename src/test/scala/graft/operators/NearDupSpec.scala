@@ -310,4 +310,49 @@ class NearDupSpec extends SparkSpec {
     assert(out(4L) == (("m n o p1 q1", 5, 0)))  // winner of the 4/5 pair
     assert(out(5L) == (("r1", 1, 4)))           // merged span 0-3 stripped
   }
+
+  test("prefixFilterJoin ≡ jaccardGroundTruth at several thresholds") {
+    // A corpus with exact dups, near dups, boilerplate-heavy docs (the
+    // hot-shingle case the prefix order must exclude), and disjoint
+    // content — equivalence must hold pair-for-pair AND value-for-value.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "all rights reserved contact us terms of service apply here"),
+      (5L, "all rights reserved contact us terms of service apply now"),
+      (6L, "all rights reserved contact us privacy policy terms of service"),
+      (7L, "completely unrelated text about spark engines and scale"),
+      (8L, "ab"), // shingle-less
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.6, 0.9)) {
+      val got = NearDup.prefixFilterJoin(corpus, "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = NearDup.jaccardGroundTruth(corpus, "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == want, s"threshold $t: $got vs $want")
+      // J(1,3) = 0.4 (hand-computed in the jaccardOnPairs test above)
+      if (t <= 0.4) assert(got.exists(p => p._1 == 1L && p._2 == 3L))
+    }
+    // exact dup pair present at every threshold with jaccard 1.0
+    val high = NearDup.prefixFilterJoin(corpus, "doc_id", "text", 3, 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(high == Set((1L, 2L, 1.0)))
+  }
+
+  test("prefixFilterJoin candidates exclude the hottest shingles from join keys") {
+    // Every doc shares the boilerplate prefix "all rights reserved ..." —
+    // the hot shingles have df = n and must sort LAST, so each doc's
+    // rare tail ends up in the prefix and the join never keys on a
+    // shingle shared by the whole corpus. Output must still be exact.
+    val n = 40
+    val docs = (1 to n).map(i =>
+      (i.toLong, s"all rights reserved contact us unique token number $i here"))
+      .toDF("doc_id", "text")
+    val got = NearDup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = NearDup.jaccardGroundTruth(docs, "doc_id", "text", 3, 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
 }
