@@ -583,6 +583,59 @@ object Similarity {
     * (ann06's lever) — both knobs measured in ann07's ladder;
     * SimilaritySpec pins `nprobe = numCentroids` ≡ the global trained
     * PQ ranking (no restriction ⇒ identical scores). */
+  /** Scalar-quantization (SQ8) ANN — the third compression family
+    * next to PQ (ann06/ann10) and JL random projection (ann08), and
+    * the Faiss `SQ8` counterpart: per-dimension [lo, hi] trained on
+    * the corpus (one explode + a dim-sized agg), each component
+    * encoded to an 8-bit level `floor((v−lo)/(hi−lo)·256)` clamped to
+    * 255 — 4× compression of float32 with per-DIMENSION (not
+    * per-subspace) granularity, so distortion is far below PQ's at
+    * the same scan cost — and queries score the DEQUANTIZED corpus
+    * asymmetrically (full-precision query against level midpoints
+    * `lo + (c+½)(hi−lo)/256`). Constant dimensions encode to level 0.
+    *
+    * Determinism: lo/hi are exact min/max; encode and dequantize are
+    * single correctly-rounded IEEE expressions written with the SAME
+    * association order as the oracle SQL, so codes and midpoints are
+    * bit-identical cross-engine; only the final cosine carries the
+    * usual Σ-order skew, absorbed by the family-wide 6-decimal round.
+    *
+    * At 100 TB the stored form writes the byte codes plus the 2·dim
+    * range table: the ADC scan reads ¼ the bytes of the raw corpus
+    * and the range table broadcasts everywhere. The encode pipeline
+    * here is one corpus explode + dim-key broadcast join + one vec_id
+    * reassembly shuffle — index-build cost, O(corpus), no all-pairs
+    * anywhere. Output: (query_id, vec_id, sq_sim, rk). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val fl = corpus.select(col("vec_id"),
+      posexplode(toDouble(col("embedding"))).as(Seq("d", "v")))
+    val rng = fl.groupBy(col("d"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val rec = fl.join(broadcast(rng), Seq("d"))
+      .select(col("vec_id"), col("d"),
+        (col("lo") +
+          (when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(lit(255L),
+              floor((col("v") - col("lo")) / (col("hi") - col("lo")) * lit(256))))
+            .cast("double") + lit(0.5)) *
+          (col("hi") - col("lo")) / lit(256)).as("rv"))
+    val ra = rec.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("d"), col("rv")))).as("__dm"))
+      .select(col("vec_id"),
+        transform(col("__dm"), s => s.getField("rv")).as("r_emb"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("q_emb"))
+    val scored = ra.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("r_emb")) /
+          (norm(col("q_emb")) * norm(col("r_emb"))), 6).as("sq_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sq_sim"),
+        col("rk").cast("long").as("rk"))
+  }
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 numCentroids: Int = 16, kmIters: Int = 2, m: Int = 16,
                 subDim: Int = 4, codebookSize: Int = 64, pqIters: Int = 2,

@@ -761,6 +761,41 @@ WHERE rk <= 10""")),
 ${pqTrainedChain(4, 64, 2, 10)}
 SELECT query_id, vec_id, pq_sim, rk FROM t_top WHERE rk <= 10""")),
 
+    // Scalar-quantization (SQ8) ANN — the third compression family
+    // next to PQ (ann06/ann10) and JL projection (ann08): per-dim
+    // [lo, hi] trained on the corpus, components encoded to 8-bit
+    // levels (4× compression), queries score the dequantized level
+    // midpoints asymmetrically. Codes and midpoints are bit-identical
+    // cross-engine (exact min/max + same-association IEEE exprs);
+    // only the final cosine rounds at the family-wide 6 decimals.
+    Q("ann13_sq8_adc",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), 10)
+      },
+      Some(s"""WITH ${flatCte()},
+rng AS (SELECT i, min(v) AS lo, max(v) AS hi FROM flat GROUP BY 1),
+rec AS (SELECT f.vec_id, f.i,
+               r.lo + (CASE WHEN r.hi = r.lo THEN 0
+                            ELSE least(255, floor((f.v - r.lo) / (r.hi - r.lo) * 256)) END
+                       + 0.5) * (r.hi - r.lo) / 256 AS rv
+        FROM flat f JOIN rng r ON r.i = f.i),
+rnm AS (SELECT vec_id, sqrt(sum(rv*rv)) AS nrm FROM rec GROUP BY 1),
+sc AS (SELECT q.vec_id AS query_id, r.vec_id, sum(q.v * r.rv) AS dp
+       FROM flat q JOIN rec r ON r.i = q.i
+       WHERE q.vec_id < 10 GROUP BY 1, 2),
+scored AS (SELECT s.query_id, s.vec_id,
+                  round(s.dp / (qn.nrm * rn.nrm), 6) AS sq_sim
+           FROM sc s
+           JOIN norms qn ON qn.vec_id = s.query_id
+           JOIN rnm rn ON rn.vec_id = s.vec_id)
+SELECT query_id, vec_id, sq_sim, rk FROM (
+  SELECT query_id, vec_id, sq_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sq_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 10""")),
+
     // Embedding-cosine near-dup pairs (blocked to vec_id < 300; the
     // fixture vectors are i.i.d. random, so the threshold is set at 0.35
     // to exercise a non-empty result).

@@ -342,7 +342,11 @@ class PlanSpec extends SparkSpec {
       // KMV set ops: the a<b pair join is over the stratum-sized
       // sketch table (one k-long row per source, broadcast) — tiny by
       // construction; the corpus pass is a plain hash agg
-      "tx35_vocab_overlap_kmv")
+      "tx35_vocab_overlap_kmv",
+      // SQ8 ADC scan: dequantized corpus × broadcast(10 queries) —
+      // ann01's whitelisted shape; the dim-sized range table join is
+      // equi on d
+      "ann13_sq8_adc")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val nonEqui = df.queryExecution.optimizedPlan.collect {
