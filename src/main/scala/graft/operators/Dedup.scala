@@ -181,6 +181,47 @@ object Dedup {
         col(s"__m.$catName").as(catName), col("__m.__dist").as("dist"))
   }
 
+  /** Sorted-neighborhood (SNM) entity-resolution candidates +
+    * verification (Hernández & Stolfo, SIGMOD'95) — the third blocking
+    * paradigm in the engine next to key-equality blocks
+    * ([[fuzzyMatch]]'s prefix/suffix passes) and content hashing
+    * (NearDup's LSH / prefix filter): sort all records by a fuzzy key,
+    * declare any two records within `window` positions candidates, and
+    * verify with Levenshtein ≤ `maxDist`. SNM finds matches
+    * key-equality blocking misses (typos anywhere in the block key
+    * still usually leave the records' sort positions close).
+    *
+    * Scale shape: the global rank comes from [[denseIdScalable]]
+    * (range-repartition + zipWithIndex — never a single-partition
+    * window), and the sliding window becomes an EQUI-join on the rank
+    * block `floor(rn / window)`: two records within `window` positions
+    * are either in the same block or in adjacent blocks, so a
+    * same-block join plus a blk+1 join cover every pair — no range
+    * theta-join, no nested loop, each block is `window`-sized so the
+    * join fan-out is O(n·window). Sort order is pinned by
+    * (key, id) — total, so both engines rank identically.
+    * Output: (id_a, id_b, key_a, key_b, dist), id_a = the lower-RANK
+    * record of the pair. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+                         window: Int, maxDist: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val ranked = graft.operators.NearDup.stage(denseIdScalable(
+      df.select(col(idCol), col(keyCol)).where(col(keyCol).isNotNull),
+      Seq(col(keyCol), col(idCol)), "__rn")
+      .withColumn("__blk", floor(col("__rn") / window)))
+    val a = ranked.select(col(idCol).as("id_a"), col(keyCol).as("key_a"),
+      col("__rn").as("__ra"), col("__blk").as("__ba"))
+    val b = ranked.select(col(idCol).as("id_b"), col(keyCol).as("key_b"),
+      col("__rn").as("__rb"), col("__blk").as("__bb"))
+    val same = a.join(b, col("__ba") === col("__bb") && col("__ra") < col("__rb"))
+    val adj = a.join(b, (col("__ba") + 1) === col("__bb"))
+    same.unionByName(adj)
+      .filter(col("__rb") - col("__ra") < window)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast(LongType))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"), col("dist"))
+  }
+
   /** Grouped top-k — [[firstWins]] generalized to "keep the k best per
     * key": top `k` (id, score) rows per group under (score desc, id
     * asc), with a 1-based `rnk`. Runs through the bounded-state

@@ -543,6 +543,43 @@ object RelationalQueries {
         FROM scored WHERE dist <= 2) t
       WHERE rn = 1""")),
 
+    // Sorted-neighborhood entity resolution (Hernández–Stolfo SNM) on
+    // the SAME corrupted-names fixture as op37 — the complementary
+    // blocking paradigm: sort by the fuzzy key, compare only records
+    // within 4 sort positions, verify Levenshtein ≤ 2. Engine rank =
+    // denseIdScalable (range partition + zipWithIndex, no global
+    // window); the sliding window runs as same-block + adjacent-block
+    // EQUI-joins on floor(rn/4). Order pinned by (name, id) so both
+    // engines rank identically.
+    Q("op42_sorted_neighborhood",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val pos = (col("p_partkey") % length(col("p_name"))).cast("int") + 1
+        val dirty = p.select(
+          col("p_partkey"),
+          when(col("p_partkey") % 2 === 1,
+            concat(col("p_name").substr(lit(1), pos - 1),
+              col("p_name").substr(pos + 1, length(col("p_name")))))
+            .otherwise(col("p_name")).as("sucio"))
+        graft.operators.Dedup.sortedNeighborhood(dirty, "p_partkey", "sucio", 4, 2)
+          .withColumnRenamed("id_a", "pk_a").withColumnRenamed("id_b", "pk_b")
+      },
+      Some("""WITH dirty AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 2 = 1 THEN
+                 substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
+                 || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+               ELSE p_name END AS sucio
+        FROM part),
+      rk AS (SELECT p_partkey, sucio,
+                    row_number() OVER (ORDER BY sucio, p_partkey) AS rn
+             FROM dirty WHERE sucio IS NOT NULL),
+      prs AS (SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+                     a.sucio AS key_a, b.sucio AS key_b,
+                     CAST(levenshtein(a.sucio, b.sucio) AS BIGINT) AS dist
+              FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn - a.rn < 4)
+      SELECT pk_a, pk_b, key_a, key_b, dist FROM prs WHERE dist <= 2""")),
+
     // Native pivot — the inverse of the reference's unpivot loop
     // (OP-20): per-customer order counts spread across the five
     // o_orderpriority columns. Values are PINNED (explicit list), so

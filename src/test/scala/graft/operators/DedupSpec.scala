@@ -159,4 +159,39 @@ class DedupSpec extends SparkSpec {
     assert(merged.rows.length == 3)
     assert(merged.rows.head == TopKRow(99.0, 0L), "merge must re-rank")
   }
+
+  test("sortedNeighborhood equals the naive rank-window definition (incl. cross-block pairs)") {
+    import spark.implicits._
+    // 26 keys aa..az plus typo'd twins for a few — rank blocks of 4
+    // force several true pairs to straddle a block boundary, which the
+    // adjacent-block join must recover.
+    val base = ('a' to 'z').zipWithIndex.map { case (c, i) => (i.toLong, s"a$c") }
+    val twins = Seq((100L, "ab"), (101L, "am"), (102L, "azz"))
+    val df = (base ++ twins).toDF("id", "key")
+    val w = 4
+    val got = Dedup.sortedNeighborhood(df, "id", "key", w, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // naive reference: global sort, all pairs within w positions
+    val ranked = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(p => (p._2, p._1)).zipWithIndex
+    val want = (for {
+      (ra, ia) <- ranked; (rb, ib) <- ranked
+      if ib > ia && ib - ia < w
+      if levenshteinDist(ra._2, rb._2) <= 2
+    } yield (ra._1, rb._1)).toSet
+    assert(got == want)
+    // the duplicate key "ab" pair must be found with dist 0
+    val dists = Dedup.sortedNeighborhood(df, "id", "key", w, 2)
+      .as[(Long, Long, String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(dists((1L, 100L)) == 0L)
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
