@@ -147,6 +147,49 @@ object Graph {
     settled
   }
 
+  /** Semi-supervised label propagation: seed nodes carry fixed labels;
+    * each synchronous round every OTHER node adopts the majority label
+    * of its labeled in-neighbors (ties → smallest label; unlabeled
+    * neighbors don't vote; a node with no labeled in-neighbors stays
+    * unlabeled this round). The curation classifier over
+    * [[Similarity.knnGraph]]: spread a handful of human quality/topic
+    * labels through embedding space — the discrete companion of gr03's
+    * PPR score (class assignment instead of proximity mass).
+    *
+    * Determinism contract: votes are integer counts and the argmax
+    * tie-break is total ((count desc, label asc)), so every round — and
+    * therefore the fixpoint trajectory — is exactly reproducible
+    * cross-engine with no rounding contract. Per round: one hash
+    * equi-join (labels × edges on src) + one count agg + one argmax agg
+    * + a seed-pinning anti-join — all map-side-combinable, lineage
+    * truncated per round like the PageRank loop.
+    * Output: (node, label) for every node labeled within `iters`. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: DataFrame, seedNodeCol: String,
+                       seedLabelCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = NearDup.stage(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct())
+    val seed = NearDup.stage(seeds
+      .select(col(seedNodeCol).as("node"), col(seedLabelCol).as("label"))
+      .distinct())
+    var lab = seed
+    for (_ <- 1 to iters) {
+      val votes = lab.select(col("node").as("src"), col("label"))
+        .join(e, Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val winners = votes.groupBy(col("node"))
+        .agg(min_by(col("label"), struct((-col("__c")).as("nc"), col("label")))
+          .as("label"))
+      lab = NearDup.stage(
+        seed.unionAll(winners.join(seed, Seq("node"), "left_anti")))
+    }
+    lab
+  }
+
   private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
                            weightCol: Option[String], iters: Int,
                            damping: Double,

@@ -102,6 +102,25 @@ r$i AS (SELECT n.vec_id,
         LEFT JOIN s$i ON s$i.vec_id = n.vec_id)"""
     }.mkString(",\n")
 
+  /** DuckDB mirror of [[Graph.labelPropagation]]'s synchronous rounds:
+    * labeled in-neighbors vote, argmax with (count desc, label asc)
+    * tie-break, seeds pinned via anti-join. Requires `edges` and `l0
+    * (node, label)`; produces `l1..l$iters`. Integer votes + total
+    * tie-break ⇒ bitwise cross-engine, no rounding contract. */
+  private def lpIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""v$i AS (SELECT e.nbr_id AS node, l.label, count(*) AS c
+       FROM edges e JOIN l${i - 1} l ON e.vec_id = l.node GROUP BY 1, 2),
+w$i AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         FROM v$i) t WHERE rn = 1),
+l$i AS (SELECT node, label FROM l0
+        UNION ALL
+        SELECT w.node, w.label FROM w$i w
+        WHERE NOT EXISTS (SELECT 1 FROM l0 s WHERE s.node = w.node))"""
+    }.mkString(",\n")
+
   /** DuckDB mirror of [[Similarity.kmeansCentroids]] in flattened
     * (centroid_id, i, v) space: init = first `k` vectors rounded to 6
     * decimals, then per iteration a cosine argmax assignment and a
@@ -1247,6 +1266,28 @@ SELECT deg.node AS vec_id, deg.degree,
                        (deg.degree * (deg.degree - 1)), 6)
        END AS clustering_coeff
 FROM deg LEFT JOIN pn USING (node)""")),
+
+    // Semi-supervised label propagation: 40 seed nodes carry one of 4
+    // fixed labels (vec_id % 4); three synchronous rounds spread them
+    // through the kNN graph by labeled-in-neighbor majority vote
+    // (ties → smallest label) — the curation classifier (spread a
+    // handful of human quality/topic labels through embedding space),
+    // the discrete companion of gr03's PPR proximity mass. Integer
+    // votes + total tie-break ⇒ bitwise cross-engine.
+    Q("gr06_label_prop",
+      (s, d) => graft.operators.Graph.labelPropagation(
+        Similarity.knnGraph(Tables.embeddings(s, d), 5,
+          maxBucketSize = Some(200)),
+        "vec_id", "nbr_id",
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), (col("vec_id") % 4).as("label"))
+          .filter(col("vec_id") < 40),
+        "vec_id", "label", iters = 3)
+        .withColumnRenamed("node", "vec_id"),
+      Some(s"""WITH $knnEdgesCtes,
+l0 AS (SELECT vec_id AS node, vec_id % 4 AS label FROM embeddings WHERE vec_id < 40),
+${lpIterCtes(3)}
+SELECT node AS vec_id, label FROM l3""")),
 
     // Multi-source BFS hop distances from a curated seed set over the
     // kNN graph — the curation-radius query (which documents sit

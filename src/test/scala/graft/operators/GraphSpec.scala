@@ -128,6 +128,38 @@ class GraphSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("labelPropagation: majority wins, revisions propagate, ties take the smaller label, seeds stay pinned") {
+    // seeds: 1→label 1, 2→label 2, 3→label 2.
+    // z1, z2 each hear from seeds 2 and 3 → labeled 2 in round 1.
+    // x hears from seed 1, z1, z2: round 1 only seed 1 votes (x=1);
+    // round 2 votes are {1, 2, 2} → x REVISES to 2.
+    // t hears from seeds 1 and 2 → tie → smaller label 1.
+    // seed 2 hears from seed 1 but must keep label 2.
+    // u has no labeled in-neighbors ever → absent.
+    val edges = Seq(
+      (2L, 10L), (3L, 10L),         // z1
+      (2L, 11L), (3L, 11L),         // z2
+      (1L, 20L), (10L, 20L), (11L, 20L), // x
+      (1L, 30L), (2L, 30L),         // t (tie)
+      (1L, 2L),                     // into a seed
+      (99L, 40L))                   // unlabeled voter only
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 1L), (2L, 2L), (3L, 2L)).toDF("n", "l")
+    val r1 = Graph.labelPropagation(edges, "src", "dst", seeds, "n", "l", 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 1L, 2L -> 2L, 3L -> 2L,
+      10L -> 2L, 11L -> 2L, 20L -> 1L, 30L -> 1L))
+    val r2 = Graph.labelPropagation(edges, "src", "dst", seeds, "n", "l", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2(20L) == 2L, "x must revise to the new majority")
+    assert(r2(2L) == 2L, "seed labels are pinned")
+    assert(!r2.contains(40L), "no labeled in-neighbor → stays unlabeled")
+    // fixpoint: further rounds change nothing on this graph
+    val r3 = Graph.labelPropagation(edges, "src", "dst", seeds, "n", "l", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == r2)
+  }
+
   test("hopDistances: chain + shortcut = min path; horizon and unreachable nodes excluded") {
     // seed 0; chain 0→1→2→3→4, shortcut 0→3 (so 3 is 1 hop, not 3),
     // back-edge 2→0 (cycle must not loop forever or lower settled
