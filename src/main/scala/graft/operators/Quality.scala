@@ -156,6 +156,60 @@ object Quality {
       .agg(round(sum((col("__p") - col("__q")) * log(col("__p") / col("__q"))), 6).as("psi"))
   }
 
+  /** First-significant-digit expectations for Benford's law,
+    * log10(1 + 1/d) rounded to 9 decimals — ONE definition feeding
+    * both the engine column and the generated oracle literals, so the
+    * chi-square statistics agree bitwise up to the 9-term summation
+    * (absorbed by the 6-decimal output round). */
+  val benfordExpected: Seq[(Int, Double)] = (1 to 9).map { d =>
+    d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+  /** Σ of the rounded expectations (≈ 1; the exact constant both
+    * engines use for the missing-digit correction). */
+  val benfordTotal: Double = benfordExpected.map(_._2).sum
+
+  /** Benford first-digit conformance per group — the classic
+    * synthetic/fabricated-data detector for a curation pipeline:
+    * naturally occurring size-like quantities (document lengths, view
+    * counts) follow log10(1+1/d) first-digit frequencies; generated or
+    * template-stamped data does not. Reports Pearson's χ² between a
+    * group's observed first-digit distribution (positive values only)
+    * and Benford's, with digits the group never produced folded in
+    * CLOSED FORM — χ² = n·(Σ_observed[(p̂_d−p_d)²/p_d − p_d] + Σ_all p_d)
+    * — so no group×digit densification join (and no cross join) is
+    * ever planned.
+    *
+    * Determinism: the first digit comes from the value's decimal
+    * STRING (never floor(v/10^⌊log10 v⌋) — libm log10 is not
+    * correctly rounded and flips digits at powers of ten), counts are
+    * integers, expectations are shared 9-decimal literals; only the
+    * 9-term χ² sum floats, under the repo-wide 6-decimal round.
+    * Shape at 100 TB: one map-side-combinable (group, digit) count
+    * agg; everything downstream is (groups×≤9)-sized.
+    * Output: (group, n_pos, chi2). */
+  def benford(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df.filter(col(valueCol) > 0)
+      .select(col(groupCol),
+        substring(col(valueCol).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      .groupBy(col(groupCol), col("digit")).agg(count(lit(1)).as("__c"))
+    val tot = obs.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
+    val expDf = benfordExpected.toDF("digit", "p_exp")
+    val pObs = col("__c").cast("double") / col("__n")
+    val diff = pObs - col("p_exp")
+    obs.join(tot, Seq(groupCol))
+      .join(broadcast(expDf), Seq("digit"))
+      .select(col(groupCol), col("__n"),
+        (diff * diff / col("p_exp") - col("p_exp")).as("__t"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_pos"),
+        round((sum(col("__t")) + lit(benfordTotal)) * max(col("__n")), 6)
+          .as("chi2"))
+  }
+
   /** Per-group empirical-CDF rank of every row's value, estimated from
     * the [[EventOps.QuantileBottomK]] bottom-k sample — per-source
     * QUALITY-SCORE CALIBRATION: raw quality scores are not comparable

@@ -509,6 +509,38 @@ FROM agg""")),
               WHERE ms.ma > 0 AND ms.mb > 0
               GROUP BY 1, 2, 3""")),
 
+    // Benford first-digit conformance per source — the classic
+    // synthetic/fabricated-data detector: natural size-like quantities
+    // (here document lengths) follow log10(1+1/d) first-digit
+    // frequencies; template-stamped or generated data does not. χ²
+    // with never-produced digits folded in closed form (no
+    // group×digit densification join); digits come from the decimal
+    // STRING (libm log10 is not correctly rounded at powers of ten);
+    // expectations are shared 9-decimal literals from ONE Scala
+    // definition.
+    Q("dq08_benford",
+      (s, d) => graft.operators.Quality.benford(
+        Tables.documents(s, d), "source", "n_chars"),
+      Some({
+        val values = graft.operators.Quality.benfordExpected
+          .map { case (dgt, p) => s"($dgt, $p)" }.mkString(", ")
+        val ptot = graft.operators.Quality.benfordTotal
+        s"""WITH obs AS (SELECT source,
+                CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                CAST(count(*) AS BIGINT) AS c
+              FROM documents WHERE n_chars > 0 GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM obs GROUP BY 1),
+expd AS (SELECT * FROM (VALUES $values) AS t(digit, p_exp)),
+terms AS (SELECT o.source, t.n,
+                 (CAST(o.c AS DOUBLE) / t.n - e.p_exp) *
+                 (CAST(o.c AS DOUBLE) / t.n - e.p_exp) / e.p_exp - e.p_exp AS tt
+          FROM obs o
+          JOIN tot t ON t.source = o.source
+          JOIN expd e ON e.digit = o.digit)
+SELECT source, max(n) AS n_pos, round((sum(tt) + $ptot) * max(n), 6) AS chi2
+FROM terms GROUP BY source"""
+      })),
+
     // Distribution-drift gate (PSI) between the first and second half
     // of the month, per event type — the fixture's value distribution
     // is stationary, so PSI lands near 0 (the interesting check is

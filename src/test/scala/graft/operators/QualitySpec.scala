@@ -178,4 +178,30 @@ class QualitySpec extends SparkSpec {
     assert(dKs > 0.3 && dKs <= 1.0, s"planted 0.5-shift missed: $dKs")
     assert(dKs > sKs, "shifted must exceed stationary")
   }
+
+  test("benford: log-uniform data conforms, template-stamped data is flagged, missing digits fold in") {
+    import spark.implicits._
+    // "natural": first digits drawn to match Benford frequencies
+    // exactly in a 1000-row sample (round(1000·p_d) per digit).
+    val natural = graft.operators.Quality.benfordExpected.flatMap { case (d, p) =>
+      Seq.fill(math.round(1000 * p).toInt)(d.toLong * 1000L) // d as first digit
+    }.zipWithIndex.map { case (v, i) => ("nat", v + i % 100) } // jitter tails, not first digits
+    // "stamped": every length is 500-something — first digit always 5
+    val stamped = (1 to 1000).map(i => ("gen", 500L + i % 90))
+    val df = (natural ++ stamped).toDF("src", "len")
+    val out = graft.operators.Quality.benford(df, "src", "len")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val (nNat, chiNat) = out("nat")
+    val (nGen, chiGen) = out("gen")
+    assert(nNat > 990 && nGen == 1000)
+    assert(chiNat < 20, s"Benford-conforming sample must score low: $chiNat")
+    // single-digit data: Σ_obs term + folded missing mass ⇒ huge χ²
+    assert(chiGen > 1000, s"template-stamped data must be flagged: $chiGen")
+    assert(chiGen > 50 * chiNat)
+    // zero/negative values are excluded, not crashed on
+    val withJunk = df.union(Seq(("nat", 0L), ("nat", -3L)).toDF("src", "len"))
+    val out2 = graft.operators.Quality.benford(withJunk, "src", "len")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2("nat") == nNat, "non-positive values must not count")
+  }
 }
