@@ -172,9 +172,20 @@ object Graph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct())
+    // A node seeded with TWO different labels would silently vote (and
+    // be emitted) twice — the same silent-contract class as
+    // pageRankWeighted's weight-sum guard. Fail loudly instead.
     val seed = NearDup.stage(seeds
       .select(col(seedNodeCol).as("node"), col(seedLabelCol).as("label"))
-      .distinct())
+      .distinct()
+      .groupBy(col("node"))
+      .agg(min(col("label")).as("__lab"), count(lit(1)).as("__nl"))
+      .select(col("node"),
+        when(col("__nl") > 1,
+          raise_error(format_string(
+            "labelPropagation: seed node %s carries %s conflicting labels",
+            col("node").cast("string"), col("__nl").cast("string"))))
+          .otherwise(col("__lab")).as("label")))
     var lab = seed
     for (_ <- 1 to iters) {
       val votes = lab.select(col("node").as("src"), col("label"))

@@ -191,7 +191,11 @@ object Quality {
   def benford(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val obs = df.filter(col(valueCol) > 0)
+    // Digit basis is the value's INTEGER part (the size-like contract:
+    // lengths, counts); values without one — v ∈ (0, 1) included —
+    // are excluded by the same cast-then-test predicate that excludes
+    // zero and negatives, never silently folded into a "0" digit.
+    val obs = df.filter(col(valueCol).cast("long") > 0)
       .select(col(groupCol),
         substring(col(valueCol).cast("long").cast("string"), 1, 1)
           .cast("int").as("digit"))

@@ -160,6 +160,15 @@ class GraphSpec extends SparkSpec {
     assert(r3 == r2)
   }
 
+  test("labelPropagation: conflicting seed labels raise instead of double-voting") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq((1L, 1L), (1L, 2L)).toDF("n", "l")
+    val e = intercept[Exception] {
+      Graph.labelPropagation(edges, "src", "dst", seeds, "n", "l", 1).collect()
+    }
+    assert(e.getMessage.contains("conflicting labels"))
+  }
+
   test("hopDistances: chain + shortcut = min path; horizon and unreachable nodes excluded") {
     // seed 0; chain 0→1→2→3→4, shortcut 0→3 (so 3 is 1 hop, not 3),
     // back-edge 2→0 (cycle must not loop forever or lower settled

@@ -198,10 +198,12 @@ class QualitySpec extends SparkSpec {
     // single-digit data: Σ_obs term + folded missing mass ⇒ huge χ²
     assert(chiGen > 1000, s"template-stamped data must be flagged: $chiGen")
     assert(chiGen > 50 * chiNat)
-    // zero/negative values are excluded, not crashed on
-    val withJunk = df.union(Seq(("nat", 0L), ("nat", -3L)).toDF("src", "len"))
+    // zero/negative values are excluded, not crashed on; fractions
+    // without an integer part are excluded by the same predicate
+    val withJunk = df.withColumn("len", $"len".cast("double"))
+      .union(Seq(("nat", 0.0), ("nat", -3.0), ("nat", 0.4)).toDF("src", "len"))
     val out2 = graft.operators.Quality.benford(withJunk, "src", "len")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(out2("nat") == nNat, "non-positive values must not count")
+    assert(out2("nat") == nNat, "non-positive and sub-1 values must not count")
   }
 }
