@@ -459,6 +459,91 @@ object EventOps {
     stageTimes.foldLeft(users)((u, st) => u.join(st, Seq(userCol), "left"))
   }
 
+  /** Ordered event-sequence pattern matching — the MATCH_RECOGNIZE /
+    * behavioral-regex family (funnels are the special case
+    * `a.*b.*c`). Per entity, the stream collapses to one character per
+    * event in (ts, id) order and a regex counts NON-overlapping
+    * occurrences.
+    *
+    * Determinism contract: `idCol` must be unique per entity (total
+    * order ⇒ one canonical sequence string), and `pattern` must keep
+    * match boundaries unambiguous across regex engines — concretely,
+    * every quantified class must EXCLUDE the characters that can start
+    * or end a match (e.g. `v[ces]*p`, never `v.*p`): then greedy
+    * (Java) and leftmost (RE2/DuckDB) scanning produce identical
+    * non-overlapping match sets.
+    *
+    * Scale shape: one hash aggregation keyed by entity; state per
+    * group is that entity's event list — the same per-entity bound as
+    * session windows (EX-02), NOT corpus-sized. The sort is
+    * `array_sort` INSIDE each group's buffer (local, no window, no
+    * shuffle beyond the groupBy); the regex runs codegen'd per row on
+    * the collapsed string. Output: (key, seq_len, n_matches). */
+  def sequencePattern(events: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, eventChar: Column,
+                      pattern: String): DataFrame =
+    events
+      .groupBy(col(keyCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(
+            col(tsCol).as("t"), col(idCol).as("i"), eventChar.as("c")))),
+          x => x.getField("c")), "").as("__seq"))
+      .select(col(keyCol),
+        length(col("__seq")).cast("bigint").as("seq_len"),
+        size(regexp_extract_all(col("__seq"), lit(pattern), lit(0)))
+          .cast("bigint").as("n_matches"))
+
+  /** OHLC bars: per (tumbling window, key) the first/max/min/last
+    * value — the financial-bars / telemetry-rollup shape. `min_by` /
+    * `max_by` with a (ts, id) struct ordering key pick open/close
+    * EXACTLY (ties impossible under a unique id), with no window
+    * function and no per-group sort — one hash aggregation whose state
+    * is five scalars per bar, map-side combinable. The value sum runs
+    * in exact DECIMAL internally (double summation is
+    * order-dependent; decimal is associative) and lands as the
+    * repo-standard rounded DOUBLE. */
+  def ohlcBars(events: DataFrame, minutes: Int): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), s"$minutes minutes").getField("start").as("bucket_start"),
+        col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
+
+  /** First-order Markov transition matrix over per-entity event
+    * streams: count (from → to) transitions between CONSECUTIVE events
+    * of the same entity (ts, id order) and normalize per source state.
+    * The behavioral-model / next-event-prediction primitive.
+    *
+    * The lead() window partitions by the HIGH-cardinality entity key —
+    * per-partition sorts distribute across the cluster (ex17's
+    * low-cardinality hazard does not apply). Probabilities are exact
+    * integer ratios rounded to 6 — bitwise cross-engine. The per-state
+    * total comes from a second tiny aggregation over the (from, to)
+    * count table (states² rows), NOT a global window over the pair
+    * stream. Output: (from_type, to_type, n, p). */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val cnt = events
+      .select(col(keyCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("__t"))
+    cnt.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__t"), 6).as("p"))
+  }
+
   /** EX-08: JSON field extraction from a string column. `get_json_object`
     * is codegen'd; for fixed wide schemas prefer `from_json` once. */
   /** Histogram quantile sketch: per-group fixed-width bin counts →

@@ -106,6 +106,93 @@ object Graph {
             (col("degree") * (col("degree") - 1)), 6)).as("clustering_coeff"))
   }
 
+  /** Common-neighbor link prediction over an edge list treated as
+    * UNDIRECTED (direction/duplicates collapse, self-loops dropped):
+    * for every NON-adjacent pair (u, v) sharing at least `minCommon`
+    * neighbors, emit the common-neighbor count and the neighborhood
+    * Jaccard cn / (deg(u) + deg(v) − cn). On a kNN graph this is the
+    * "missing near-dup edge" detector — two documents whose
+    * neighborhoods interlock but whose own edge fell below k are the
+    * first candidates for cluster merging (and the classic
+    * link-prediction baseline, Liben-Nowell & Kleinberg 2003).
+    *
+    * One self-join of the doubled adjacency list on the SHARED
+    * neighbor (u < v keeps each pair once), so each (u, v, x) wedge is
+    * produced exactly once and fan-out is Σ_x deg(x)² — k²·n on a kNN
+    * graph, never n². The `minCommon` filter runs on the counted
+    * aggregate BEFORE the degree joins and the adjacency anti-join, so
+    * the expensive joins see only the surviving pairs. Integer counts;
+    * the Jaccard is one exact-integer division rounded to 6.
+    * Output: (u, v, common_neighbors, jaccard), u < v. */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     minCommon: Int = 2): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val und = NearDup.stage(edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct())
+    val adj = NearDup.stage(
+      und.select(col("a").as("u"), col("b").as("x"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("x"))))
+    val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+    val cn = adj.as("l")
+      .join(adj.as("r"), col("l.x") === col("r.x") && col("l.u") < col("r.u"))
+      .groupBy(col("l.u").as("u"), col("r.u").as("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .filter(col("common_neighbors") >= minCommon)
+    val open = cn.join(und,
+      cn("u") === und("a") && cn("v") === und("b"), "left_anti")
+    open
+      .join(deg.select(col("node").as("u"), col("degree").as("__du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("degree").as("__dv")), Seq("v"))
+      .select(col("u"), col("v"), col("common_neighbors"),
+        round(col("common_neighbors").cast("double") /
+          (col("__du") + col("__dv") - col("common_neighbors")), 6).as("jaccard"))
+  }
+
+  /** k-core peeling over an edge list treated as UNDIRECTED: `rounds`
+    * synchronous peel steps, each dropping every node whose CURRENT
+    * degree is below k (and the edges touching it). The surviving
+    * subgraph after enough rounds is the k-core — on a kNN graph the
+    * dense near-dup cluster interiors, with hub/satellite fringe
+    * peeled away (the density-based companion of gr04's clustering
+    * coefficient).
+    *
+    * `rounds` is a fixed synchronous budget — the same mirrorable
+    * contract as PageRank's iteration count (an unbounded
+    * peel-to-fixpoint cannot be expressed as layered SQL; on
+    * bounded-degree graphs the fixpoint is reached in a handful of
+    * rounds, and a run where round `rounds` still peeled nodes is
+    * detectable from the output degrees). Per round: one degree
+    * aggregation + two semi-joins against the surviving node set —
+    * integer counts end to end, lineage truncated per round.
+    * Output: (node, core_degree) for nodes surviving all rounds,
+    * with their degree INSIDE the surviving subgraph. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var und = NearDup.stage(edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct())
+    for (_ <- 1 to rounds) {
+      val keep = und.select(col("a").as("node"))
+        .unionAll(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("node"))
+      und = NearDup.stage(und
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi"))
+    }
+    und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Multi-source BFS hop distances: `maxHops` synchronous frontier
     * rounds over a DIRECTED edge list; dist(v) = length of the
     * shortest edge path from ANY seed (0 for seeds), reported only

@@ -218,7 +218,37 @@ object NearDup {
     * |A∩B| via a shingle-equality join, |A∪B| = |A|+|B|−|A∩B| — so no
     * per-row array materialization; similarity rounded to 6 decimals. */
   def jaccardOnPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
-                     textCol: String, shingleSize: Int): DataFrame = {
+                     textCol: String, shingleSize: Int): DataFrame =
+    pairOverlapCounts(docs, pairs, idCol, textCol, shingleSize)
+      .select(col("id_a"), col("id_b"),
+        round(col("ni").cast("double") /
+              (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
+
+  /** Exact shingle CONTAINMENT for given candidate pairs — the
+    * asymmetric companion of [[jaccardOnPairs]]: C(A⊆B) = |A∩B| / |A|.
+    * A short document quoted wholesale inside a long one has
+    * containment ≈ 1 while its Jaccard collapses toward |A|/|B| — the
+    * inclusion-duplicate class a symmetric threshold misses (the
+    * "Broder containment" side of the resemblance/containment pair,
+    * Broder 1997). Same candidate-restricted cost profile as the
+    * Jaccard verify stage; all three scores are exact-integer ratios
+    * rounded to 6. Output: (id_a, id_b, na, nb, cont_a_in_b,
+    * cont_b_in_a, jaccard). */
+  def containmentOnPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                         textCol: String, shingleSize: Int): DataFrame =
+    pairOverlapCounts(docs, pairs, idCol, textCol, shingleSize)
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        round(col("ni").cast("double") / col("na"), 6).as("cont_a_in_b"),
+        round(col("ni").cast("double") / col("nb"), 6).as("cont_b_in_a"),
+        round(col("ni").cast("double") /
+              (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
+
+  /** Shared verify-stage core: per candidate pair the exact shingle-set
+    * sizes and intersection — (id_a, id_b, na, nb, ni). Both the
+    * Jaccard and containment scorers are one projection over this. */
+  private def pairOverlapCounts(docs: DataFrame, pairs: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleSize: Int): DataFrame = {
     // `pairs` is consumed four times below (id restriction, A-side,
     // B-side sizes, final assembly) and is typically the output of a
     // multi-stage LSH chain — stage it so that chain runs once.
@@ -248,9 +278,8 @@ object NearDup {
       .join(sizes.select(col("jid").as("id_a"), col("ns").as("na")), Seq("id_a"))
       .join(sizes.select(col("jid").as("id_b"), col("ns").as("nb")), Seq("id_b"))
       .join(inter, Seq("id_a", "id_b"), "left")
-      .select(col("id_a"), col("id_b"),
-        round(coalesce(col("ni"), lit(0L)).cast("double") /
-              (col("na") + col("nb") - coalesce(col("ni"), lit(0L))), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        coalesce(col("ni"), lit(0L)).as("ni"))
   }
 
   /** EXACT all-pairs Jaccard ground truth: every (id_a < id_b) pair

@@ -329,6 +329,62 @@ FROM agg""")),
              LEFT JOIN s2 ON s2.user_id = u.user_id
              LEFT JOIN s3 ON s3.user_id = u.user_id""")),
 
+    // Event-sequence regex over per-user streams — MATCH_RECOGNIZE
+    // semantics (ex15's funnel is the `v.*c.*p` special case; this one
+    // counts DIRECT view→purchase conversions, no intervening view or
+    // purchase). One char per event (type initials are distinct in the
+    // fixture), one groupBy-keyed hash agg, regex codegen'd per user.
+    // The quantified class [ces] excludes both boundary chars, so Java
+    // and RE2 produce identical non-overlapping matches (see
+    // EventOps.sequencePattern's determinism contract).
+    Q("ex25_event_pattern",
+      (s, d) => EventOps.sequencePattern(Tables.events(s, d),
+        "user_id", "ts", "event_id",
+        substring(col("event_type"), 1, 1), "v[ces]*p"),
+      Some("""WITH seq AS (
+                SELECT user_id,
+                       string_agg(substr(event_type, 1, 1), ''
+                         ORDER BY ts, event_id) AS s
+                FROM events GROUP BY 1)
+              SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
+                     CAST(len(regexp_extract_all(s, 'v[ces]*p')) AS BIGINT) AS n_matches
+              FROM seq""")),
+
+    // OHLC bars: min_by/max_by on a (ts, event_id) struct key pick
+    // open/close exactly (unique id ⇒ no ties) — five scalars of agg
+    // state per bar, no window, no per-group sort. Oracle: DuckDB
+    // ordered-aggregate first()/last().
+    Q("ex26_ohlc_bars",
+      (s, d) => EventOps.ohlcBars(Tables.events(s, d), 15),
+      Some("""SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket_start,
+                     event_type,
+                     first(value ORDER BY ts, event_id) AS open,
+                     max(value) AS high,
+                     min(value) AS low,
+                     last(value ORDER BY ts, event_id) AS close,
+                     CAST(count(*) AS BIGINT) AS n,
+                     round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+              FROM events GROUP BY 1, 2""")),
+
+    // First-order Markov transition matrix over per-user streams: the
+    // next-event behavioral model. lead() partitions by the
+    // high-cardinality user key; per-state normalization joins the
+    // states²-sized count table — exact integer ratios, rounded 6.
+    Q("ex27_transition_matrix",
+      (s, d) => EventOps.transitionMatrix(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type"),
+      Some("""WITH pr AS (
+                SELECT user_id, event_type AS from_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS to_type
+                FROM events),
+              cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+                      FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+              tot AS (SELECT from_type, sum(n) AS t FROM cnt GROUP BY 1)
+              SELECT c.from_type, c.to_type, c.n,
+                     round(CAST(c.n AS DOUBLE) / t.t, 6) AS p
+              FROM cnt c JOIN tot t USING (from_type)""")),
+
     // Robust outlier gate: per-type median/MAD flags events whose
     // absolute deviation exceeds 4 MADs — the heavy-tail-safe quality
     // filter (mean/stddev masks under contamination).

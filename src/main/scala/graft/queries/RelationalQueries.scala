@@ -580,6 +580,31 @@ object RelationalQueries {
               FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn - a.rn < 4)
       SELECT pk_a, pk_b, key_a, key_b, dist FROM prs WHERE dist <= 2""")),
 
+    // Market-basket co-purchase pairs with lift: parts ordered
+    // together more often than their popularity predicts. Pair
+    // generation is an equi-join on the ORDER key (≤ 7² fan-out per
+    // order, never part²); minCount prunes the random-pair tail before
+    // the frequency joins; lift is an exact-integer ratio.
+    Q("op43_copurchase_lift",
+      (s, d) => graft.operators.Affinity.coOccurrence(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", minCount = 2L),
+      Some("""WITH li AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      pairs AS (SELECT l.item AS item1, r.item AS item2,
+                       CAST(count(*) AS BIGINT) AS n_co
+                FROM li l JOIN li r
+                  ON l.basket = r.basket AND l.item < r.item
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+      freq AS (SELECT item, CAST(count(*) AS BIGINT) AS nf FROM li GROUP BY 1),
+      nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM li)
+      SELECT p.item1, p.item2, p.n_co,
+             round(CAST(p.n_co AS DOUBLE) * nb.n / (f1.nf * f2.nf), 6) AS lift
+      FROM pairs p
+      JOIN freq f1 ON f1.item = p.item1
+      JOIN freq f2 ON f2.item = p.item2
+      CROSS JOIN nb""")),
+
     // Native pivot — the inverse of the reference's unpivot loop
     // (OP-20): per-customer order counts spread across the five
     // o_orderpriority columns. Values are PINNED (explicit list), so

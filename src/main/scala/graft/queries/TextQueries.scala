@@ -204,6 +204,33 @@ $bandsCte,
 $jaccardCtes
 SELECT id_a, id_b, jaccard FROM jac""")),
 
+    // Exact shingle CONTAINMENT on the LSH candidates — the asymmetric
+    // verify stage (Broder's containment): a short doc quoted wholesale
+    // inside a long one scores cont ≈ 1 while its Jaccard collapses
+    // toward |A|/|B| — the inclusion-duplicate class dd04's symmetric
+    // threshold misses. Same candidate-restricted cost; exact-integer
+    // ratios rounded 6.
+    Q("dd19_containment",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = NearDup.minhashCandidates(docs, "doc_id", "text",
+          NumHashes, 3, RowsPerBand)
+        NearDup.containmentOnPairs(docs, pairs, "doc_id", "text", 3)
+      },
+      Some(s"""WITH $minhashCtes,
+$bandsCte,
+$jaccardCtes
+SELECT c.id_a, c.id_b,
+       za.ns AS na, zb.ns AS nb,
+       round(CAST(coalesce(i.ni, 0) AS DOUBLE) / za.ns, 6) AS cont_a_in_b,
+       round(CAST(coalesce(i.ni, 0) AS DOUBLE) / zb.ns, 6) AS cont_b_in_a,
+       j.jaccard
+FROM cand c
+JOIN sizes za ON za.doc_id = c.id_a
+JOIN sizes zb ON zb.doc_id = c.id_b
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b""")),
+
     // LSH quality report — the ann07 treatment applied to minhash
     // dedup: candidate recall/precision of the 8×2 LSH bands against
     // the EXACT all-pairs Jaccard ≥ 0.5 ground truth (enumerable

@@ -1317,6 +1317,73 @@ lv AS (SELECT node, 0 AS h FROM r0
 SELECT node AS vec_id, CAST(min(h) AS INTEGER) AS hops
 FROM lv GROUP BY 1""")),
 
+    // Common-neighbor link prediction on the kNN graph: non-adjacent
+    // pairs whose neighborhoods interlock (≥ 2 shared neighbors) —
+    // the missing-near-dup-edge detector / classic Liben-Nowell
+    // baseline. One self-join of the doubled adjacency on the SHARED
+    // neighbor (Σ deg² = k²·n fan-out), count-pruned before the degree
+    // joins; Jaccard is an exact-integer ratio rounded 6.
+    Q("gr07_link_prediction",
+      (s, d) => graft.operators.Graph.linkPrediction(
+        Similarity.knnGraph(Tables.embeddings(s, d), 5,
+          maxBucketSize = Some(200)),
+        "vec_id", "nbr_id", minCommon = 2),
+      Some(s"""WITH $knnEdgesCtes,
+und AS (SELECT DISTINCT least(vec_id, nbr_id) AS a,
+               greatest(vec_id, nbr_id) AS b
+        FROM edges WHERE vec_id <> nbr_id),
+adj AS (SELECT a AS u, b AS x FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY 1),
+cn AS (SELECT l.u AS u, r.u AS v, CAST(count(*) AS BIGINT) AS common_neighbors
+       FROM adj l JOIN adj r ON l.x = r.x AND l.u < r.u
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+opn AS (SELECT cn.* FROM cn
+        LEFT JOIN und ON und.a = cn.u AND und.b = cn.v
+        WHERE und.a IS NULL)
+SELECT o.u, o.v, o.common_neighbors,
+       round(CAST(o.common_neighbors AS DOUBLE) /
+             (d1.degree + d2.degree - o.common_neighbors), 6) AS jaccard
+FROM opn o
+JOIN deg d1 ON d1.node = o.u
+JOIN deg d2 ON d2.node = o.v""")),
+
+    // 3-core of the kNN graph after three synchronous peel rounds —
+    // dense near-dup cluster interiors with the hub/satellite fringe
+    // peeled away (density companion of gr04's clustering coeff).
+    // Fixed round budget = the PageRank-style mirrorable contract;
+    // integer degrees end to end. Oracle: one layered CTE per peel.
+    Q("gr08_kcore",
+      (s, d) => graft.operators.Graph.kCore(
+        Similarity.knnGraph(Tables.embeddings(s, d), 5,
+          maxBucketSize = Some(200)),
+        "vec_id", "nbr_id", k = 3, rounds = 3)
+        .withColumnRenamed("node", "vec_id"),
+      Some(s"""WITH $knnEdgesCtes,
+und AS (SELECT DISTINCT least(vec_id, nbr_id) AS a,
+               greatest(vec_id, nbr_id) AS b
+        FROM edges WHERE vec_id <> nbr_id),
+d0 AS (SELECT node, count(*) AS d
+       FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) x
+       GROUP BY 1),
+k0 AS (SELECT node FROM d0 WHERE d >= 3),
+e1 AS (SELECT u.a, u.b FROM und u
+       JOIN k0 x ON x.node = u.a JOIN k0 y ON y.node = u.b),
+d1 AS (SELECT node, count(*) AS d
+       FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) x
+       GROUP BY 1),
+k1 AS (SELECT node FROM d1 WHERE d >= 3),
+e2 AS (SELECT u.a, u.b FROM e1 u
+       JOIN k1 x ON x.node = u.a JOIN k1 y ON y.node = u.b),
+d2 AS (SELECT node, count(*) AS d
+       FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) x
+       GROUP BY 1),
+k2 AS (SELECT node FROM d2 WHERE d >= 3),
+e3 AS (SELECT u.a, u.b FROM e2 u
+       JOIN k2 x ON x.node = u.a JOIN k2 y ON y.node = u.b)
+SELECT node AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) x
+GROUP BY 1""")),
+
     // Embedding near-dup, corpus-scale form: LSH-bucket blocking over
     // the FULL table (no id block) — bucket equi-join, not an all-pairs
     // theta-join. Threshold is low (0.1) because the fixture vectors

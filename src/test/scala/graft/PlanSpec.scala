@@ -346,7 +346,11 @@ class PlanSpec extends SparkSpec {
       // SQ8 ADC scan: dequantized corpus × broadcast(10 queries) —
       // ann01's whitelisted shape; the dim-sized range table join is
       // equi on d
-      "ann13_sq8_adc")
+      "ann13_sq8_adc",
+      // co-purchase lift: the basket-count denominator is ONE broadcast
+      // row crossed into the count-pruned pair table — scalar fan-out;
+      // pair generation and the frequency joins are all equi
+      "op43_copurchase_lift")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val nonEqui = df.queryExecution.optimizedPlan.collect {

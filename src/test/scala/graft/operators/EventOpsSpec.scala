@@ -343,4 +343,75 @@ class EventOpsSpec extends SparkSpec {
       .as[(String, Double, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(again == est)
   }
+
+  test("sequencePattern: non-overlapping matches in (ts, id) order; id breaks ts ties") {
+    // user 1: v c c p v p → "vccpvp": v[ces]*p matches "vccp" then "vp".
+    // Events 2 and 3 share a timestamp — event_id orders c before the
+    // SECOND c (id 3), pinning the canonical string.
+    // user 2: p c v → no match (no v before a p).
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "view", 0.0, null.asInstanceOf[String]),
+      (2L, ts("2026-01-01 10:01:00"), 1L, "click", 0.0, null.asInstanceOf[String]),
+      (3L, ts("2026-01-01 10:01:00"), 1L, "click", 0.0, null.asInstanceOf[String]),
+      (4L, ts("2026-01-01 10:02:00"), 1L, "purchase", 0.0, null.asInstanceOf[String]),
+      (5L, ts("2026-01-01 10:03:00"), 1L, "view", 0.0, null.asInstanceOf[String]),
+      (6L, ts("2026-01-01 10:04:00"), 1L, "purchase", 0.0, null.asInstanceOf[String]),
+      (7L, ts("2026-01-01 10:00:00"), 2L, "purchase", 0.0, null.asInstanceOf[String]),
+      (8L, ts("2026-01-01 10:01:00"), 2L, "click", 0.0, null.asInstanceOf[String]),
+      (9L, ts("2026-01-01 10:02:00"), 2L, "view", 0.0, null.asInstanceOf[String]),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.sequencePattern(ev, "user_id", "ts", "event_id",
+      substring(col("event_type"), 1, 1), "v[ces]*p")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((6L, 2L)))
+    assert(out(2L) == ((3L, 0L)))
+    // deterministic rerun — the collapsed string is canonical
+    val again = EventOps.sequencePattern(ev, "user_id", "ts", "event_id",
+      substring(col("event_type"), 1, 1), "v[ces]*p")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == out)
+  }
+
+  test("ohlcBars: open/close picked by (ts, id) order, ties broken by id; exact decimal totals") {
+    // One 15-min bar for type "a": ids 1..4. Events 1 and 2 share the
+    // opening timestamp — id 1 must win open; 3 and 4 share the closing
+    // timestamp — id 4 must win close.
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "a", 5.0, null.asInstanceOf[String]),
+      (2L, ts("2026-01-01 10:00:00"), 1L, "a", 9.0, null.asInstanceOf[String]),
+      (3L, ts("2026-01-01 10:10:00"), 1L, "a", 1.0, null.asInstanceOf[String]),
+      (4L, ts("2026-01-01 10:10:00"), 1L, "a", 7.0, null.asInstanceOf[String]),
+      (5L, ts("2026-01-01 10:20:00"), 1L, "a", 2.0, null.asInstanceOf[String]),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.ohlcBars(ev, 15).orderBy("bucket_start").collect()
+    assert(out.length == 2)
+    val bar0 = out(0)
+    assert(bar0.getTimestamp(0).toString == "2026-01-01 10:00:00.0")
+    assert(bar0.getDouble(2) == 5.0, "open = id-1 value on the tied open ts")
+    assert(bar0.getDouble(3) == 9.0 && bar0.getDouble(4) == 1.0)
+    assert(bar0.getDouble(5) == 7.0, "close = id-4 value on the tied close ts")
+    assert(bar0.getLong(6) == 4L && bar0.getDouble(7) == 22.0)
+    assert(out(1).getDouble(2) == 2.0 && out(1).getDouble(5) == 2.0)
+  }
+
+  test("transitionMatrix: per-user consecutive pairs, exact per-state probabilities") {
+    // user 1: a b a c → (a,b), (b,a), (a,c); user 2: a b → (a,b).
+    // From a: b 2/3, c 1/3. From b: a 1/1. Cross-user pairs must NOT
+    // appear (no b→a bridging user 1's end to user 2's start).
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "a", 0.0, null.asInstanceOf[String]),
+      (2L, ts("2026-01-01 10:01:00"), 1L, "b", 0.0, null.asInstanceOf[String]),
+      (3L, ts("2026-01-01 10:02:00"), 1L, "a", 0.0, null.asInstanceOf[String]),
+      (4L, ts("2026-01-01 10:03:00"), 1L, "c", 0.0, null.asInstanceOf[String]),
+      (5L, ts("2026-01-01 10:00:00"), 2L, "a", 0.0, null.asInstanceOf[String]),
+      (6L, ts("2026-01-01 10:01:00"), 2L, "b", 0.0, null.asInstanceOf[String]),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((2L, 0.666667)),
+      ("a", "c") -> ((1L, 0.333333)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
 }

@@ -121,6 +121,57 @@ class GraphSpec extends SparkSpec {
     assert(out(5L) == ((1L, 0L, None)), "degree-1 node: no coefficient")
   }
 
+  test("linkPrediction: cycle + pendant, hand-computed Jaccard; adjacent pairs excluded") {
+    // 4-cycle 1-2-3-4-1 plus pendant 5-1, plus the chord 1-3 so that an
+    // ADJACENT pair with common neighbors exists (must be excluded).
+    // Noise: reversed duplicate (2,1) and self-loop (3,3) collapse.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (5L, 1L),
+      (1L, 3L), (2L, 1L), (3L, 3L)).toDF("s", "t")
+    val out = Graph.linkPrediction(edges, "s", "t", minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // (2,4): common {1,3}, deg(2)=2, deg(4)=2 → J = 2/(2+2-2) = 1.0
+    assert(out((2L, 4L)) == ((2L, 1.0)))
+    // (1,3) shares {2,4} but IS an edge (the chord) → excluded
+    assert(!out.contains((1L, 3L)))
+    assert(out.size == 1, s"only (2,4) survives minCommon=2: $out")
+    // minCommon=1 admits the single-shared-neighbor pairs, e.g.
+    // (2,5): common {1}, deg(2)=2, deg(5)=1 → J = 1/(2+1-1) = 0.5
+    val loose = Graph.linkPrediction(edges, "s", "t", minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(loose((2L, 5L)) == ((1L, 0.5)))
+    assert(loose((4L, 5L)) == ((1L, 0.5)))
+    assert(loose((2L, 4L)) == ((2L, 1.0)))
+    val e = intercept[IllegalArgumentException] {
+      Graph.linkPrediction(edges, "s", "t", minCommon = 0)
+    }
+    assert(e.getMessage.contains("minCommon"))
+  }
+
+  test("kCore: fixed peel budget is honored round by round; K4 core survives") {
+    // K4 on {1,2,3,4} + chain 4-5, 5-6. Noise: reversed dup (2,1) and
+    // self-loop (3,3) collapse. Degrees: 4→4, K4 others→3, 5→2, 6→1.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (2L, 1L), (3L, 3L)).toDF("s", "t")
+    def run(k: Int, rounds: Int): Map[Long, Long] =
+      Graph.kCore(edges, "s", "t", k, rounds)
+        .as[(Long, Long)].collect().toMap
+    // k=2, ONE round: only 6 peels; 5 survives this round with its
+    // degree fallen to 1 — the fixed-budget contract, observable.
+    assert(run(2, 1) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L))
+    // k=2, TWO rounds: the second peel removes 5; K4 remains.
+    assert(run(2, 2) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=3 peels the whole chain in one round — K4 is the 3-core.
+    assert(run(3, 1) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(intercept[IllegalArgumentException] {
+      Graph.kCore(edges, "s", "t", 0, 1)
+    }.getMessage.contains("k must"))
+    assert(intercept[IllegalArgumentException] {
+      Graph.kCore(edges, "s", "t", 1, 0)
+    }.getMessage.contains("rounds"))
+  }
+
   test("pageRank: empty edge list yields an empty frame with the output schema") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     val out = Graph.pageRank(empty, "src", "dst")

@@ -57,6 +57,23 @@ class NearDupSpec extends SparkSpec {
     assert(j((1L, 3L)) == 0.4)
   }
 
+  test("containmentOnPairs: inclusion dup scores cont=1 while jaccard collapses") {
+    // doc 6 = doc 1 plus six trailing tokens: all 7 of doc 1's shingles
+    // survive inside doc 6's 13 — containment 7/7 = 1, Jaccard 7/13.
+    val withSuper = docs.unionAll(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog and then some extra trailing words"))
+      .toDF("doc_id", "text"))
+    val pairs = Seq((1L, 6L), (1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val c = NearDup.containmentOnPairs(withSuper, pairs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(c((1L, 6L)) == ((7L, 13L, 1.0, 0.538462, 0.538462)),
+      "superset pair: containment 1, jaccard |A|/|B|")
+    assert(c((1L, 2L)) == ((7L, 7L, 1.0, 1.0, 1.0)))
+    assert(c((1L, 4L)) == ((7L, 5L, 0.0, 0.0, 0.0)))
+  }
+
   test("bucket cap drops oversized buckets") {
     val many = (1L to 20L).map(i => (i, "same boilerplate text repeated here every time"))
       .toDF("doc_id", "text")
