@@ -243,6 +243,41 @@ object Quality {
           size(col("__vs")), 6).as("pct_rank_est"))
   }
 
+  /** Equi-depth binning — the QuantileDiscretizer / feature-bucketizer
+    * primitive: per group, values split into `qs.size + 1` buckets at
+    * the [[EventOps.quantileSketch]] thresholds (bucket i ⇔ value ≤
+    * the i-th quantile estimate, last bucket above all of them). The
+    * standard categorical encoding for heavy-tailed numerics — fixed
+    * bucket POPULATIONS instead of dq05/ex19's fixed bucket widths.
+    *
+    * Scale shape: one bounded-state sketch agg over the facts, the
+    * group-sized threshold table pivoted and broadcast back, bucket
+    * assignment a codegen'd CASE chain, then one map-side-combinable
+    * count/min/max agg. Thresholds inherit the sketch's determinism
+    * (md5-pinned sample, 6-decimal rounding), bucket membership is a
+    * pure double comparison — bitwise cross-engine.
+    * Output: (groupCol, bucket, n, lo, hi). */
+  def equidepthBins(df: DataFrame, groupCol: String, idCol: String,
+                    valueCol: String, qs: Seq[Double],
+                    k: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs == qs.sorted && qs.distinct == qs,
+      s"quantile splits must be sorted and distinct, got $qs")
+    val th = EventOps.quantileSketch(df, groupCol, idCol, valueCol, qs, k)
+    val ths = qs.zipWithIndex.map { case (q, i) =>
+      max(when(col("q") === q, col("quantile_est"))).as(s"__t$i")
+    }
+    val wide = th.groupBy(col(groupCol)).agg(ths.head, ths.tail: _*)
+    val bucket = qs.indices.reverse.foldLeft(lit(qs.size): Column) { (acc, i) =>
+      when(col(valueCol).cast("double") <= col(s"__t$i"), lit(i)).otherwise(acc)
+    }
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(wide), Seq(groupCol))
+      .select(col(groupCol), bucket.cast("int").as("bucket"), col(valueCol))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift per group — the rank-based
     * sibling of [[psiDrift]] (PSI needs a bin width; KS is
     * distribution-free): split rows into baseline/current by

@@ -528,6 +528,54 @@ FROM agg""")),
               FROM rv JOIN m USING (event_type), qs
               WHERE rv.rv = greatest(1, CAST(ceil(qs.q * m.m) AS BIGINT))""")),
 
+    // Equi-depth binning at the sketch quartiles — the
+    // QuantileDiscretizer / feature-bucketizer primitive (fixed bucket
+    // POPULATIONS, vs ex19/dq05's fixed widths). Thresholds from the
+    // bounded bottom-256 sketch, pivoted + broadcast back; bucket
+    // assignment is a codegen'd CASE chain.
+    Q("ex28_equidepth_bins",
+      (s, d) => graft.operators.Quality.equidepthBins(
+        Tables.events(s, d), "event_type", "event_id", "value",
+        Seq(0.25, 0.5, 0.75), 256),
+      Some("""WITH h AS (
+                SELECT event_type, value,
+                       CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM events WHERE value IS NOT NULL),
+              s AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h, value) AS rh
+                FROM h),
+              samp AS (SELECT event_type, value FROM s WHERE rh <= 256),
+              m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m
+                    FROM samp GROUP BY 1),
+              rv AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rv
+                FROM samp),
+              qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS q),
+              th0 AS (SELECT rv.event_type, qs.q, round(rv.value, 6) AS t
+                      FROM rv JOIN m USING (event_type), qs
+                      WHERE rv.rv = greatest(1, CAST(ceil(qs.q * m.m) AS BIGINT))),
+              th AS (SELECT event_type,
+                            max(CASE WHEN q = 0.25 THEN t END) AS t0,
+                            max(CASE WHEN q = 0.5  THEN t END) AS t1,
+                            max(CASE WHEN q = 0.75 THEN t END) AS t2
+                     FROM th0 GROUP BY 1),
+              b AS (SELECT e.event_type,
+                           CASE WHEN e.value <= th.t0 THEN 0
+                                WHEN e.value <= th.t1 THEN 1
+                                WHEN e.value <= th.t2 THEN 2
+                                ELSE 3 END AS bucket,
+                           e.value
+                    FROM events e JOIN th USING (event_type)
+                    WHERE e.value IS NOT NULL)
+              SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n,
+                     min(value) AS lo, max(value) AS hi
+              FROM b GROUP BY 1, 2""")),
+
     // KS drift between the same two halves — the distribution-FREE
     // sibling of dq05 (PSI needs a bin width; KS is rank-based): both
     // halves sketched with the bounded bottom-256 row sample, sup

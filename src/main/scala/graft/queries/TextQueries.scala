@@ -175,6 +175,25 @@ t AS (SELECT doc_id, $toksSql AS toks, text,
                  min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_docs
                FROM documents GROUP BY 1""")),
 
+    // Per-source duplicate rate — the curation dashboard's first
+    // number (which crawl/source is flooding the corpus with copies):
+    // exact fingerprint count-distinct per source, dup_rate = 1 −
+    // uniq/total as an exact-integer ratio. Two-phase partial
+    // count-distinct — no per-source value funnel at scale.
+    Q("dq09_dup_rate_by_source",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_uniq"))
+        .select(col("source"), col("n_docs"), col("n_uniq"),
+          round(lit(1.0) - col("n_uniq").cast("double") / col("n_docs"), 6)
+            .as("dup_rate")),
+      Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT $fingerprintSql) AS BIGINT) AS n_uniq,
+                 round(1.0 - CAST(count(DISTINCT $fingerprintSql) AS DOUBLE)
+                       / count(*), 6) AS dup_rate
+               FROM documents GROUP BY 1""")),
+
     // MinHash signatures (16 seeded hashes over 3-gram shingles).
     Q("dd02_minhash_signature",
       (s, d) => NearDup.minhashSignature(Tables.documents(s, d), "doc_id", "text",

@@ -206,4 +206,25 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out2("nat") == nNat, "non-positive and sub-1 values must not count")
   }
+  test("equidepthBins: exact quartile splits when the group fits in k; nulls and guards") {
+    // 8 values 1..8, ids unique: sketch = the full multiset, so the
+    // thresholds are exact type-1 quartiles t = (2, 4, 6) and the four
+    // buckets hold exactly two values each.
+    val df = ((1 to 8).map(i => ("g", i.toLong, Option(i.toDouble))) :+
+      (("g", 99L, Option.empty[Double])))            // null value: excluded
+      .toDF("grp", "id", "v")
+    val out = graft.operators.Quality.equidepthBins(df, "grp", "id", "v",
+      Seq(0.25, 0.5, 0.75), 256)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      ("g", 0) -> ((2L, 1.0, 2.0)),
+      ("g", 1) -> ((2L, 3.0, 4.0)),
+      ("g", 2) -> ((2L, 5.0, 6.0)),
+      ("g", 3) -> ((2L, 7.0, 8.0))))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Quality.equidepthBins(df, "grp", "id", "v", Seq(0.5, 0.25))
+    }
+    assert(e.getMessage.contains("sorted"))
+  }
 }
