@@ -44,9 +44,14 @@ fails = 0
 for name in (sys.argv[3:] or ["gr01_pagerank", "gr04_triangles"]):
     sql = oracles[name]
     # Split the single WITH statement at the first CTE AFTER the knn
-    # chain ("nodes AS" for gr01, "und AS" for gr04) — everything
-    # before defines (and ends with) the `edges` CTE.
-    marker = "\nnodes AS" if "\nnodes AS" in sql else "\nund AS"
+    # chain — everything before defines (and ends with) the `edges`
+    # CTE. Each graph oracle's first post-chain CTE is one of: nodes
+    # (gr01-03), und (gr04/gr07/gr08), r0 (gr05), l0 (gr06); take the
+    # EARLIEST marker present so multi-marker oracles split correctly.
+    MARKERS = ["\nnodes AS", "\nund AS", "\nr0 AS", "\nl0 AS"]
+    cands = [(sql.index(m), m) for m in MARKERS if m in sql]
+    assert cands, f"{name}: no post-edges CTE marker found"
+    marker = min(cands)[1]
     head, tail = sql.split(marker, 1)
     assert head.startswith("WITH ")
     con.sql("DROP TABLE IF EXISTS t_edges")
