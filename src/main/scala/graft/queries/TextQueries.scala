@@ -409,11 +409,32 @@ WHERE cos_sim > 0.9""")),
     // quadratically. Exact verification makes the result identical
     // regardless of candidate generosity.
     Q("dd18_prefix_filter_join",
-      (s, d) => graft.operators.NearDup.prefixFilterJoin(
-        Tables.documents(s, d), "doc_id", "text", 3, 0.6)
-        .select("id_a", "id_b", "jaccard"),
-      Some(s"""WITH $minhashCtes,
-pfd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // Exact-shrink FIRST — the e2e doctrine (dd10, and the
+        // ScaleCheck replication model's own rationale): collapse
+        // byte-identical documents to their min-id representative
+        // before the exact join. An EXACT similarity self-join on a
+        // duplicate-heavy corpus otherwise pays one output pair per
+        // clique edge — k copies of a doc are k(k−1)/2 true J=1 pairs,
+        // so a 10×-duplicated crawl costs ~R² inside every clique
+        // (measured: 23× wall at the 10× replica without the shrink,
+        // 187.7 s; with it the join sees each distinct text once).
+        val canon = docs.join(
+          NearDup.exactDedup(docs, "doc_id", "text")
+            .select(col("canonical_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        NearDup.prefixFilterJoin(canon, "doc_id", "text", 3, 0.6)
+          .select("id_a", "id_b", "jaccard")
+      },
+      Some(s"""WITH pfcanon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, $fingerprintSql AS fp FROM documents) t0
+  GROUP BY fp),
+pfdc AS (SELECT d.doc_id, d.text FROM documents d JOIN pfcanon USING (doc_id)),
+pft AS (SELECT doc_id, $toksSql AS toks FROM pfdc),
+pfsh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM pft),
+pfd AS (SELECT DISTINCT doc_id, shingle FROM pfsh),
 pfsz AS (SELECT doc_id, count(*) AS ns FROM pfd GROUP BY doc_id),
 pfi AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS ni
         FROM pfd sa JOIN pfd sb
