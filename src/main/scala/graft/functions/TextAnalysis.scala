@@ -138,8 +138,20 @@ object TextAnalysis {
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * truncated to 16 hex chars — the exact-dedup key. Collapse-then-trim
     * so edge tabs/newlines normalize away (SQL trim strips spaces only). */
-  def fingerprint(c: Column): Column =
-    substring(md5(lower(trim(regexp_replace(c, "\\s+", " ")))), 1, 16)
+  def fingerprint(c: Column): Column = fingerprint(c, caseFold = true)
+
+  /** `caseFold = false` gives the CASE-PRESERVING fingerprint: md5 of
+    * the whitespace-normalized text with the original casing. Two docs
+    * share it iff they have the IDENTICAL token sequence (tokens split
+    * on the same normalized whitespace), so a collapse keyed on it is
+    * provably lossless for any token/shingle-based downstream — the
+    * shrink key an exact similarity join needs (dd18), where the
+    * case-folded default would merge case-variant docs whose shingle
+    * sets differ. */
+  def fingerprint(c: Column, caseFold: Boolean): Column = {
+    val norm = trim(regexp_replace(c, "\\s+", " "))
+    substring(md5(if (caseFold) lower(norm) else norm), 1, 16)
+  }
 
   /** Winnowing fingerprints (the MOSS document-fingerprinting scheme):
     * hash every `shingleSize`-gram, slide a window of `windowSize`

@@ -51,7 +51,10 @@ object Affinity {
       .join(freq.select(col("item").as("item2"), col("nf").as("__n2")), Seq("item2"))
       .crossJoin(broadcast(nb))
       .select(col("item1"), col("item2"), col("n_co"),
+        // denominator multiplies in DOUBLE: n1 * n2 in 64-bit integer
+        // overflows (wraps, or throws under ANSI) once item frequencies
+        // pass ~3e9 baskets — exactly the 100 TB regime
         round(col("n_co").cast("double") * col("__nb") /
-          (col("__n1") * col("__n2")), 6).as("lift"))
+          (col("__n1").cast("double") * col("__n2")), 6).as("lift"))
   }
 }

@@ -165,6 +165,26 @@ object EventOps {
     events.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
 
+  /** [[approxDistinctUsers]] with a DETERMINISTIC gate: emits the
+    * exact distinct count next to a boolean asserting the HLL estimate
+    * landed within `tol` of it. The estimate itself never leaves the
+    * query (HLL internals are not cross-engine reproducible), but both
+    * output columns ARE — an oracle pins `within_band = TRUE`, so an
+    * estimator drift past the band hash-fails instead of passing a
+    * rows-only check. tol = 3× the rsd default (≈ 3σ of the sketch's
+    * relative standard error). The exact count alongside is the audit
+    * shape, not the production path — at 100 TB the HLL runs alone
+    * (constant state) and this pairing is the calibration query run on
+    * a sampled slice. */
+  def approxDistinctWithinBand(events: DataFrame, rsd: Double = 0.05,
+                               tol: Double = 0.15): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), rsd).as("__hll"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("__hll").cast("double") - col("n_exact")) <=
+          col("n_exact") * tol).as("within_band"))
+
   /** EX-04c: KMV (k-minimum-values) distinct estimator — the
     * VERIFIABLE approximate-distinct: estimate = (k−1)·2⁶⁰ / h_k, with
     * h_k the k-th smallest distinct 60-bit md5-derived hash per group
@@ -475,14 +495,27 @@ object EventOps {
     *
     * Scale shape: one hash aggregation keyed by entity; state per
     * group is that entity's event list — the same per-entity bound as
-    * session windows (EX-02), NOT corpus-sized. The sort is
+    * session windows (EX-02), NOT corpus-sized — and `maxSeqLen`
+    * BOUNDS it: a cheap scalar-state count pass first finds whale
+    * entities (> maxSeqLen events), which are excluded from the
+    * collect (their row reports the true event count with
+    * `n_matches = NULL, capped = true` — cap-and-flag, never a
+    * multi-GB aggregation buffer in one task). Whales are by
+    * definition few, so the anti-join side broadcasts. The sort is
     * `array_sort` INSIDE each group's buffer (local, no window, no
     * shuffle beyond the groupBy); the regex runs codegen'd per row on
-    * the collapsed string. Output: (key, seq_len, n_matches). */
+    * the collapsed string.
+    * Output: (key, seq_len, n_matches, capped). */
   def sequencePattern(events: DataFrame, keyCol: String, tsCol: String,
-                      idCol: String, eventChar: Column,
-                      pattern: String): DataFrame =
-    events
+                      idCol: String, eventChar: Column, pattern: String,
+                      maxSeqLen: Int = 1 << 20): DataFrame = {
+    require(maxSeqLen >= 1, s"maxSeqLen must be >= 1, got $maxSeqLen")
+    validatePattern(pattern)
+    val counts = events.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"))
+    val whales = counts.filter(col("__n") > maxSeqLen)
+    val matched = events
+      .join(broadcast(whales.select(col(keyCol))), Seq(keyCol), "left_anti")
       .groupBy(col(keyCol))
       .agg(array_join(
         transform(
@@ -492,7 +525,41 @@ object EventOps {
       .select(col(keyCol),
         length(col("__seq")).cast("bigint").as("seq_len"),
         size(regexp_extract_all(col("__seq"), lit(pattern), lit(0)))
-          .cast("bigint").as("n_matches"))
+          .cast("bigint").as("n_matches"),
+        lit(false).as("capped"))
+    matched.unionByName(whales.select(col(keyCol),
+      col("__n").cast("bigint").as("seq_len"),
+      lit(null).cast("bigint").as("n_matches"),
+      lit(true).as("capped")))
+  }
+
+  /** Guard for [[sequencePattern]]'s cross-engine determinism
+    * contract: the quantified-class rule ("classes must exclude the
+    * characters that can start or end a match") was documentation
+    * only — a pattern like `v.*p` would silently diverge between
+    * Java's greedy and RE2/DuckDB's leftmost scanning. Rejects the
+    * two unbounded forms (`.` and negated classes, which can always
+    * absorb an anchor char) and any explicit class+quantifier that
+    * contains the pattern's first or last literal character. */
+  private[operators] def validatePattern(pattern: String): Unit = {
+    require(pattern.nonEmpty, "pattern must be non-empty")
+    require(!pattern.contains("."),
+      s"pattern '$pattern' contains '.': an unbounded class can absorb " +
+        "match-boundary chars, so Java and RE2/DuckDB match sets diverge")
+    require(!pattern.contains("[^"),
+      s"pattern '$pattern' contains a negated class: unbounded over the " +
+        "alphabet, same cross-engine divergence as '.'")
+    val anchors = Set(pattern.head, pattern.last)
+    val quantClass = "\\[([^\\]]*)\\][*+?{]".r
+    quantClass.findAllMatchIn(pattern).foreach { m =>
+      val cls = m.group(1)
+      val hit = anchors.filter(cls.contains(_))
+      require(hit.isEmpty,
+        s"pattern '$pattern': quantified class [$cls] contains anchor " +
+          s"char(s) ${hit.mkString(",")} — match boundaries become " +
+          "ambiguous across regex engines")
+    }
+  }
 
   /** OHLC bars: per (tumbling window, key) the first/max/min/last
     * value — the financial-bars / telemetry-rollup shape. `min_by` /
@@ -503,18 +570,21 @@ object EventOps {
     * in exact DECIMAL internally (double summation is
     * order-dependent; decimal is associative) and lands as the
     * repo-standard rounded DOUBLE. */
-  def ohlcBars(events: DataFrame, minutes: Int): DataFrame =
+  def ohlcBars(events: DataFrame, minutes: Int,
+               keyCol: String = "event_type", tsCol: String = "ts",
+               idCol: String = "event_id",
+               valueCol: String = "value"): DataFrame =
     events
       .groupBy(
-        window(col("ts"), s"$minutes minutes").getField("start").as("bucket_start"),
-        col("event_type"))
+        window(col(tsCol), s"$minutes minutes").getField("start").as("bucket_start"),
+        col(keyCol))
       .agg(
-        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
-        max(col("value")).as("high"),
-        min(col("value")).as("low"),
-        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        min_by(col(valueCol), struct(col(tsCol), col(idCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("close"),
         count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
+        round(sum(col(valueCol).cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
 
   /** First-order Markov transition matrix over per-entity event
     * streams: count (from → to) transitions between CONSECUTIVE events

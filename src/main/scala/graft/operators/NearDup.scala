@@ -42,9 +42,13 @@ object NearDup {
     (lit(hashA(seed)) * base + lit(hashB(seed))) % lit(HashP)
 
   /** Exact dedup by normalized-content fingerprint: canonical doc =
-    * min(doc_id) per fingerprint group (deterministic). */
-  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+    * min(doc_id) per fingerprint group (deterministic). `caseFold =
+    * false` keys on the case-PRESERVING fingerprint instead — required
+    * when the collapse must be lossless for case-sensitive downstream
+    * consumers (see [[TextAnalysis.fingerprint]]). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String,
+                 caseFold: Boolean = true): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprint(col(textCol), caseFold).as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
   /** One row per (doc, pos, shingle): tokenize once per document

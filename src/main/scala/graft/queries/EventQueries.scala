@@ -57,10 +57,19 @@ object EventQueries {
       Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
               FROM events GROUP BY event_type""")),
 
-    // HLL estimate — estimator-specific, driver records rows-only.
+    // HLL estimate, gated deterministically: the estimate itself is
+    // estimator-internal (not cross-engine reproducible), so the query
+    // emits the exact count plus a WITHIN-BAND boolean (|hll − exact|
+    // ≤ 15% · exact, three times the rsd=5% sketch's standard error).
+    // Both output columns are deterministic — the oracle asserts the
+    // boolean TRUE, so an HLL drift past the band is a hash mismatch,
+    // not an unchecked row count.
     Q("ex04_distinct_approx",
-      (s, d) => EventOps.approxDistinctUsers(Tables.events(s, d)),
-      None),
+      (s, d) => EventOps.approxDistinctWithinBand(Tables.events(s, d)),
+      Some("""SELECT event_type,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                     TRUE AS within_band
+              FROM events GROUP BY event_type""")),
 
     // KMV bottom-k estimator — the ORACLE-CHECKABLE approximate
     // distinct (deterministic md5-derived hashes, identical estimate in
@@ -337,18 +346,32 @@ FROM agg""")),
     // The quantified class [ces] excludes both boundary chars, so Java
     // and RE2 produce identical non-overlapping matches (see
     // EventOps.sequencePattern's determinism contract).
+    // maxSeqLen = 100000 is the cap-and-flag whale guard: entities
+    // above it report (true event count, n_matches = NULL, capped) and
+    // never build a collect_list buffer. No fixture entity is near it
+    // (≤ ~700 events/user at sf0.1), so the capped branch is exercised
+    // by the oracle's UNION arm being provably empty at gate SFs and
+    // red-tested in EventOpsSpec with a tiny cap.
     Q("ex25_event_pattern",
       (s, d) => EventOps.sequencePattern(Tables.events(s, d),
         "user_id", "ts", "event_id",
-        substring(col("event_type"), 1, 1), "v[ces]*p"),
-      Some("""WITH seq AS (
-                SELECT user_id,
-                       string_agg(substr(event_type, 1, 1), ''
-                         ORDER BY ts, event_id) AS s
-                FROM events GROUP BY 1)
+        substring(col("event_type"), 1, 1), "v[ces]*p", maxSeqLen = 100000),
+      Some("""WITH cnt AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1),
+              seq AS (
+                SELECT e.user_id,
+                       string_agg(substr(e.event_type, 1, 1), ''
+                         ORDER BY e.ts, e.event_id) AS s
+                FROM events e JOIN cnt USING (user_id)
+                WHERE cnt.n <= 100000 GROUP BY 1)
               SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
-                     CAST(len(regexp_extract_all(s, 'v[ces]*p')) AS BIGINT) AS n_matches
-              FROM seq""")),
+                     CAST(len(regexp_extract_all(s, 'v[ces]*p')) AS BIGINT) AS n_matches,
+                     FALSE AS capped
+              FROM seq
+              UNION ALL
+              SELECT user_id, n, CAST(NULL AS BIGINT), TRUE
+              FROM cnt WHERE n > 100000""")),
 
     // OHLC bars: min_by/max_by on a (ts, event_id) struct key pick
     // open/close exactly (unique id ⇒ no ties) — five scalars of agg

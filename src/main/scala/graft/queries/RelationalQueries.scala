@@ -599,7 +599,8 @@ object RelationalQueries {
       freq AS (SELECT item, CAST(count(*) AS BIGINT) AS nf FROM li GROUP BY 1),
       nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM li)
       SELECT p.item1, p.item2, p.n_co,
-             round(CAST(p.n_co AS DOUBLE) * nb.n / (f1.nf * f2.nf), 6) AS lift
+             round(CAST(p.n_co AS DOUBLE) * nb.n /
+                   (CAST(f1.nf AS DOUBLE) * f2.nf), 6) AS lift
       FROM pairs p
       JOIN freq f1 ON f1.item = p.item1
       JOIN freq f2 ON f2.item = p.item2

@@ -29,6 +29,12 @@ object TextQueries {
   private val fingerprintSql =
     "substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16)"
 
+  /** Case-PRESERVING fingerprint ([[TextAnalysis.fingerprint]] with
+    * caseFold = false) — the lossless shrink key for case-sensitive
+    * consumers (dd18). */
+  private val fingerprintCaseSql =
+    "substr(md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 16)"
+
   private val NumHashes = 16
   private val RowsPerBand = 2
 
@@ -413,15 +419,22 @@ WHERE cos_sim > 0.9""")),
         val docs = Tables.documents(s, d)
         // Exact-shrink FIRST — the e2e doctrine (dd10, and the
         // ScaleCheck replication model's own rationale): collapse
-        // byte-identical documents to their min-id representative
-        // before the exact join. An EXACT similarity self-join on a
-        // duplicate-heavy corpus otherwise pays one output pair per
-        // clique edge — k copies of a doc are k(k−1)/2 true J=1 pairs,
-        // so a 10×-duplicated crawl costs ~R² inside every clique
-        // (measured: 23× wall at the 10× replica without the shrink,
-        // 187.7 s; with it the join sees each distinct text once).
+        // token-sequence-identical documents to their min-id
+        // representative before the exact join. An EXACT similarity
+        // self-join on a duplicate-heavy corpus otherwise pays one
+        // output pair per clique edge — k copies of a doc are k(k−1)/2
+        // true J=1 pairs, so a 10×-duplicated crawl costs ~R² inside
+        // every clique (measured: 23× wall at the 10× replica without
+        // the shrink, 187.7 s; with it the join sees each distinct
+        // text once). The shrink key is the CASE-PRESERVING
+        // fingerprint (caseFold = false): prefixFilterJoin's shingles
+        // are case-sensitive, so the case-folded dd01 key would merge
+        // case-variant docs with DIFFERENT shingle sets and silently
+        // drop their qualifying pairs — case-preserving
+        // whitespace-normalized equality ⇒ identical token sequences
+        // ⇒ the collapse is provably lossless.
         val canon = docs.join(
-          NearDup.exactDedup(docs, "doc_id", "text")
+          NearDup.exactDedup(docs, "doc_id", "text", caseFold = false)
             .select(col("canonical_id").as("doc_id")),
           Seq("doc_id"), "left_semi")
         NearDup.prefixFilterJoin(canon, "doc_id", "text", 3, 0.6)
@@ -429,7 +442,7 @@ WHERE cos_sim > 0.9""")),
       },
       Some(s"""WITH pfcanon AS (
   SELECT min(doc_id) AS doc_id
-  FROM (SELECT doc_id, $fingerprintSql AS fp FROM documents) t0
+  FROM (SELECT doc_id, $fingerprintCaseSql AS fp FROM documents) t0
   GROUP BY fp),
 pfdc AS (SELECT d.doc_id, d.text FROM documents d JOIN pfcanon USING (doc_id)),
 pft AS (SELECT doc_id, $toksSql AS toks FROM pfdc),

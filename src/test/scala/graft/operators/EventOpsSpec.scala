@@ -360,16 +360,54 @@ class EventOpsSpec extends SparkSpec {
       (8L, ts("2026-01-01 10:01:00"), 2L, "click", 0.0, null.asInstanceOf[String]),
       (9L, ts("2026-01-01 10:02:00"), 2L, "view", 0.0, null.asInstanceOf[String]),
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val out = EventOps.sequencePattern(ev, "user_id", "ts", "event_id",
+    def run() = EventOps.sequencePattern(ev, "user_id", "ts", "event_id",
       substring(col("event_type"), 1, 1), "v[ces]*p")
+      .select("user_id", "seq_len", "n_matches")
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val out = run()
     assert(out(1L) == ((6L, 2L)))
     assert(out(2L) == ((3L, 0L)))
     // deterministic rerun — the collapsed string is canonical
-    val again = EventOps.sequencePattern(ev, "user_id", "ts", "event_id",
-      substring(col("event_type"), 1, 1), "v[ces]*p")
-      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(again == out)
+    assert(run() == out)
+  }
+
+  test("sequencePattern: whale entities are capped-and-flagged, never collected") {
+    // user 1: 12 events (> maxSeqLen = 10) — must come back capped with
+    // the TRUE event count and a NULL match count; user 2 (3 events)
+    // matches normally and must be unaffected by the whale's presence.
+    val whale = (1L to 12L).map(i =>
+      (i, ts("2026-01-01 10:00:00"), 1L, "view", 0.0, null.asInstanceOf[String]))
+    val small = Seq(
+      (100L, ts("2026-01-01 10:00:00"), 2L, "view", 0.0, null.asInstanceOf[String]),
+      (101L, ts("2026-01-01 10:01:00"), 2L, "click", 0.0, null.asInstanceOf[String]),
+      (102L, ts("2026-01-01 10:02:00"), 2L, "purchase", 0.0, null.asInstanceOf[String]))
+    val ev = (whale ++ small)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventOps.sequencePattern(ev, "user_id", "ts", "event_id",
+      substring(col("event_type"), 1, 1), "v[ces]*p", maxSeqLen = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows(1L) == ((12L, -1L, true)), "whale: true count, NULL matches, capped")
+    assert(rows(2L) == ((3L, 1L, false)), "small entity unaffected")
+    // red-test the boundary: exactly maxSeqLen events is NOT capped
+    val atCap = EventOps.sequencePattern(ev.filter(col("user_id") === 1L)
+      .limit(10), "user_id", "ts", "event_id",
+      substring(col("event_type"), 1, 1), "v[ces]*p", maxSeqLen = 10)
+      .collect()
+    assert(atCap.length == 1 && !atCap(0).getBoolean(3))
+  }
+
+  test("sequencePattern: cross-engine-ambiguous patterns are rejected") {
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "view", 0.0, null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def run(p: String) = EventOps.sequencePattern(ev, "user_id", "ts",
+      "event_id", substring(col("event_type"), 1, 1), p)
+    intercept[IllegalArgumentException](run("v.*p"))        // unbounded '.'
+    intercept[IllegalArgumentException](run("v[^x]*p"))     // negated class
+    intercept[IllegalArgumentException](run("v[cep]*p"))    // class holds anchor 'p'
+    intercept[IllegalArgumentException](run("v[vce]+p"))    // class holds anchor 'v'
+    run("v[ces]*p").collect()                               // the compliant form passes
   }
 
   test("ohlcBars: open/close picked by (ts, id) order, ties broken by id; exact decimal totals") {
