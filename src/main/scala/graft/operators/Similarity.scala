@@ -818,6 +818,84 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("pq_sim"), col("rk").cast("long").as("rk"))
   }
 
+  /** Graph-based ANN (the fourth family next to hash/LSH, tree/IVF,
+    * and quantization/PQ — the flat-graph form of the HNSW/NSW search):
+    * greedy BEAM SEARCH over a prebuilt kNN graph. Per round the beam
+    * expands to its graph neighbors, every candidate is scored exactly
+    * against the query, and the best `beamWidth` survive; after
+    * `rounds` synchronous rounds the answer is the top-k of EVERYTHING
+    * scored along the way (the visited set — standard best-first
+    * accounting, monotone in rounds). Multi-seed entry (`seeds`, e.g.
+    * one min-id vector per LSH bucket) covers a bucket-blocked graph's
+    * disconnected components, the flat-graph stand-in for HNSW's upper
+    * layers. Deterministic end to end: fixed rounds, exact rounded
+    * scores, (cos desc, vec_id asc) tie-break — hence the unrolled
+    * oracle mirrors it round for round (the gr01–gr08 contract).
+    *
+    * Scale shape: the per-round state is (queries × beamWidth) rows —
+    * broadcast-sized by construction — so each round is ONE
+    * broadcast-hash join against the column-pruned corpus scan (vec_id,
+    * embedding) plus one tiny edge join; nothing ever shuffles the
+    * corpus. Rounds are staged ([[NearDup.stage]]) so the plan stays
+    * linear in rounds, the PageRank-loop doctrine. On a STORED corpus
+    * the candidate lookup becomes a DPP-pruned point read (ann03b's
+    * layout); search cost is O(rounds · beam · degree) score
+    * evaluations per query — independent of corpus size, the property
+    * that makes graph ANN the in-memory industry default. */
+  def beamSearchTopK(edges: DataFrame, corpus: DataFrame, queries: DataFrame,
+                     seeds: DataFrame, k: Int, beamWidth: Int,
+                     rounds: Int): DataFrame = {
+    require(k >= 1 && beamWidth >= 1 && rounds >= 0,
+      s"bad beam params k=$k beamWidth=$beamWidth rounds=$rounds")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val corp = corpus.select(col("vec_id"), col("embedding"))
+    val e = NearDup.stage(edges.select(col("vec_id"), col("nbr_id")))
+    // score(cands): exact cosine of each (query, candidate) pair — the
+    // candidate side is tiny, so it broadcasts into one corpus probe
+    def score(cands: DataFrame): DataFrame =
+      broadcast(cands).join(corp, Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    def top(scored: DataFrame, n: Int): DataFrame =
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+    val s0 = NearDup.stage(score(
+      q.select(col("query_id")).crossJoin(broadcast(seeds.select(col("vec_id"))))))
+    var beam = top(s0, beamWidth).select("query_id", "vec_id")
+    var visited = s0
+    for (_ <- 1 to rounds) {
+      val expand = beam.join(e, Seq("vec_id"))
+        .select(col("query_id"), col("nbr_id").as("vec_id"))
+      val scored = NearDup.stage(score(
+        beam.union(expand).distinct()))
+      visited = visited.union(scored).distinct()
+      beam = top(scored, beamWidth).select("query_id", "vec_id")
+    }
+    top(visited, k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Entry points for [[beamSearchTopK]] over a bucket-blocked graph:
+    * the min-id vector of every (capped) LSH bucket — one deterministic
+    * seed per graph component, ≤ 2^numPlanes rows. */
+  def bucketSeeds(corpus: DataFrame, numPlanes: Int = 8, dim: Int = 64,
+                  maxBucketSize: Option[Int] = None): DataFrame = {
+    val b = corpus.select(col("vec_id"),
+      lshBucket(col("embedding"), numPlanes, dim).as("__bk"))
+    val kept = maxBucketSize match {
+      case Some(cap) =>
+        b.groupBy(col("__bk")).agg(min(col("vec_id")).as("vec_id"),
+            count(lit(1)).as("__bc"))
+          .filter(col("__bc") <= cap)
+      case None =>
+        b.groupBy(col("__bk")).agg(min(col("vec_id")).as("vec_id"))
+    }
+    kept.select(col("vec_id"))
+  }
+
   /** Batch kNN-graph: every corpus vector's top-k neighbors, LSH-
     * bucket-blocked (the input to graph-based dedup, kNN-LM data
     * curation, and cluster seeding). A within-bucket self-join — the

@@ -409,6 +409,48 @@ SELECT query_id, vec_id, cos_sim, rk FROM (
   FROM r_scored) t
 WHERE rk <= 10"""
 
+  /** Unrolled beam-search rounds for ann14, mirroring
+    * [[Similarity.beamSearchTopK]]: expects CTEs `edges`, `flat`,
+    * `norms`, `c0` (seed candidates per query); emits `s0/b0 …
+    * s$rounds/b$rounds` plus the final `vis` visited-set union. The
+    * scoring CTE is the exact pair-cosine of the candidate set; UNION
+    * (not UNION ALL) mirrors the Spark side's distinct(). `prefix`
+    * renames the emitted c/s/b/vis CTEs so the chain can embed in a
+    * WITH that already uses those names (ann07's k-means c0/c1/c2). */
+  private def beamRoundCtes(rounds: Int, beamWidth: Int,
+                            prefix: String = ""): String = {
+    def n(base: String): String = s"$prefix$base"
+    def scoreCte(si: String, cands: String): String =
+      s"""$si AS (SELECT p.query_id, p.vec_id,
+       round(sum(f1.v * f2.v) / (n1.nrm * n2.nrm), 6) AS cos_sim
+     FROM $cands p
+     JOIN flat f1 ON f1.vec_id = p.query_id
+     JOIN flat f2 ON f2.vec_id = p.vec_id AND f2.i = f1.i
+     JOIN norms n1 ON n1.vec_id = p.query_id
+     JOIN norms n2 ON n2.vec_id = p.vec_id
+     GROUP BY p.query_id, p.vec_id, n1.nrm, n2.nrm)"""
+    def topCte(bi: String, si: String): String =
+      s"""$bi AS (SELECT query_id, vec_id FROM (
+       SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id ASC) AS rk
+       FROM $si) t WHERE rk <= $beamWidth)"""
+    val base = Seq(scoreCte(n("s0"), n("c0")), topCte(n("b0"), n("s0")))
+    val iter = (1 to rounds).flatMap { i =>
+      Seq(
+        s"""${n(s"c$i")} AS (SELECT query_id, vec_id FROM ${n(s"b${i - 1}")}
+       UNION
+       SELECT b.query_id, e.nbr_id AS vec_id
+       FROM ${n(s"b${i - 1}")} b JOIN edges e ON e.vec_id = b.vec_id)""",
+        scoreCte(n(s"s$i"), n(s"c$i")),
+        topCte(n(s"b$i"), n(s"s$i")))
+    }
+    val vis = s"${n("vis")} AS (" +
+      (0 to rounds).map(i => s"SELECT query_id, vec_id, cos_sim FROM ${n(s"s$i")}")
+        .mkString("\n  UNION\n  ") + ")"
+    (base ++ iter :+ vis).mkString(",\n")
+  }
+
   /** mm03/mm04 shared oracle fragment: byte-histogram features of the
     * fake media payloads, as a `feat(vec_id, embedding)` CTE chain. */
   private val featCtes: String = {
@@ -922,6 +964,13 @@ WHERE cos_sim > 0.35""")),
           .unionAll(row("ivfpq_refine", 10,
             Similarity.ivfPqRefineTopK(emb, emb.filter(col("vec_id") < 10), 10,
               centsOpt = Some(cents), cbOpt = Some(cbT))))
+          // graph-based ANN (fourth family): beam search over the ann12
+          // kNN graph from per-bucket seeds — the HNSW-family rung
+          .unionAll(row("graph_beam", 50,
+            Similarity.beamSearchTopK(
+              Similarity.knnGraph(emb, 5, maxBucketSize = Some(200)),
+              emb, q50, Similarity.bucketSeeds(emb, maxBucketSize = Some(200)),
+              10, 8, 3)))
       },
       Some(s"""WITH $planesSql,
 fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
@@ -1118,7 +1167,35 @@ ivfpqr_top AS (SELECT query_id, vec_id FROM (
                  FROM ivfpqr_dots d
                  JOIN norms n1 ON n1.vec_id = d.query_id
                  JOIN norms n2 ON n2.vec_id = d.vec_id) t
-               WHERE rk <= 10)
+               WHERE rk <= 10),
+bkc AS (SELECT b.vec_id, b.bucket FROM bk b
+        JOIN (SELECT bucket FROM bk GROUP BY bucket
+              HAVING count(*) <= 200) okc USING (bucket)),
+gb_prs AS (SELECT a.vec_id, b.vec_id AS nbr_id
+           FROM bkc a JOIN bkc b
+             ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+gb_dots AS (SELECT p.vec_id, p.nbr_id, sum(f1.v * f2.v) AS dp
+            FROM gb_prs p
+            JOIN flat f1 ON f1.vec_id = p.vec_id
+            JOIN flat f2 ON f2.vec_id = p.nbr_id AND f1.i = f2.i
+            GROUP BY 1, 2),
+edges AS (SELECT vec_id, nbr_id FROM (
+            SELECT d.vec_id, d.nbr_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                     ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, d.nbr_id ASC) AS rk
+            FROM gb_dots d
+            JOIN norms n1 ON n1.vec_id = d.vec_id
+            JOIN norms n2 ON n2.vec_id = d.nbr_id) t
+          WHERE rk <= 5),
+sds AS (SELECT min(vec_id) AS vec_id FROM bkc GROUP BY bucket),
+qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 50),
+gc0 AS (SELECT q.query_id, s.vec_id FROM qs q CROSS JOIN sds s),
+${beamRoundCtes(rounds = 3, beamWidth = 8, prefix = "g")},
+gbeam_top AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, vec_id ASC) AS rk
+                FROM gvis) t WHERE rk <= 10)
 SELECT 'lsh_bucketed' AS method, 10 AS k,
        round(count(*) / 500.0, 6) AS recall
   FROM b_top JOIN ex_top USING (query_id, vec_id)
@@ -1146,7 +1223,10 @@ SELECT 'ivf_pq', 10, round(count(*) / 100.0, 6)
   FROM ivfpq_top JOIN ex_top USING (query_id, vec_id)
 UNION ALL
 SELECT 'ivfpq_refine', 10, round(count(*) / 100.0, 6)
-  FROM ivfpqr_top JOIN ex_top USING (query_id, vec_id)""")),
+  FROM ivfpqr_top JOIN ex_top USING (query_id, vec_id)
+UNION ALL
+SELECT 'graph_beam', 10, round(count(*) / 500.0, 6)
+  FROM gbeam_top JOIN ex_top USING (query_id, vec_id)""")),
 
     // Batch kNN-graph: every vector's top-5 in-bucket neighbors — the
     // input to graph-based dedup / kNN-LM curation. dd06b's blocked
@@ -1161,6 +1241,34 @@ SELECT 'ivfpq_refine', 10, round(count(*) / 100.0, 6)
         maxBucketSize = Some(200)),
       Some(s"""WITH $knnEdgesCtes
 SELECT vec_id, nbr_id, cos_sim, rk FROM edges""")),
+
+    // Graph-based ANN (fourth family: hash / tree / quantization /
+    // GRAPH): fixed-round beam search over the ann12 kNN graph from
+    // one min-id seed per LSH bucket (the flat-graph HNSW search
+    // shape). Per-round state is (queries × beam) rows — broadcast-
+    // sized — and the oracle mirrors the rounds as unrolled CTEs, the
+    // gr01–gr08 contract. Recall@10 is measured as the tenth ann07
+    // ladder rung with a spec-pinned floor.
+    Q("ann14_graph_beam",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.beamSearchTopK(
+          Similarity.knnGraph(emb, 5, maxBucketSize = Some(200)),
+          emb, emb.filter(col("vec_id") < 5),
+          Similarity.bucketSeeds(emb, maxBucketSize = Some(200)),
+          k = 10, beamWidth = 8, rounds = 3)
+      },
+      Some(s"""WITH $knnEdgesCtes,
+sds AS (SELECT min(vec_id) AS vec_id FROM bk GROUP BY bucket),
+qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
+c0 AS (SELECT q.query_id, s.vec_id FROM qs q CROSS JOIN sds s),
+${beamRoundCtes(rounds = 3, beamWidth = 8)}
+SELECT query_id, vec_id, cos_sim, rk FROM (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM vis) t
+WHERE rk <= 10""")),
 
     // PageRank over the ann12 kNN graph — centrality in embedding
     // space, the graph-based data-selection score (representative docs
@@ -1437,17 +1545,55 @@ dropped AS (SELECT DISTINCT d.id_b AS vec_id
 SELECT a.vec_id, a.centroid_id FROM as2 a
 WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)""")),
 
-    // Multimodal: binary payload + metadata decode (dims are the STUB
-    // decoder's deterministic fake — see Multimodal.scala).
+    // Multimodal: REAL image decode — synthesize one genuine PNG per
+    // document (dims and every pixel are closed-form functions of
+    // doc_id), push it through javax.imageio in the mapPartitions
+    // codec shape, and emit decoded dims + gray-channel pixel sum. The
+    // oracle recomputes all of it from doc_id arithmetic, so the whole
+    // encode→decode round-trip (PNG writer, zlib, color model, byte
+    // order) is hash-certified — a codec defect anywhere mismatches.
     Q("mm01_decode_meta",
-      (s, d) => Multimodal.decodeMetaExpr(Multimodal.asBinary(Tables.documents(s, d))),
-      Some("""SELECT doc_id AS media_id,
-               'image/fake' AS media_type,
-               CAST(strlen(text) AS BIGINT) AS n_bytes,
-               md5(text) AS checksum,
-               CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1856 + 64 AS width,
-               CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 1016 + 64 AS height
-              FROM documents""")),
+      (s, d) => Multimodal.decodePng(s,
+        Multimodal.synthesizePng(s, Tables.documents(s, d)).toDF()).toDF(),
+      Some("""WITH dims AS (SELECT doc_id,
+                     CAST(doc_id % 16 + 4 AS INTEGER) AS w,
+                     CAST((doc_id // 16) % 8 + 4 AS INTEGER) AS h
+              FROM documents),
+px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+s AS (SELECT doc_id, w, h, sum((doc_id + 7 * x + 13 * y) % 256) AS ps
+      FROM pxy GROUP BY 1, 2, 3)
+SELECT doc_id AS media_id, 'image/png' AS media_type, w AS width, h AS height,
+       CAST(w AS BIGINT) * h AS n_pixels, CAST(ps AS BIGINT) AS px_sum
+FROM s""")),
+
+    // Multimodal: REAL resize — decode, nearest-neighbor resample to
+    // maxDim = 8 (exact integer index map sx = x·w/nw), RE-ENCODE as
+    // PNG, decode the re-encoded bytes again, and report the second
+    // decode's dims + pixel sum: the emitted stats certify the output
+    // payload is a well-formed image with exactly the predicted
+    // raster. Oracle mirrors the dims and the resample arithmetic.
+    Q("mm05_png_resize",
+      (s, d) => Multimodal.resizePng(s,
+        Multimodal.synthesizePng(s, Tables.documents(s, d)).toDF(), 8).toDF(),
+      Some("""WITH dims AS (SELECT doc_id,
+                     CAST(doc_id % 16 + 4 AS INTEGER) AS w,
+                     CAST((doc_id // 16) % 8 + 4 AS INTEGER) AS h
+              FROM documents),
+nd AS (SELECT doc_id, w, h,
+              CAST(CASE WHEN greatest(w, h) <= 8 THEN w
+                        ELSE greatest(1, w * 8 // greatest(w, h)) END AS INTEGER) AS nw,
+              CAST(CASE WHEN greatest(w, h) <= 8 THEN h
+                        ELSE greatest(1, h * 8 // greatest(w, h)) END AS INTEGER) AS nh
+       FROM dims),
+px AS (SELECT doc_id, w, h, nw, nh, unnest(generate_series(0, nw - 1)) AS x FROM nd),
+pxy AS (SELECT doc_id, w, h, nw, nh, x, unnest(generate_series(0, nh - 1)) AS y FROM px),
+s AS (SELECT doc_id, w, h, nw, nh,
+             sum((doc_id + 7 * (x * w // nw) + 13 * (y * h // nh)) % 256) AS ps
+      FROM pxy GROUP BY 1, 2, 3, 4, 5)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       nw AS new_width, nh AS new_height, CAST(ps AS BIGINT) AS px_sum
+FROM s""")),
 
     // Multimodal: frame/window sampling over the payload bytes.
     Q("mm02_frame_sample",

@@ -350,7 +350,12 @@ class PlanSpec extends SparkSpec {
       // co-purchase lift: the basket-count denominator is ONE broadcast
       // row crossed into the count-pruned pair table — scalar fan-out;
       // pair generation and the frequency joins are all equi
-      "op43_copurchase_lift")
+      "op43_copurchase_lift",
+      // graph-beam ANN: round-0 seeds the beam with queries ×
+      // broadcast(≤2^planes per-bucket entry points) — broadcast-tiny
+      // by construction; every round's candidate scoring is an
+      // equi-join on vec_id
+      "ann14_graph_beam")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val nonEqui = df.queryExecution.optimizedPlan.collect {

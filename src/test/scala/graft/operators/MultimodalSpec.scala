@@ -10,23 +10,77 @@ class MultimodalSpec extends SparkSpec {
     Seq((1L, "hello world"), (2L, "tiny"), (3L, "x" * 600))
       .toDF("doc_id", "text"))
 
-  test("decodeMetaExpr: length, checksum, deterministic stub dims in range") {
+  private def docs = Seq((1L, "a"), (2L, "b"), (17L, "c"), (300L, "d"))
+    .toDF("doc_id", "text")
+
+  /** Reference pixel/dim model shared with the oracles. */
+  private def dims(id: Long): (Int, Int) =
+    ((id % 16 + 4).toInt, ((id / 16) % 8 + 4).toInt)
+  private def pxSum(id: Long, w: Int, h: Int,
+                    sx: Int => Int = identity, sy: Int => Int = identity): Long =
+    (for (y <- 0 until h; x <- 0 until w)
+      yield ((id + 7L * sx(x) + 13L * sy(y)) % 256L)).sum
+
+  test("decodeMetaExpr: payload length and checksum") {
     val out = Multimodal.decodeMetaExpr(media).orderBy("media_id").collect()
     assert(out(0).getLong(2) == 11L)
     assert(out(0).getString(3).length == 32)
-    out.foreach { r =>
-      assert(r.getInt(4) >= 64 && r.getInt(4) < 1920)  // width
-      assert(r.getInt(5) >= 64 && r.getInt(5) < 1080)  // height
+    assert(out.map(_.schema.fieldNames.toSeq).head ==
+      Seq("media_id", "media_type", "n_bytes", "checksum"))
+  }
+
+  test("synthesizePng emits genuine PNGs: magic bytes + IHDR dims match the id model") {
+    val recs = Multimodal.synthesizePng(spark, docs).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    assert(recs.keySet == Set(1L, 2L, 17L, 300L))
+    recs.foreach { case (id, png) =>
+      // PNG signature
+      assert(png.take(8).map(_ & 0xff).toSeq ==
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+      // IHDR: width bytes 16-19, height bytes 20-23, big-endian
+      def be(off: Int) = (0 until 4).map(i => (png(off + i) & 0xff) << (8 * (3 - i))).sum
+      val (w, h) = dims(id)
+      assert(be(16) == w && be(20) == h, s"IHDR dims for media $id")
     }
   }
 
-  test("mapPartitions decode path agrees with the expression path") {
-    val viaExpr = Multimodal.decodeMetaExpr(media).orderBy("media_id")
-      .collect().map(_.toSeq).toSeq
-    val viaPart = Multimodal.decodeMetaPartitions(spark, media).toDF()
-      .select("media_id", "media_type", "n_bytes", "checksum", "width", "height")
-      .orderBy("media_id").collect().map(_.toSeq).toSeq
-    assert(viaExpr == viaPart)
+  test("decodePng round-trip: real codec recovers exact dims and pixel sums") {
+    val out = Multimodal.decodePng(spark,
+      Multimodal.synthesizePng(spark, docs).toDF()).collect()
+      .map(r => r.media_id -> r).toMap
+    out.foreach { case (id, m) =>
+      val (w, h) = dims(id)
+      assert(m.width == w && m.height == h)
+      assert(m.n_pixels == w.toLong * h)
+      assert(m.px_sum == pxSum(id, w, h), s"pixel sum for media $id")
+    }
+  }
+
+  test("decodePng rejects an undecodable payload instead of passing nulls") {
+    val bad = Seq((9L, "image/png", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "media_type", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePng(spark, bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("resizePng: real decode→resample→re-encode→re-decode with exact NN pixel map") {
+    val out = Multimodal.resizePng(spark,
+      Multimodal.synthesizePng(spark, docs).toDF(), 8).collect()
+      .map(r => r.media_id -> r).toMap
+    out.foreach { case (id, r) =>
+      val (w, h) = dims(id)
+      assert(r.width == w && r.height == h)
+      val mx = math.max(w, h)
+      val (nw, nh) =
+        if (mx <= 8) (w, h)
+        else (math.max(1, w * 8 / mx), math.max(1, h * 8 / mx))
+      assert(r.new_width == nw && r.new_height == nh)
+      assert(math.max(r.new_width, r.new_height) <= 8 || mx <= 8)
+      assert(r.px_sum == pxSum(id, nw, nh, x => x * w / nw, y => y * h / nh),
+        s"resampled pixel sum for media $id")
+    }
   }
 
   test("extractFeatures: 16-bin normalized byte histogram, ANN-ready shape") {
@@ -37,20 +91,6 @@ class MultimodalSpec extends SparkSpec {
     f.values.foreach(h => assert(math.abs(h.sum - 1f) < 1e-5))
     // "x"*600 is all 'x' (0x78 -> bin 7)
     assert(f(3L)(7) == 1f)
-  }
-
-  test("resize: dims capped at maxDim, aspect preserved, payload shrunk") {
-    val out = Multimodal.resize(spark, media, 64).collect()
-      .map(r => r.media_id -> r).toMap
-    val orig = Multimodal.decodeMetaExpr(media).collect()
-      .map(r => r.getLong(0) -> (r.getInt(4), r.getInt(5))).toMap
-    out.foreach { case (id, r) =>
-      assert(math.max(r.width, r.height) <= 64)
-      val (w, h) = orig(id)
-      // aspect ratio preserved within integer rounding
-      assert(math.abs(r.width.toDouble / r.height - w.toDouble / h) < 0.2)
-      assert(r.payload.nonEmpty)
-    }
   }
 
   test("sampleFrames: one frame per stride, byte offsets aligned") {

@@ -633,7 +633,7 @@ class SimilaritySpec extends SparkSpec {
     // so fixture-noise-sized drift passes and a real collapse fails.
     val floors = Map(
       "lsh_bucketed" -> 0.10, "lsh_multiprobe4" -> 0.13,
-      "pq_adc" -> 0.30, "jl_rerank" -> 0.35,
+      "pq_adc" -> 0.30, "jl_rerank" -> 0.35, "graph_beam" -> 0.45,
       "ivf_nprobe1" -> 0.50, "ivf_nprobe2" -> 0.55,
       "ivf_pq" -> 0.58, "pq_trained" -> 0.60, "ivfpq_refine" -> 0.70)
     val got = graft.SparkEntry.queries("ann07_recall")(spark, "/root/testdata/sf0.01")
@@ -647,6 +647,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got("ivf_nprobe2") >= got("ivf_nprobe1"), "multi-probe lost recall")
     assert(got("ivfpq_refine") >= got("ivf_pq"), "exact refine lost recall")
     assert(got("lsh_multiprobe4") >= got("lsh_bucketed"), "multi-probe LSH lost recall")
+  }
+
+  test("beamSearchTopK: greedy walk reaches the far end of a chain graph; visited-set accounting") {
+    // Corpus on the unit circle at 10° steps, chain edges i↔i+1, seed
+    // at vector 0, query = vector 5: each round the beam (width 1) can
+    // only advance one hop, so `rounds` bounds how far the walk gets —
+    // and the answer is the best of EVERYTHING visited, not just the
+    // final beam.
+    def v(deg: Int) = Seq(math.cos(math.toRadians(deg)), math.cos(math.toRadians(90 - deg)))
+    val corpus = (0 to 5).map(i => (i.toLong, v(10 * i))).toDF("vec_id", "embedding")
+    val edges = (0 until 5).flatMap(i =>
+      Seq((i.toLong, i + 1L), (i + 1L, i.toLong))).toDF("vec_id", "nbr_id")
+    val query = Seq((100L, v(50))).toDF("vec_id", "embedding")
+    val seeds = Seq(Tuple1(0L)).toDF("vec_id")
+    def best(rounds: Int): Long =
+      Similarity.beamSearchTopK(edges, corpus, query, seeds, 1, 1, rounds)
+        .filter($"rk" === 1).head.getLong(1)
+    assert(best(5) == 5L, "full walk must reach the true nearest neighbor")
+    assert(best(2) == 2L, "2 rounds from seed 0 can reach at most vector 2")
+    // k > visited size: every visited vector comes back, ranked
+    val all = Similarity.beamSearchTopK(edges, corpus, query, seeds, 10, 1, 5)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    assert(all == Seq(5L, 4L, 3L, 2L, 1L, 0L), s"visited ranking: $all")
+  }
+
+  test("the graph_beam floor has teeth: seeds-only search (rounds 0) trips it") {
+    // Plant the regression the 0.45 floor catches: zero expansion
+    // rounds collapse the search to scoring the ~2^planes bucket seeds
+    // — recall falls to the seed-hit rate, far below the floor.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q50 = emb.filter($"vec_id" < 50)
+    val exact = NearDup.stage(Similarity.bruteForceTopK(emb, q50, 10)
+      .select($"query_id", $"vec_id"))
+    val degraded = Similarity.beamSearchTopK(
+      Similarity.knnGraph(emb, 5, maxBucketSize = Some(200)),
+      emb, q50, Similarity.bucketSeeds(emb, maxBucketSize = Some(200)),
+      10, 8, 0)
+      .select($"query_id", $"vec_id")
+      .join(exact, Seq("query_id", "vec_id")).count() / 500.0
+    assert(degraded < 0.45,
+      s"planted zero-round beam still clears the floor ($degraded) — the floor is toothless")
   }
 
   test("the refine floor has teeth: a planted no-op refine (factor 1) trips it") {
