@@ -51,6 +51,32 @@ object Publish {
     flipManifest(spark, root, version)
   }
 
+  /** Concurrency contract: the flip itself is a single atomic
+    * rename-overwrite, so N racing publishers can never tear the
+    * manifest — readers always resolve a complete version, and the
+    * winner is simply the LAST rename (each publisher's staging dir is
+    * private, so the losers' versions remain intact on disk, just not
+    * current). Publishers that must not silently overwrite each other
+    * use [[tryFlipManifest]]: compare-and-swap semantics via an
+    * atomic-create lock file — the loser gets `false` and retries
+    * against the new current version or fails clean. On object stores
+    * replace the lock with the store's conditional-put primitive. */
+  def tryFlipManifest(spark: SparkSession, root: String, version: String,
+                      expectCurrent: Option[String]): Boolean = {
+    val ctx = fc(spark)
+    val lock = new Path(root, "_PUBLISH_LOCK")
+    val lockStream =
+      try ctx.create(lock, java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE))
+      catch { case _: java.io.IOException => return false } // lock held: lose cleanly
+    try {
+      lockStream.close()
+      if (currentVersion(spark, root) != expectCurrent) false // raced: stale expectation
+      else { flipManifest(spark, root, version); true }
+    } finally {
+      try ctx.delete(lock, false) catch { case _: Throwable => () }
+    }
+  }
+
   /** Atomically point `_CURRENT` at `v-<version>` (write-temp +
     * rename-overwrite). The staged version dir must already be
     * complete — this is the publication instant. */

@@ -128,6 +128,75 @@ object ScaleCheck {
     * via the name args. */
   def allQueries: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
+  // ----------------------------------------------------------------
+  // SKEWED replica (round-12 verdict item 7): uniform replication
+  // scales every key evenly — precisely the distribution that can
+  // NEVER catch a per-key state or per-key fan-out blow-up (ex25's
+  // unbounded collect was invisible to it). The skew mode multiplies
+  // TWO hot keys the way production data actually concentrates:
+  //  - one WHALE ENTITY: the min-user_id user's events are appended
+  //    whaleR more times (fresh event_ids, SAME user_id) — one key
+  //    holding ~whaleR/(users+whaleR) of the events stream;
+  //  - one FLOODING SOURCE: the min source's documents are appended
+  //    floodR more times (fresh doc_ids, SAME source and text) — an
+  //    exact-duplicate crawl flood from a single provenance.
+  // Every other table passes through unchanged, so a query's wall
+  // ratio vs base isolates how its plan digests the hot key.
+  // ----------------------------------------------------------------
+
+  /** events/documents-heavy, shuffle-keyed queries — the plans a hot
+    * key stresses: entity-keyed collects/windows/sessions, dedup
+    * fingerprint aggs, LSH bucket joins, per-source rollups. */
+  val skewQueries: Seq[String] = Seq(
+    "ex01_tumbling_window", "ex02_session_window", "ex03_dedup_keyed",
+    "ex25_event_pattern", "ex26_ohlc_bars", "ex27_transition_matrix",
+    "dd01_exact_dedup", "dd02_minhash_signature", "dd10_dedup_pipeline",
+    "dd18_prefix_filter_join", "dq09_dup_rate_by_source", "tx32_curation_e2e")
+
+  def materialiseSkew(spark: SparkSession, baseDir: String, workDir: String,
+                      whaleR: Int, floodR: Int): Unit = {
+    val marker = new java.io.File(s"$workDir/_SKEWED_w${whaleR}_f${floodR}_v1")
+    if (marker.exists()) { println(s"skewed copy cached: $workDir"); return }
+    if (new java.io.File(workDir).exists()) {
+      println(s"stale skewed copy at $workDir — rebuilding")
+      graft.Scratch.delete(workDir)
+    }
+    def extraCopies(df: DataFrame, hotFilter: org.apache.spark.sql.Column,
+                    shiftCol: String, stride: Long, r: Int): DataFrame =
+      df.filter(hotFilter)
+        .select(col("*"), explode(sequence(lit(1L), lit(r.toLong))).as("__r"))
+        .withColumn(shiftCol, col(shiftCol) + col("__r") * lit(stride))
+        .drop("__r")
+    val all = Tables.starTables ++ Tables.extTables
+    all.foreach { t =>
+      val base = if (t == "events") Tables.events(spark, baseDir)
+                 else Tables.load(spark, baseDir, t)
+      val skewed = t match {
+        case "events" =>
+          val hot = base.agg(min(col("user_id"))).head.getLong(0)
+          val stride = base.agg(max(col("event_id"))).head.getLong(0) + 1L
+          base.unionByName(
+            extraCopies(base, col("user_id") === hot, "event_id", stride, whaleR))
+        case "documents" =>
+          val hot = base.agg(min(col("source"))).head.getString(0)
+          val stride = base.agg(max(col("doc_id"))).head.getLong(0) + 1L
+          base.unionByName(
+            extraCopies(base, col("source") === hot, "doc_id", stride, floodR))
+        case _ => base
+      }
+      skewed.write.mode("overwrite").parquet(s"$workDir/$t.parquet")
+    }
+    java.nio.file.Files.write(marker.toPath, s"$whaleR $floodR\n".getBytes("UTF-8"))
+    println(s"materialised skewed copy: $workDir (whale x$whaleR, flood x$floodR)")
+  }
+
+  /** The skew gate: a hot key must cost ~its share of the extra data,
+    * never a quadratic/a single-task cliff. maxRatio is looser than
+    * the uniform gate's because the subset queries are short (noise-
+    * dominated) — a per-key blow-up lands at 50–1000×, far above it. */
+  def skewViolations(rows: Seq[Row], maxRatio: Double): Seq[String] =
+    violations(rows, maxRatio)
+
   private def timeOne(spark: SparkSession, name: String, dir: String)
       : (Double, Option[String], Map[String, Int]) = {
     val t0 = System.nanoTime()
@@ -231,27 +300,53 @@ object ScaleCheck {
         s"joins(base=${ops(bOps)} scaled=${ops(sOps)}) ${err.fold("")(e => s"ERR=$e")}")
       Row(name, bSec, sSec, ratio, err, bOps, sOps)
     }
+    // -------- skew section (verdict item 7): hot-key replica --------
+    val skewDir = s"${workDir}_skew"
+    val (whaleR, floodR, maxSkewRatio) = (1000, 20, 10.0)
+    val skewRows =
+      if (flags("--skip-skew")) Seq.empty[Row]
+      else {
+        materialiseSkew(spark, baseDir, skewDir, whaleR, floodR)
+        skewQueries.filter(q => pos.length <= 3 || chosen.contains(q)).map { name =>
+          val (bSec, bErr, bOps) = timeOne(spark, name, baseDir)
+          val (sSec, sErr, sOps) = timeOne(spark, name, skewDir)
+          val ratio =
+            if (bErr.isEmpty && sErr.isEmpty && bSec > 0)
+              math.rint(sSec / bSec * 100) / 100
+            else -1.0
+          val err = (bErr.toSeq ++ sErr.toSeq).headOption
+          println(f"skew:$name%-26s base=$bSec%7.2fs skewed=$sSec%8.2fs " +
+            f"ratio=$ratio%6.2f ${err.fold("")(e => s"ERR=$e")}")
+          Row(name, bSec, sSec, ratio, err, bOps, sOps)
+        }
+      }
     def ops(m: Map[String, Int]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val rowJson = rows.map { w =>
+    def rowJson(rs: Seq[Row]) = rs.map { w =>
       s""""${w.name}":{"base_sec":${w.baseSec},"scaled_sec":${w.scaledSec},""" +
         s""""ratio":${w.ratio},"joins_base":${ops(w.joinsBase)},"joins_scaled":${ops(w.joinsScaled)}""" +
         w.error.fold("")(e => s""","error":"$e"""") + "}"
     }
+    def quoteAll(vs: Seq[String]) =
+      vs.map(v => "\"" + v.replace("\"", "'") + "\"").mkString(",")
     val viols = violations(rows, maxRatio)
+    val sviols = skewViolations(skewRows, maxSkewRatio).map(v => s"skew: $v")
     val json = s"""{"metric":"scale_check","replication":$r,"base":"$baseDir",""" +
       s""""scaled_dir":"$workDir","max_ratio":$maxRatio,""" +
-      s""""violations":[${viols.map(v => "\"" + v.replace("\"", "'") + "\"").mkString(",")}],""" +
-      s""""queries":{${rowJson.mkString(",")}}}"""
+      s""""violations":[${quoteAll(viols ++ sviols)}],""" +
+      s""""queries":{${rowJson(rows).mkString(",")}},""" +
+      s""""skew":{"whale_r":$whaleR,"flood_r":$floodR,"max_ratio":$maxSkewRatio,""" +
+      s""""skew_dir":"$skewDir","queries":{${rowJson(skewRows).mkString(",")}}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALECHECK.json"),
       (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()
     // Gate: a committed-artifact check a human has to read is not a
     // gate. Exit nonzero on any violation so CI/driver runs go red.
-    if (viols.nonEmpty) {
-      System.err.println(s"SCALE GATE FAILED (${viols.length} violation(s)):")
-      viols.foreach(v => System.err.println(s"  - $v"))
+    val allViols = viols ++ sviols
+    if (allViols.nonEmpty) {
+      System.err.println(s"SCALE GATE FAILED (${allViols.length} violation(s)):")
+      allViols.foreach(v => System.err.println(s"  - $v"))
       sys.exit(1)
     }
   }

@@ -106,4 +106,82 @@ class PublishSpec extends SparkSpec {
     assert(Publish.currentVersion(spark, root).contains("v-005"))
     assert(Publish.readTable(spark, root, "a").as[Int].collect().toSeq == Seq(5))
   }
+
+  test("two publishers racing the flip: one wins, no torn manifest, both versions intact") {
+    val root = freshRoot()
+    Publish.publishTables(spark, Map("a" -> Seq(0).toDF("x")), root, "001")
+    // Stage both versions first (private dirs — staging never races),
+    // then race ONLY the flips, many times, from two threads.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      (1 to 25).foreach { i =>
+        val (va, vb) = (f"1$i%02d-a", f"1$i%02d-b")
+        Seq(va, vb).foreach { v =>
+          Seq(i).toDF("x").write.mode("overwrite").parquet(s"$root/v-$v/a")
+        }
+        val start = new CountDownLatch(1)
+        val done = new CountDownLatch(2)
+        Seq(va, vb).foreach { v =>
+          pool.execute { () =>
+            start.await()
+            try Publish.flipManifest(spark, root, v) finally done.countDown()
+          }
+        }
+        start.countDown()
+        assert(done.await(30, TimeUnit.SECONDS), "racing flips must terminate")
+        // the manifest is never torn: it parses to exactly one of the
+        // two racers and the version it names is complete and readable
+        val cur = Publish.currentVersion(spark, root).get
+        assert(cur == s"v-$va" || cur == s"v-$vb", s"torn/foreign manifest: '$cur'")
+        assert(Publish.readTable(spark, root, "a").as[Int].head() == i)
+        // the loser's staged version is untouched on disk (retryable)
+        val loser = if (cur == s"v-$va") vb else va
+        assert(spark.read.parquet(s"$root/v-$loser/a").as[Int].head() == i)
+      }
+    } finally pool.shutdownNow()
+  }
+
+  test("tryFlipManifest: CAS semantics — stale expectation loses cleanly, exactly one racer wins") {
+    val root = freshRoot()
+    Publish.publishTables(spark, Map("a" -> Seq(0).toDF("x")), root, "001")
+    Seq("002", "003").foreach { v =>
+      Seq(9).toDF("x").write.mode("overwrite").parquet(s"$root/v-$v/a")
+    }
+    // stale expectation: refused, manifest unchanged
+    assert(!Publish.tryFlipManifest(spark, root, "002", Some("v-000")))
+    assert(Publish.currentVersion(spark, root).contains("v-001"))
+    // two CAS racers with the SAME expectation: exactly one wins
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val start = new CountDownLatch(1)
+      val results = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+      val done = new CountDownLatch(2)
+      Seq("002", "003").foreach { v =>
+        pool.execute { () =>
+          start.await()
+          try results.put(v, Publish.tryFlipManifest(spark, root, v, Some("v-001")))
+          finally done.countDown()
+        }
+      }
+      start.countDown()
+      assert(done.await(30, TimeUnit.SECONDS))
+      val winners = Seq("002", "003").filter(results.get(_))
+      assert(winners.size <= 1, s"CAS let both racers win: $results")
+      // (both can lose if they collide on the lock — that's the
+      // documented fail-clean path; the loser retries with the NEW
+      // current) — after a retry exactly one version is current.
+      if (winners.isEmpty) {
+        val cur = Publish.currentVersion(spark, root)
+        assert(cur.contains("v-001"), "both lost ⇒ manifest untouched")
+        assert(Publish.tryFlipManifest(spark, root, "002", cur))
+      }
+      val cur = Publish.currentVersion(spark, root).get
+      assert(Set("v-002", "v-003").contains(cur))
+      // a loser retrying with the stale expectation still loses
+      assert(!Publish.tryFlipManifest(spark, root, "003", Some("v-001")))
+      assert(Publish.currentVersion(spark, root).contains(cur))
+    } finally pool.shutdownNow()
+  }
 }

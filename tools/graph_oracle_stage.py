@@ -48,7 +48,7 @@ for name in (sys.argv[3:] or ["gr01_pagerank", "gr04_triangles"]):
     # CTE. Each graph oracle's first post-chain CTE is one of: nodes
     # (gr01-03), und (gr04/gr07/gr08), r0 (gr05), l0 (gr06); take the
     # EARLIEST marker present so multi-marker oracles split correctly.
-    MARKERS = ["\nnodes AS", "\nund AS", "\nr0 AS", "\nl0 AS"]
+    MARKERS = ["\nnodes AS", "\nund AS", "\nr0 AS", "\nl0 AS", "\nsds AS"]
     cands = [(sql.index(m), m) for m in MARKERS if m in sql]
     assert cands, f"{name}: no post-edges CTE marker found"
     marker = min(cands)[1]
