@@ -209,6 +209,55 @@ object Multimodal {
       }
   }
 
+  /** Per-media perceptual hash row: the 64-bit average-hash as a
+    * '0'/'1' bitstring (row-major, no sign ambiguity across engines)
+    * plus the 8×8 grayscale mean it thresholds on. */
+  case class PerceptualHash(media_id: Long, ahash: String, mean_px: Double)
+
+  /** Perceptual average-hash (aHash) from the REAL decoded raster: the
+    * classic image near-dup fingerprint — downsample to 8×8 by the same
+    * exact integer index map the resize path uses (sx = x·w/8), take
+    * the grayscale mean, emit bit = (pixel > mean) in row-major order.
+    * Visually identical images (re-encodes, exact scalings) collide on
+    * the hash; the hash is then the BLOCKING KEY for media dedup —
+    * group-by-ahash, never pairwise pixel comparison, so at 100 TB the
+    * cost is one decode pass + one 64-char-key shuffle of (id, hash)
+    * rows (the dd01 exact-dedup shape with a perceptual key).
+    *
+    * The mean is sum/64.0 — an exact double (÷2⁶), so the strict `>`
+    * threshold is engine-independent; the sampled pixels of the
+    * synthetic fixture are closed-form in media_id, which lets a SQL
+    * oracle recompute the entire hash without any codec. */
+  def aHashPng(spark: SparkSession, media: DataFrame): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        val reader = pngReader()
+        it.map { r =>
+          val img = readPng(reader, r.payload, r.media_id)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = new Array[Int](64)
+          var sum = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val v = img.getRGB(x * w / 8, y * h / 8) & 0xff
+              px(y * 8 + x) = v; sum += v; x += 1
+            }
+            y += 1
+          }
+          val mu = sum / 64.0
+          val bits = new java.lang.StringBuilder(64)
+          var i = 0
+          while (i < 64) {
+            bits.append(if (px(i) > mu) '1' else '0'); i += 1
+          }
+          PerceptualHash(r.media_id, bits.toString, mu)
+        }
+      }
+  }
+
   /** One PNG `ImageReader` per partition (stateful: callers must use it
     * single-threaded within the task, which mapPartitions guarantees). */
   private def pngReader(): javax.imageio.ImageReader = {

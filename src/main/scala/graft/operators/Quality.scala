@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality gates for pipeline boundaries — the engine-level form
@@ -354,5 +355,56 @@ object Quality {
         (col("n_rows") - col("__e.__present")).as("n_null"),
         col("__e.n_distinct").as("n_distinct"),
         col("__e.min_val").as("min_val"), col("__e.max_val").as("max_val"))
+  }
+
+  /** EWMA control chart over a per-(group, period) count series — the
+    * SPC drift monitor (Roberts 1959; NIST/SEMATECH e-handbook §6.3.2.4)
+    * a pipeline runs on its daily ingest volumes: smooth each group's
+    * series with an exponentially weighted moving average and score each
+    * period's deviation from the smoothed level in group-σ units.
+    *
+    * EWMA via the closed form of the standard recurrence
+    * (ewma_1 = x_1; ewma_t = α·x_t + (1−α)·ewma_{t−1}):
+    *   ewma_t = (1−α)^(t−1)·x_1 + α·Σ_{k=2..t} (1−α)^(t−k)·x_k
+    * computed by a triangular self-join on the ROLLED-UP series rather
+    * than a recursive window — the rollup is (groups × periods)-sized
+    * (bounded by the calendar, not by fact volume), so the triangle is
+    * agg-result² at worst and AQE broadcasts it; the one fact-scale
+    * shuffle is the rollup count itself, map-side combinable. All
+    * weights are ≥ 0 powers of (1−α) on integer counts — magnitudes
+    * stay O(x), so the unordered double sum is safe under the repo's
+    * 6-decimal rounding convention.
+    *
+    * Output: one row per (group, period) — the raw count, the EWMA
+    * level, and `dev_sigma` = |x − ewma| / σ_group (population σ of the
+    * group's counts; 0 when σ = 0). Callers flag rows at their control
+    * limit (classically dev_sigma > 3·√(α/(2−α))). */
+  def ewmaControl(df: DataFrame, groupCol: String, tsCol: String,
+                  alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val daily = df.groupBy(col(groupCol),
+        to_date(date_trunc("day", col(tsCol))).as("day"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    // Period index: window over the rollup, partitioned per group —
+    // calendar-bounded input, never fact-scale.
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("day").asc)
+    val idx = daily.select(col(groupCol), col("day"), col("x"),
+      row_number().over(w).cast("long").as("__t"))
+    val sigma = idx.groupBy(col(groupCol))
+      .agg(stddev_pop(col("x")).as("__sigma"))
+    val hist = idx.select(col(groupCol).as("__g"), col("x").as("__xk"),
+      col("__t").as("__k"))
+    val weight = when(col("__k") === 1L,
+        pow(lit(1 - alpha), col("__t") - 1))
+      .otherwise(lit(alpha) * pow(lit(1 - alpha), col("__t") - col("__k")))
+    idx.join(hist, col(groupCol) === col("__g") && col("__k") <= col("__t"))
+      .groupBy(col(groupCol), col("day"), col("x"), col("__t"))
+      .agg(sum(col("__xk") * weight).as("__ewma"))
+      .join(sigma, Seq(groupCol))
+      .select(col(groupCol), col("day"), col("x"),
+        round(col("__ewma"), 6).as("ewma"),
+        round(when(col("__sigma") > 0,
+          abs(col("x") - col("__ewma")) / col("__sigma")).otherwise(0.0), 6)
+          .as("dev_sigma"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -121,5 +121,69 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("r_lex"), col("r_vec"),
         round(coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK) + col("r_vec")), lit(0.0)), 6).as("rrf"))
+  }
+
+  /** Deterministic per-term embedding component j of `term` — the
+    * md5-derived integer in [-1000, 1000] (the dd17 hyperplane
+    * convention, seeded by (j, term)). Integer-valued so every MaxSim
+    * dot product below is EXACT 64-bit arithmetic: no float summation
+    * order to diverge between engines. */
+  private[operators] def termVecComponent(term: Column, j: Int): Column =
+    conv(substring(md5(concat(lit(s"${j}~"), term)), 1, 8), 16, 10)
+      .cast("long") % 2001 - 1000
+
+  /** Late-interaction (MaxSim) reranking — the ColBERT scoring shape
+    * (Khattab & Zaharia, SIGIR'20): score(q, d) = Σ_{t ∈ q} max_{s ∈ d}
+    * ⟨e_t, e_s⟩ over per-TERM embeddings, the second-stage reranker RAG
+    * stacks on a cheap first-stage candidate list.
+    *
+    * This is the candidate-restricted form: `candidates` is
+    * (query_id, doc_id) from the first stage (BM25 top-k here — q·k
+    * rows, broadcast-sized), and ONLY candidate docs are re-tokenized —
+    * the corpus-scale work stays in the first stage, exactly how a
+    * 100 TB deployment runs late interaction (rerank cost is
+    * q·k·|d|·|q_terms|, independent of corpus size). Term embeddings
+    * are the md5-derived integer vectors above (a stand-in for a real
+    * token encoder with the same dataflow: per-term vector join,
+    * max-reduce over doc terms, sum-reduce over query terms), so the
+    * score is an exact BIGINT both engines reproduce bit-for-bit.
+    *
+    * Returns (query_id, doc_id, maxsim, rerank) — `rerank` the
+    * per-query dense order by (maxsim DESC, doc_id ASC). The per-query
+    * window is candidate-sized (≤ k rows per query). */
+  def maxSimRerank(docs: DataFrame, idCol: String, textCol: String,
+                   queryTerms: DataFrame, candidates: DataFrame,
+                   dim: Int = 8): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    import graft.functions.TextAnalysis.tokens
+    def vec(prefix: String, term: Column) = struct(
+      (0 until dim).map(j => termVecComponent(term, j).as(s"__${prefix}$j")): _*)
+    // Candidate docs' DISTINCT terms: the doc-side scan is semi-joined
+    // down to the ≤ q·k candidate ids BEFORE tokenizing (broadcast —
+    // at scale this is the index/id-lookup read, not a corpus pass).
+    val docTerms = docs
+      .join(broadcast(candidates.select(col("doc_id").as("__cand_id")).distinct()),
+        col(idCol) === col("__cand_id"), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("__dterm"))
+      .select(col("doc_id"), vec("d", col("__dterm")).as("__dv"))
+    val qTerms = queryTerms.select(col("query_id"), col("term"),
+      vec("q", col("term")).as("__qv"))
+    val dot = (0 until dim)
+      .map(j => col(s"__qv.__q$j") * col(s"__dv.__d$j"))
+      .reduce(_ + _)
+    // (query term × candidate doc term) pairs exist only inside a
+    // candidate edge: join through the broadcast candidate list, then
+    // two exact integer reductions (max over doc terms, sum over query
+    // terms).
+    val perTerm = broadcast(candidates.join(qTerms, Seq("query_id")))
+      .join(docTerms, Seq("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"), col("term"))
+      .agg(max(dot).as("__best"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim").desc, col("doc_id").asc)
+    perTerm.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__best")).as("maxsim"))
+      .withColumn("rerank", row_number().over(wr).cast("long"))
   }
 }

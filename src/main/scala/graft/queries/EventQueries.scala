@@ -424,6 +424,36 @@ FROM agg""")),
       FROM dev d JOIN mad m USING (event_type)
       WHERE m.mad > 0 AND round(d.d / m.mad, 6) > 4.0""")),
 
+    // EWMA control chart (SPC / NIST §6.3.2.4) over per-type DAILY
+    // ingest counts — the volume-drift monitor a pipeline runs on its
+    // own feed. One fact-scale shuffle (the daily rollup, map-side
+    // combinable); the EWMA closed form then runs on the calendar-
+    // bounded rollup via a triangular self-join (agg-result², AQE
+    // broadcasts it) — no recursive window, no per-key state. Emits
+    // the smoothed level and the deviation in group-σ units; callers
+    // alarm at their control limit.
+    Q("dq10_ewma_control",
+      (s, d) => graft.operators.Quality.ewmaControl(
+        Tables.events(s, d), "event_type", "ts", 0.3),
+      Some("""WITH daily AS (SELECT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+idx AS (SELECT event_type, day, x,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY day ASC) AS BIGINT) AS t
+        FROM daily),
+sg AS (SELECT event_type, stddev_pop(x) AS sigma FROM idx GROUP BY 1),
+ew AS (SELECT a.event_type, a.day, a.x,
+              sum(b.x * CASE WHEN b.t = 1 THEN pow(0.7, a.t - 1)
+                             ELSE 0.3 * pow(0.7, a.t - b.t) END) AS ewma
+       FROM idx a JOIN idx b ON b.event_type = a.event_type AND b.t <= a.t
+       GROUP BY 1, 2, 3)
+SELECT e.event_type, e.day, e.x AS x, round(e.ewma, 6) AS ewma,
+       round(CASE WHEN s.sigma > 0 THEN abs(e.x - e.ewma) / s.sigma
+                  ELSE 0 END, 6) AS dev_sigma
+FROM ew e JOIN sg s USING (event_type)""")),
+
     // ANSI rank-function family: percent_rank / cume_dist / ntile over
     // a pinned per-type total order (value, event_id tiebreak). One
     // window partitioned by type — one shuffle, sorts local per group.

@@ -1035,6 +1035,83 @@ SELECT tf.doc_id,
 FROM tf JOIN dfs USING (t) JOIN lens USING (doc_id), stats
 GROUP BY tf.doc_id""")),
 
+    // Late-interaction (MaxSim / ColBERT) reranking on top of a BM25
+    // first stage — the two-stage RAG serving stack: stage 1 scores the
+    // CORPUS once for all three queries (one shared tokenize pass) and
+    // keeps top-20 per query; stage 2 re-tokenizes ONLY those ≤ 60
+    // candidates and scores Σ_t max_s ⟨e_t, e_s⟩ over md5-derived
+    // integer term vectors (exact BIGINT arithmetic end to end — the
+    // real-encoder dataflow with a deterministic stand-in encoder, so
+    // the rerank order is hash-checkable). Rerank cost is candidate-
+    // sized: independent of corpus volume at 100 TB.
+    Q("tx38_maxsim_rerank",
+      (s, d) => {
+        import graft.operators.Retrieval
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val qTerms = Seq(
+          0L -> "join", 0L -> "scan", 0L -> "vector", 0L -> "spark",
+          1L -> "hash", 1L -> "filter", 1L -> "merge", 1L -> "sort",
+          2L -> "stream", 2L -> "window", 2L -> "batch", 2L -> "group")
+          .toDF("query_id", "term")
+        val wl = Window.partitionBy(col("query_id"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+        val cands = Retrieval.bm25PerQuery(docs, "doc_id", "text", qTerms)
+          .withColumn("__r", row_number().over(wl))
+          .filter(col("__r") <= 20)
+          .select(col("query_id"), col("doc_id"))
+        Retrieval.maxSimRerank(docs, "doc_id", "text", qTerms, cands, dim = 8)
+      },
+      Some(s"""WITH qt AS (SELECT * FROM (VALUES
+         (0, 'join'), (0, 'scan'), (0, 'vector'), (0, 'spark'),
+         (1, 'hash'), (1, 'filter'), (1, 'merge'), (1, 'sort'),
+         (2, 'stream'), (2, 'window'), (2, 'batch'), (2, 'group'))
+       AS v(query_id, term)),
+lens AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS l FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(l AS DOUBLE)) AS avgl FROM lens),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM (
+         SELECT doc_id, unnest($toksSql) AS t FROM documents) x
+       WHERE t IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+dfs AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+bm AS (SELECT q.query_id, tf.doc_id,
+              round(sum(
+                ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + 1) *
+                ((tf * CAST(2.2 AS DOUBLE)) /
+                 (tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l / avgl)))), 6) AS bm25
+       FROM tf JOIN dfs USING (t) JOIN qt q ON q.term = tf.t
+       JOIN lens USING (doc_id), stats
+       GROUP BY q.query_id, tf.doc_id),
+cand AS (SELECT query_id, doc_id FROM (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY bm25 DESC, doc_id ASC) AS r
+           FROM bm) t WHERE r <= 20),
+js AS (SELECT unnest(generate_series(0, 7)) AS j),
+qv AS (SELECT query_id, term, j,
+              (CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '~' || term), 1, 8)) AS BIGINT) % 2001) - 1000 AS qc
+       FROM qt, js),
+dterms AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS dterm
+           FROM documents WHERE doc_id IN (SELECT DISTINCT doc_id FROM cand)),
+dv AS (SELECT doc_id, dterm, j,
+              (CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '~' || dterm), 1, 8)) AS BIGINT) % 2001) - 1000 AS dc
+       FROM dterms, js),
+dots AS (SELECT c.query_id, c.doc_id, q.term, d.dterm,
+                CAST(sum(q.qc * d.dc) AS BIGINT) AS dp
+         FROM cand c
+         JOIN qv q ON q.query_id = c.query_id
+         JOIN dv d ON d.doc_id = c.doc_id AND d.j = q.j
+         GROUP BY 1, 2, 3, 4),
+best AS (SELECT query_id, doc_id, term, max(dp) AS best
+         FROM dots GROUP BY 1, 2, 3),
+ms AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+              CAST(sum(best) AS BIGINT) AS maxsim
+       FROM best GROUP BY 1, 2)
+SELECT query_id, doc_id, maxsim,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY maxsim DESC, doc_id ASC) AS BIGINT) AS rerank
+FROM ms""")),
+
     // Count-min-sketch heavy hitters over the corpus term distribution:
     // depth×width bounded-memory frequency sketch (md5-derived hash
     // family shared with the oracle — deterministic, so the approximate

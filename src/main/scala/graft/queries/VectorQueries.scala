@@ -1691,5 +1691,45 @@ exact AS (SELECT doc_id AS media_id,
           FROM documents)
 SELECT e.media_id, e.exact_id, bk.bucket AS feature_bucket
 FROM exact e JOIN bk ON bk.vec_id = e.media_id""")),
+
+    // Multimodal PERCEPTUAL dedup: average-hash (aHash) of the real
+    // decoded raster — 8×8 nearest-neighbor downsample, mean threshold,
+    // 64-bit fingerprint — then dedup by GROUPING on the hash (the dd01
+    // exact-dedup shape with a perceptual key; never pairwise pixels).
+    // The fixture's id-arithmetic makes ids 256 apart encode identical
+    // images, so real perceptual duplicate groups exist and the oracle
+    // recomputes hash, group size, and canonical id from doc_id alone —
+    // decode, resample, threshold, and blocking all hash-certified.
+    Q("mm06_ahash_dedup",
+      (s, d) => {
+        val ah = Multimodal.aHashPng(s,
+          Multimodal.synthesizePng(s, Tables.documents(s, d)).toDF()).toDF()
+        val grp = ah.groupBy(col("ahash"))
+          .agg(count(lit(1)).cast("long").as("n_same"),
+            min(col("media_id")).as("canonical_id"))
+        ah.join(grp, Seq("ahash"))
+          .select(col("media_id"), col("ahash"), col("mean_px"),
+            col("n_same"), col("canonical_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id,
+                     CAST(doc_id % 16 + 4 AS INTEGER) AS w,
+                     CAST((doc_id // 16) % 8 + 4 AS INTEGER) AS h
+              FROM documents),
+gx AS (SELECT doc_id, w, h, unnest(generate_series(0, 7)) AS x FROM dims),
+g AS (SELECT doc_id, w, h, x, unnest(generate_series(0, 7)) AS y FROM gx),
+p AS (SELECT doc_id, y * 8 + x AS pos,
+             (doc_id + 7 * ((x * w) // 8) + 13 * ((y * h) // 8)) % 256 AS px
+      FROM g),
+m AS (SELECT doc_id, sum(px) / 64.0 AS mu FROM p GROUP BY doc_id),
+b AS (SELECT p.doc_id,
+             string_agg(CASE WHEN p.px > m.mu THEN '1' ELSE '0' END, ''
+                        ORDER BY p.pos) AS ahash,
+             any_value(m.mu) AS mean_px
+      FROM p JOIN m USING (doc_id) GROUP BY p.doc_id),
+grp AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_same,
+               min(doc_id) AS canonical_id
+        FROM b GROUP BY ahash)
+SELECT b.doc_id AS media_id, b.ahash, b.mean_px, grp.n_same, grp.canonical_id
+FROM b JOIN grp USING (ahash)""")),
   )
 }

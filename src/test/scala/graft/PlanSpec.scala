@@ -302,6 +302,10 @@ class PlanSpec extends SparkSpec {
       "tx24_hybrid_rrf", "tx25_hybrid_multiquery",
       // BM25 with derived query terms: same stats-row crossJoin
       "tx26_bm25_derived_query",
+      // MaxSim rerank's first stage is bm25PerQuery — the same ONE-ROW
+      // (N, avgdl) stats crossJoin; the rerank itself is equi-joined
+      // through the broadcast candidate list
+      "tx38_maxsim_rerank",
       // JL candidate generation: corpus × broadcast(50 queries) in the
       // 16-d projected space — the cheap scoring pass by design; the
       // exact rerank above it is candidate-sized

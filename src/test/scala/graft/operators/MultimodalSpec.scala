@@ -99,4 +99,34 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_no", "byte_offset").as[(Long, Long)].collect().sorted.toSeq
     assert(out == Seq((0L, 0L), (1L, 256L), (2L, 512L))) // 600 bytes -> 3 frames
   }
+
+  test("aHashPng: decoded hash matches the closed-form model bit for bit") {
+    val out = Multimodal.aHashPng(spark,
+      Multimodal.synthesizePng(spark, docs).toDF()).collect()
+      .map(r => r.media_id -> r).toMap
+    out.foreach { case (id, r) =>
+      val (w, h) = dims(id)
+      val px = for (y <- 0 until 8; x <- 0 until 8)
+        yield ((id + 7L * (x * w / 8) + 13L * (y * h / 8)) % 256L).toInt
+      val mu = px.map(_.toLong).sum / 64.0
+      val expected = px.map(v => if (v > mu) '1' else '0').mkString
+      assert(r.ahash.length == 64)
+      assert(r.ahash == expected, s"aHash bits for media $id")
+      assert(r.mean_px == mu)
+    }
+  }
+
+  test("aHashPng: perceptually identical images (ids 256 apart) collide; different images don't") {
+    // id and id+256 share dims AND every pixel value (+256 ≡ 0 mod 256),
+    // so their PNGs are pixel-identical — the hash MUST collide. id and
+    // id+1 differ in width and content — with overwhelming likelihood
+    // the 64-bit hash separates them (verified deterministically here).
+    val quad = Seq((40L, "a"), (296L, "b"), (41L, "c"))
+      .toDF("doc_id", "text")
+    val h = Multimodal.aHashPng(spark,
+      Multimodal.synthesizePng(spark, quad).toDF()).collect()
+      .map(r => r.media_id -> r.ahash).toMap
+    assert(h(40L) == h(296L), "identical rasters must share the aHash")
+    assert(h(40L) != h(41L), "these two distinct rasters must separate")
+  }
 }

@@ -227,4 +227,45 @@ class QualitySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("sorted"))
   }
+
+  test("ewmaControl: closed form equals the textbook recurrence; sigma units; alpha guard") {
+    // Two types: "a" has a volume spike on day 4; "b" is flat (σ = 0 →
+    // dev_sigma must be 0, not NaN/null). Counts per (type, day):
+    //   a: 3, 1, 2, 10    b: 2, 2, 2
+    val rows = Seq("a" -> Seq(3, 1, 2, 10), "b" -> Seq(2, 2, 2)).flatMap {
+      case (t, counts) => counts.zipWithIndex.flatMap { case (n, day) =>
+        (0 until n).map(i =>
+          (t, java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 0$i:30:00")))
+      }
+    }.toDF("event_type", "ts")
+    val out = Quality.ewmaControl(rows, "event_type", "ts", alpha = 0.3)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+
+    def recurrence(xs: Seq[Int], alpha: Double): Seq[Double] =
+      xs.tail.scanLeft(xs.head.toDouble)((e, x) => alpha * x + (1 - alpha) * e)
+    def sigmaPop(xs: Seq[Int]): Double = {
+      val mu = xs.sum.toDouble / xs.length
+      math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / xs.length)
+    }
+    Seq("a" -> Seq(3, 1, 2, 10), "b" -> Seq(2, 2, 2)).foreach { case (t, xs) =>
+      val ew = recurrence(xs, 0.3)
+      val sg = sigmaPop(xs)
+      xs.indices.foreach { i =>
+        val (x, ewma, dev) = out((t, f"2024-03-${i + 1}%02d"))
+        assert(x == xs(i).toLong)
+        assert(math.abs(ewma - ew(i)) < 1e-6,
+          s"ewma($t, day ${i + 1}): got $ewma want ${ew(i)}")
+        val want = if (sg > 0) math.abs(xs(i) - ew(i)) / sg else 0.0
+        assert(math.abs(dev - want) < 1e-6, s"dev_sigma($t, day ${i + 1})")
+      }
+    }
+    // the flat series must sit exactly on its own level
+    assert(out(("b", "2024-03-03"))._2 == 2.0 && out(("b", "2024-03-03"))._3 == 0.0)
+    val e2 = intercept[IllegalArgumentException] {
+      Quality.ewmaControl(rows, "event_type", "ts", alpha = 1.0)
+    }
+    assert(e2.getMessage.contains("alpha"))
+  }
 }

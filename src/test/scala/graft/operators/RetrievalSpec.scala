@@ -149,4 +149,65 @@ class RetrievalSpec extends SparkSpec {
         s"multi-probe fusion agrees LESS with the ideal: $agree4 < $agree1")
     } finally graft.Scratch.delete(path)
   }
+
+  test("maxSimRerank matches a brute-force MaxSim reference exactly (integer arithmetic)") {
+    // In-Scala reference encoder: the SAME md5 derivation the operator
+    // (and its DuckDB oracle) uses — first 8 hex chars as int, % 2001
+    // - 1000, seeded by "j~term".
+    def comp(term: String, j: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j~$term".getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    def vec(term: String): Seq[Long] = (0 until 8).map(j => comp(term, j))
+    def dot(a: Seq[Long], b: Seq[Long]): Long = a.zip(b).map { case (x, y) => x * y }.sum
+
+    val docs = Seq(
+      (10L, "spark joins scan fast"),
+      (11L, "window group stream batch"),
+      (12L, "vector search index")).toDF("doc_id", "text")
+    val qTerms = Seq(0L -> "spark", 0L -> "scan", 1L -> "stream", 1L -> "group")
+      .toDF("query_id", "term")
+    val cands = Seq((0L, 10L), (0L, 12L), (1L, 11L), (1L, 12L))
+      .toDF("query_id", "doc_id")
+    val got = Retrieval.maxSimRerank(docs, "doc_id", "text", qTerms, cands)
+      .select($"query_id", $"doc_id", $"maxsim", $"rerank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val docTerms = Map(
+      10L -> Seq("spark", "joins", "scan", "fast"),
+      11L -> Seq("window", "group", "stream", "batch"),
+      12L -> Seq("vector", "search", "index"))
+    val queryTerms = Map(0L -> Seq("spark", "scan"), 1L -> Seq("stream", "group"))
+    val scores = Seq((0L, 10L), (0L, 12L), (1L, 11L), (1L, 12L)).map { case (q, d) =>
+      (q, d, queryTerms(q).map(t =>
+        docTerms(d).map(s => dot(vec(t), vec(s))).max).sum)
+    }
+    val expected = scores.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).zipWithIndex
+        .map { case ((q, d, ms), i) => (q, d, ms, i + 1L) }
+    }.toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("maxSimRerank scores ONLY candidate edges; rerank is dense per query") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val qTerms = Seq(0L -> "join", 0L -> "scan", 1L -> "vector")
+      .toDF("query_id", "term")
+    // Restrict query 0 to three docs, query 1 to two — the operator
+    // must not leak scores for any other doc (the corpus is NOT
+    // rescanned beyond the candidate semi-join).
+    val cands = Seq((0L, 3L), (0L, 5L), (0L, 9L), (1L, 5L), (1L, 7L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.maxSimRerank(docs, "doc_id", "text", qTerms, cands)
+      .select($"query_id", $"doc_id", $"rerank")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet ==
+      Set((0L, 3L), (0L, 5L), (0L, 9L), (1L, 5L), (1L, 7L)))
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"rerank not dense for query $q")
+    }
+  }
 }
