@@ -95,10 +95,22 @@ object JdbcSchema {
       case IdType => "SERIAL"
     }
     def idDdl: String = "SERIAL PRIMARY KEY"
-    def prelude(schema: String): Seq[String] = Seq(
-      s"DROP SCHEMA IF EXISTS $schema CASCADE",
-      s"CREATE SCHEMA $schema",
-      s"GRANT ALL ON SCHEMA $schema TO PUBLIC")
+    // The reference recreates `public` (PostgresSchemaBuilder.php:51-54),
+    // where the DEFAULT search_path already resolves its unqualified
+    // CREATE TABLEs — so the public form stays statement-for-statement
+    // verbatim (JdbcSchemaSpec pins it). A CUSTOM schema needs the
+    // search_path pointed at it or the unqualified tables silently land
+    // in public (found the day a real server ran the custom-schema
+    // path); SET is transactional, so the one-txn recreate's rollback
+    // also rolls the path back.
+    def prelude(schema: String): Seq[String] = {
+      val reset = Seq(
+        s"DROP SCHEMA IF EXISTS $schema CASCADE",
+        s"CREATE SCHEMA $schema",
+        s"GRANT ALL ON SCHEMA $schema TO PUBLIC")
+      if (schema == "public") reset
+      else reset :+ s"SET search_path TO $schema"
+    }
     def qualify(schema: String, table: String): String = table
   }
 

@@ -26,10 +26,16 @@ class JdbcSchemaSpec extends AnyFunSuite {
       assert(idxOf(s"CREATE TABLE $table") >= 0 && idxOf(s"CREATE TABLE $table") < stmts.indexOf(ix),
         s"index before its table: $ix")
     }
-    // custom schema name propagates to the reset statements only
+    // custom schema name propagates to the reset statements, plus the
+    // search_path SET that makes the unqualified DDL resolve there
+    // (public needs no SET — the default search_path covers it, keeping
+    // the reference form verbatim)
     val custom = JdbcSchema.recreateStatements("staging")
     assert(custom.head == "DROP SCHEMA IF EXISTS staging CASCADE")
     assert(custom(1) == "CREATE SCHEMA staging")
+    assert(custom(3) == "SET search_path TO staging")
+    assert(custom.size == stmts.size + 1)
+    assert(!stmts.exists(_.startsWith("SET search_path")))
   }
 
   test("Postgres dialect DDL matches the reference's literal statements table-for-table") {
