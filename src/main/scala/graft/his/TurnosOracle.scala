@@ -13,6 +13,11 @@ import graft.functions.Gender
   *    without the flag; Spark is global by default.
   *  - integer division is `//`; row_number is cast to BIGINT to match
   *    Spark's long-cast ids.
+  *  - the shared CTEs (`slots`/`wide`/`paciente`/`prest_long`/
+  *    `prestacion`) are MATERIALIZED: DuckDB inlines plain CTEs per
+  *    reference, and op13's 12 references to `wide` re-evaluated the
+  *    6M-row ranked window 12× at the ~sf1 stamp replica (79 GB of
+  *    spill before dying). Hash-neutral — evaluate-once only.
   */
 object TurnosOracle {
   private val n = TurnosPipeline.nSlots
@@ -43,14 +48,14 @@ object TurnosOracle {
            ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
   FROM lineitem JOIN part ON l_partkey = p_partkey
 ),
-slots AS (
+slots AS MATERIALIZED (
   SELECT rk_orderkey, $slotCols
   FROM (SELECT rk_orderkey, rn,
                CASE WHEN rn % 2 = 1 THEN ' ' || p_name || '  ' ELSE p_name END AS pad
         FROM ranked WHERE rn <= $n) t
   GROUP BY rk_orderkey
 ),
-wide AS (
+wide AS MATERIALIZED (
   SELECT o.o_orderkey AS turno_id,
          o.o_orderpriority AS turno_tipo,
          c.c_name AS paciente_documento,
@@ -85,7 +90,7 @@ wide AS (
            ORDER BY fecha_alta DESC, turno_id ASC) AS prn
   FROM wide
 ),
-paciente AS (
+paciente AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY documento) AS BIGINT) AS id,
          nombre, apellido, documento,
          ${Gender.oracleCase("split_part(nombre, ' ', 1)")} AS sexo_inferido
@@ -105,7 +110,7 @@ paciente AS (
     val branches = (0 until n)
       .map(k => s"SELECT turno_id, $k AS slot, prestacion$k AS nombre FROM wide")
       .mkString("\n    UNION ALL ")
-    s"""prest_long AS (
+    s"""prest_long AS MATERIALIZED (
   SELECT turno_id AS turno_natural_id, slot, trim(nombre) AS nombre FROM (
     $branches
   ) u WHERE nombre IS NOT NULL AND trim(nombre) <> ''
@@ -113,7 +118,7 @@ paciente AS (
   }
 
   private val prestacionCte: String =
-    """prestacion AS (
+    """prestacion AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY nombre) AS BIGINT) AS id, nombre
   FROM (SELECT DISTINCT nombre FROM prest_long) d
 )"""

@@ -1323,20 +1323,29 @@ object RelationalQueries {
             col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          // Profit emitted as EXACT integer cents, never round(double, 2):
+          // the decimal sum reaches ~1e10, where rounding its double
+          // image at 2 decimals is engine-implementation-defined near a
+          // .005 boundary (Spark rounds the shortest-print value, DuckDB
+          // the x*100 scaled binary) — caught by the ~sf1 stamp as the
+          // suite's only volume mismatch; invisible below 10x. The sum
+          // stays decimal-exact to the end; round(,0)-then-cast is
+          // half-away-from-zero in BOTH engines (no truncation divergence
+          // on the 0.6·retailprice·qty term's fractional cents).
           .agg(round(sum(
             col("l_extendedprice").cast("decimal(12,2)")
               * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
               - col("p_retailprice").cast("decimal(12,2)")
                 * lit(0.60).cast("decimal(3,2)")
-                * col("l_quantity").cast("decimal(12,2)")).cast("double"), 2)
-            .as("sum_profit"))
+                * col("l_quantity").cast("decimal(12,2)")) * lit(100), 0)
+            .cast("long").as("profit_cents"))
       },
       Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                  * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
                  - CAST(p_retailprice AS DECIMAL(12,2))
                    * CAST(0.60 AS DECIMAL(3,2))
-                   * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_profit
+                   * CAST(l_quantity AS DECIMAL(12,2))) * 100, 0) AS BIGINT) AS profit_cents
              FROM lineitem
              JOIN part ON p_partkey = l_partkey
              JOIN orders ON o_orderkey = l_orderkey

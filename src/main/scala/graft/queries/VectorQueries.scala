@@ -128,13 +128,20 @@ l$i AS (SELECT node, label FROM l0
     * previous centroid). Produces CTEs `c0..c$iters` and the final
     * assignment `as$iters` over the whole corpus. */
   private def kmeansCtes(k: Int, iters: Int): String = {
-    val init = s"c0 AS (SELECT vec_id AS centroid_id, i, round(v, 6) AS v FROM flat WHERE vec_id < $k)"
+    // The iteration CTEs are MATERIALIZED: c$n / m$n / as$n are each
+    // referenced 2-3 times, and DuckDB inlines plain CTEs per
+    // reference — the unrolled chain re-evaluates its whole prefix
+    // exponentially in the iteration count. Invisible at sf0.1 (fits
+    // in memory); at the 10x stamp replica the re-evaluated
+    // corpus-x-centroid joins spilled >28 GB per query and aborted.
+    // Hash-neutral: MATERIALIZED only pins evaluate-once.
+    val init = s"c0 AS MATERIALIZED (SELECT vec_id AS centroid_id, i, round(v, 6) AS v FROM flat WHERE vec_id < $k)"
     val blocks = (0 to iters).map { n =>
       val assign =
         s"""cd$n AS (SELECT f.vec_id, c.centroid_id, sum(f.v * c.v) AS dp
         FROM flat f JOIN c$n c ON f.i = c.i GROUP BY 1, 2),
 cn$n AS (SELECT centroid_id, sqrt(sum(v*v)) AS nrm FROM c$n GROUP BY 1),
-as$n AS (SELECT vec_id, centroid_id FROM (
+as$n AS MATERIALIZED (SELECT vec_id, centroid_id FROM (
           SELECT d.vec_id, d.centroid_id,
                  row_number() OVER (PARTITION BY d.vec_id
                    ORDER BY round(dp / (n1.nrm * cn.nrm), 6) DESC, d.centroid_id ASC) AS rn
@@ -144,9 +151,9 @@ as$n AS (SELECT vec_id, centroid_id FROM (
          WHERE rn = 1)"""
       if (n == iters) assign
       else assign + s""",
-m$n AS (SELECT a.centroid_id, f.i, round(avg(f.v), 6) AS v
+m$n AS MATERIALIZED (SELECT a.centroid_id, f.i, round(avg(f.v), 6) AS v
         FROM as$n a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2),
-c${n + 1} AS (SELECT centroid_id, i, v FROM m$n
+c${n + 1} AS MATERIALIZED (SELECT centroid_id, i, v FROM m$n
            UNION ALL
            SELECT c.centroid_id, c.i, c.v FROM c$n c
            WHERE c.centroid_id NOT IN (SELECT centroid_id FROM m$n))"""
@@ -164,25 +171,30 @@ c${n + 1} AS (SELECT centroid_id, i, v FROM m$n
     * three-dot form term-for-term (a fused Σ(v−c)² associates
     * differently in float and can flip the 6th decimal). */
   private def pqTrainedChain(subDim: Int, k: Int, iters: Int, nq: Int): String = {
-    val init = s"""t_sv AS (SELECT vec_id, d // $subDim AS sub, d % $subDim AS sd, v FROM fl0),
-t_pc0 AS (SELECT sub, vec_id AS centroid_id, sd, round(v, 6) AS cv FROM t_sv WHERE vec_id < $k)"""
+    // t_sv / t_pc$n / t_pa$n / t_pm$n are MATERIALIZED for the same
+    // reason as kmeansCtes: each is referenced 2-6 times and plain-CTE
+    // inlining re-evaluates the unrolled Lloyd's prefix exponentially —
+    // the 10x stamp replica's PQ oracles spilled >28 GB and died
+    // before this pin. Hash-neutral.
+    val init = s"""t_sv AS MATERIALIZED (SELECT vec_id, d // $subDim AS sub, d % $subDim AS sd, v FROM fl0),
+t_pc0 AS MATERIALIZED (SELECT sub, vec_id AS centroid_id, sd, round(v, 6) AS cv FROM t_sv WHERE vec_id < $k)"""
     val blocks = (0 to iters).map { n =>
       val assign =
         s"""t_pd$n AS (SELECT s.vec_id, s.sub, c.centroid_id,
            round(sum(s.v * s.v) - 2 * sum(s.v * c.cv) + sum(c.cv * c.cv), 6) AS d2
          FROM t_sv s JOIN t_pc$n c ON c.sub = s.sub AND c.sd = s.sd
          GROUP BY 1, 2, 3),
-t_pa$n AS (SELECT vec_id, sub, centroid_id FROM (
+t_pa$n AS MATERIALIZED (SELECT vec_id, sub, centroid_id FROM (
              SELECT vec_id, sub, centroid_id,
                     row_number() OVER (PARTITION BY vec_id, sub
                       ORDER BY d2 ASC, centroid_id ASC) AS rn
              FROM t_pd$n) t WHERE rn = 1)"""
       if (n == iters) assign
       else assign + s""",
-t_pm$n AS (SELECT a.sub, a.centroid_id, s.sd, round(avg(s.v), 6) AS cv
+t_pm$n AS MATERIALIZED (SELECT a.sub, a.centroid_id, s.sd, round(avg(s.v), 6) AS cv
            FROM t_pa$n a JOIN t_sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
            GROUP BY 1, 2, 3),
-t_pc${n + 1} AS (SELECT sub, centroid_id, sd, cv FROM t_pm$n
+t_pc${n + 1} AS MATERIALIZED (SELECT sub, centroid_id, sd, cv FROM t_pm$n
              UNION ALL
              SELECT c.sub, c.centroid_id, c.sd, c.cv FROM t_pc$n c
              WHERE NOT EXISTS (SELECT 1 FROM t_pm$n mm

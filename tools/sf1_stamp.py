@@ -62,19 +62,31 @@ def table_hash(rows, cols):
     return h.hexdigest(), len(lines)
 
 
-def check_one(name, sql, sf, out, conn_q):
+def check_one(name, sql, sf, out, conn_q, mem="24GB"):
     """Child: evaluate one oracle and hash-compare. Result via queue."""
     t0 = time.time()
     try:
         import duckdb
         con = duckdb.connect()
-        con.sql("SET memory_limit='24GB'")
+        con.sql(f"SET memory_limit='{mem}'")
         con.sql("SET threads=8")
+        # Per-child spill directory: concurrent children sharing the
+        # default ".tmp" corrupt each other's out-of-core state (first
+        # full run: 6 children died with IOException / SIGABRT / garbage
+        # stats reading a sibling's duckdb_temp_storage block).
+        tmp = f"/tmp/duck_spill_{name}_{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        con.sql(f"SET temp_directory='{tmp}'")
         for t in TABLES:
             src = f"{sf}/{t}.parquet"
             if os.path.isdir(src): src = f"{src}/*.parquet"
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
-        # two-stage edges materialisation for the kNN-graph chains
+        # two-stage edges materialisation for the kNN-graph chains.
+        # The head (everything before the first post-edges CTE) is
+        # evaluated ONCE into a temp table; the rebuilt query keeps the
+        # PRE-edges CTEs in place — ann07/ann14's tails reference head
+        # CTEs other than edges (bk, b_top), which the first cut of this
+        # splice dropped ("Table with name bk does not exist").
         cands = [(sql.index(m), m) for m in STAGE_MARKERS if m in sql]
         if cands and "edges AS (" in sql:
             marker = min(cands)[1]
@@ -82,7 +94,9 @@ def check_one(name, sql, sf, out, conn_q):
             if head.startswith("WITH "):
                 body = head[5:].rstrip().rstrip(",")
                 con.sql(f"CREATE TEMP TABLE t_edges AS WITH {body} SELECT * FROM edges")
-                sql = f"WITH edges AS (SELECT * FROM t_edges),{marker[1:]}{tail}"
+                pre = head[:head.rindex("edges AS (")]
+                sql = (f"{pre}edges AS (SELECT * FROM t_edges),"
+                       f"{marker[1:]}{tail}")
         exp = con.sql(sql)
         erows, ecols = exp.fetchall(), [d[0] for d in exp.description]
         got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'")
@@ -107,12 +121,13 @@ def check_one(name, sql, sf, out, conn_q):
 def main():
     global SF, OUT
     args = sys.argv[1:]
-    jobs, timeout = 5, 900
+    jobs, timeout, mem = 5, 900, "24GB"
     pos = []
     i = 0
     while i < len(args):
         if args[i] == "--jobs": jobs = int(args[i + 1]); i += 2
         elif args[i] == "--timeout": timeout = int(args[i + 1]); i += 2
+        elif args[i] == "--mem": mem = args[i + 1]; i += 2
         else: pos.append(args[i]); i += 1
     if len(pos) > 0: SF = pos[0]
     if len(pos) > 1: OUT = pos[1]
@@ -131,7 +146,7 @@ def main():
     while pending or running:
         while pending and len(running) < jobs:
             n = pending.pop(0)
-            p = mp.Process(target=check_one, args=(n, oracles[n], SF, OUT, q))
+            p = mp.Process(target=check_one, args=(n, oracles[n], SF, OUT, q, mem))
             p.start()
             running[n] = (p, time.time())
         try:
