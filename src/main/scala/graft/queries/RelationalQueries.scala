@@ -606,6 +606,35 @@ object RelationalQueries {
       JOIN freq f2 ON f2.item = p.item2
       CROSS JOIN nb""")),
 
+    // Bucketed co-located join: both sides written as equal-bucketed
+    // sorted tables on the join key, then sort-merge-joined with ZERO
+    // exchange on either input (the scans themselves report the hash
+    // partitioning; PlanSpec asserts no shuffle on the key). This is
+    // the storage-layout answer to a recurring 100 TB fact-fact join —
+    // pay the shuffle once at write time, never again at read time.
+    // Results are layout-independent by construction, so the oracle is
+    // the plain join.
+    Q("op44_bucketed_smb_join",
+      (s, d) => {
+        import graft.sinks.Bucketed
+        val ob = Bucketed.writeTable(Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_totalprice")),
+          "graft_op44", "orders_b", 8, "o_custkey")
+        val cb = Bucketed.writeTable(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          "graft_op44", "customer_b", 8, "c_custkey")
+        Bucketed.smbJoin(s, ob, cb, "o_custkey", "c_custkey")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total_price"))
+      },
+      Some("""SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment""")),
+
     // Native pivot — the inverse of the reference's unpivot loop
     // (OP-20): per-customer order counts spread across the five
     // o_orderpriority columns. Values are PINNED (explicit list), so

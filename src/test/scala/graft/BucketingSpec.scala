@@ -41,4 +41,21 @@ class BucketingSpec extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("op44 registered query plans the SMB join with zero exchange on the key") {
+    val df = SparkEntry.queries("op44_bucketed_smb_join")(spark, sf0001)
+    df.collect() // materialize so AQE finalizes the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"op44 must sort-merge join (merge hint):\n$plan")
+    val keyShuffles =
+      "Exchange hashpartitioning\\((o_custkey|c_custkey)".r.findAllIn(plan).length
+    assert(keyShuffles == 0,
+      s"bucketed join must not shuffle on the join key:\n$plan")
+    // single file per bucket + sortBy → the scans feed the join with no
+    // per-partition Sort re-sorting the bucketed data on the join side.
+    val joinSection = plan.split("SortMergeJoin").last
+    assert(!joinSection.contains("Exchange"),
+      s"no exchange anywhere below the join:\n$plan")
+  }
 }
