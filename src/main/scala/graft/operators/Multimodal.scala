@@ -258,6 +258,149 @@ object Multimodal {
       }
   }
 
+  // ---------------------------------------------------------------
+  // Real WAV path (javax.sound.sampled — pure JVM, headless-safe:
+  // parsing an AudioInputStream needs no audio device)
+  // ---------------------------------------------------------------
+
+  /** Closed-form PCM sample i of media `id` — shared by
+    * [[synthesizeWav]] (which encodes it), the decode operators'
+    * oracles (which recompute its sums in SQL), and the specs.
+    * Operands are non-negative, so `%` is engine-independent. */
+  @inline private[operators] def sampleValue(id: Long, i: Int): Int =
+    (((id * 31L + i * 17L) % 4096L) - 2048L).toInt
+
+  /** Per-id audio geometry: sample rate ∈ {8000, 12000, 16000} Hz and
+    * sample count ∈ [64, 729] — arithmetic on the id like the PNG dims,
+    * so every decoded quantity is oracle-recomputable. */
+  @inline private[operators] def wavRate(id: Long): Int = (8000 + (id % 3) * 4000).toInt
+  @inline private[operators] def wavSamples(id: Long): Int = ((id % 96) * 7 + 64).toInt
+
+  /** Synthesize one REAL RIFF/WAVE payload per document: canonical
+    * 44-byte PCM header (fmt chunk: PCM, mono, 16-bit, little-endian)
+    * followed by the [[sampleValue]] samples. The output parses through
+    * `javax.sound.sampled.AudioSystem` — a genuine decodable WAV, the
+    * fixture for the real audio decode operators below. */
+  def synthesizeWav(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val rate = wavRate(id)
+          val n = wavSamples(id)
+          val dataSize = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1.toShort)             // PCM
+            .putShort(1.toShort)             // mono
+            .putInt(rate)
+            .putInt(rate * 2)                // byte rate
+            .putShort(2.toShort)             // block align
+            .putShort(16.toShort)            // bits per sample
+            .put("data".getBytes("US-ASCII")).putInt(dataSize)
+          var i = 0
+          while (i < n) { bb.putShort(sampleValue(id, i).toShort); i += 1 }
+          MediaRecord(id, "audio/wav", bb.array())
+        }
+      }
+  }
+
+  /** Decoded-audio stats: REAL format fields from the parser (rate,
+    * channels, bit depth, frame count) plus exact integer sample sums —
+    * every column recomputable by the oracle from media_id alone, so a
+    * header-layout/byte-order/sign defect anywhere in the
+    * encode→decode round-trip is a hash mismatch. duration_us is exact
+    * integer arithmetic (n·10⁶ div rate) — no float division to
+    * diverge between engines. */
+  case class WavMeta(media_id: Long, media_type: String, sample_rate: Int,
+                     channels: Int, bits: Int, n_samples: Long,
+                     duration_us: Long, sample_sum: Long, abs_sum: Long)
+
+  /** REAL audio decode via `javax.sound.sampled` in the production
+    * shape: mapPartitions, streaming iterator, no partition
+    * materialization. Throws on an undecodable payload — silent nulls
+    * would let a corrupt shard pass the gate. */
+  def decodeWav(spark: SparkSession, media: DataFrame): Dataset[WavMeta] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (fmt, pcm) = readWav(r.payload, r.media_id)
+          val n = pcm.length
+          var sum = 0L; var abs = 0L
+          var i = 0
+          while (i < n) { sum += pcm(i); abs += math.abs(pcm(i)); i += 1 }
+          val rate = fmt.getSampleRate.toInt
+          WavMeta(r.media_id, r.media_type, rate, fmt.getChannels,
+            fmt.getSampleSizeInBits, n.toLong,
+            n.toLong * 1000000L / rate, sum, abs)
+        }
+      }
+  }
+
+  /** One row per fixed-size sample window: count, peak |amplitude|, and
+    * the EXACT integer sum of squares — the audio feature-extraction
+    * shape (VAD, loudness gates, spectral pre-filters all consume
+    * windows like these). Windows are produced inside the decode task
+    * with O(window) state — an entity's audio never materializes
+    * per-row downstream, only per-window aggregates do. The core stays
+    * integer-exact (|s| ≤ 2048 → Σs² fits a long comfortably); derived
+    * floats like RMS belong in the consuming plan where the engine's
+    * rounding convention applies uniformly. */
+  case class WavWindow(media_id: Long, win_no: Int, n: Int, peak: Int, sq_sum: Long)
+
+  def wavWindows(spark: SparkSession, media: DataFrame, windowSize: Int): Dataset[WavWindow] = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val (_, pcm) = readWav(r.payload, r.media_id)
+          pcm.grouped(windowSize).zipWithIndex.map { case (w, k) =>
+            var sq = 0L; var peak = 0
+            var i = 0
+            while (i < w.length) {
+              val v = w(i).toInt
+              sq += v.toLong * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              i += 1
+            }
+            WavWindow(r.media_id, k, w.length, peak, sq)
+          }
+        }
+      }
+  }
+
+  /** Parse a WAV payload through the real JVM audio stack: AudioSystem
+    * resolves the RIFF reader, the AudioFormat carries the header
+    * fields, and the PCM frames decode honoring the format's declared
+    * byte order and sign — no hand-rolled header offsets. */
+  private def readWav(payload: Array[Byte], mediaId: Long):
+      (javax.sound.sampled.AudioFormat, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"media $mediaId: expected 16-bit mono PCM, got $fmt")
+      val bytes = ais.readAllBytes()
+      val out = new Array[Short](bytes.length / 2)
+      var i = 0
+      while (i < out.length) {
+        val b0 = bytes(2 * i) & 0xff
+        val b1 = bytes(2 * i + 1) & 0xff
+        out(i) =
+          (if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0).toShort
+        i += 1
+      }
+      (fmt, out)
+    } finally ais.close()
+  }
+
   /** One PNG `ImageReader` per partition (stateful: callers must use it
     * single-threaded within the task, which mapPartitions guarantees). */
   private def pngReader(): javax.imageio.ImageReader = {

@@ -1743,5 +1743,59 @@ grp AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_same,
         FROM b GROUP BY ahash)
 SELECT b.doc_id AS media_id, b.ahash, b.mean_px, grp.n_same, grp.canonical_id
 FROM b JOIN grp USING (ahash)""")),
+
+    // Multimodal: REAL audio decode — synthesize one genuine RIFF/WAVE
+    // payload per document (rate, sample count, and every PCM sample are
+    // closed-form functions of doc_id), parse it back through
+    // javax.sound.sampled (the JVM's real audio stack: header fields
+    // come from the AudioFormat, frames decode honoring its declared
+    // byte order), and emit format fields + exact integer sample sums.
+    // The oracle recomputes everything from doc_id arithmetic, so the
+    // whole encode→decode round-trip (RIFF layout, little-endian int16,
+    // sign handling) is hash-certified — the audio analog of mm01.
+    Q("mm07_wav_meta",
+      (s, d) => Multimodal.decodeWav(s,
+        Multimodal.synthesizeWav(s, Tables.documents(s, d)).toDF()).toDF(),
+      Some("""WITH g AS (SELECT doc_id,
+                     CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate,
+                     (doc_id % 96) * 7 + 64 AS n
+              FROM documents),
+s AS (SELECT doc_id, rate, n, unnest(generate_series(0, n - 1)) AS i FROM g),
+v AS (SELECT doc_id, rate, n, ((doc_id * 31 + i * 17) % 4096) - 2048 AS sv FROM s),
+agg AS (SELECT doc_id, rate, n, sum(sv) AS ssum, sum(abs(sv)) AS asum
+        FROM v GROUP BY 1, 2, 3)
+SELECT doc_id AS media_id, 'audio/wav' AS media_type, rate AS sample_rate,
+       CAST(1 AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000000 // rate AS BIGINT) AS duration_us,
+       CAST(ssum AS BIGINT) AS sample_sum, CAST(asum AS BIGINT) AS abs_sum
+FROM agg""")),
+
+    // Multimodal: windowed audio features over the REAL decoded PCM —
+    // per-256-sample window count, peak |amplitude|, exact Σs², and the
+    // derived RMS (round-6 double, computed as a plan column so both
+    // engines apply the same rounding convention to the same exact
+    // integers). The per-window rows are produced INSIDE the decode
+    // task with O(window) state — the entity's audio never
+    // materializes per-sample in the dataflow, the audio analog of the
+    // bounded-state sketch rule every other operator follows.
+    Q("mm08_wav_windows",
+      (s, d) => Multimodal.wavWindows(s,
+        Multimodal.synthesizeWav(s, Tables.documents(s, d)).toDF(), 256).toDF()
+        .withColumn("rms",
+          round(sqrt(col("sq_sum").cast("double") / col("n")), 6)),
+      Some("""WITH g AS (SELECT doc_id, (doc_id % 96) * 7 + 64 AS ns
+              FROM documents),
+s AS (SELECT doc_id, unnest(generate_series(0, ns - 1)) AS i FROM g),
+v AS (SELECT doc_id, CAST(i // 256 AS INTEGER) AS win_no,
+             ((doc_id * 31 + i * 17) % 4096) - 2048 AS sv
+      FROM s),
+w AS (SELECT doc_id, win_no, CAST(count(*) AS INTEGER) AS n,
+             CAST(max(abs(sv)) AS INTEGER) AS peak,
+             CAST(sum(sv * sv) AS BIGINT) AS sq_sum
+      FROM v GROUP BY 1, 2)
+SELECT doc_id AS media_id, win_no, n, peak, sq_sum,
+       round(sqrt(CAST(sq_sum AS DOUBLE) / n), 6) AS rms
+FROM w""")),
   )
 }

@@ -129,4 +129,69 @@ class MultimodalSpec extends SparkSpec {
     assert(h(40L) == h(296L), "identical rasters must share the aHash")
     assert(h(40L) != h(41L), "these two distinct rasters must separate")
   }
+
+  /** Reference sample model shared with the oracles. */
+  private def samples(id: Long): Array[Int] =
+    Array.tabulate(((id % 96) * 7 + 64).toInt)(i =>
+      (((id * 31L + i * 17L) % 4096L) - 2048L).toInt)
+
+  test("synthesizeWav emits genuine RIFF/WAVE: magic bytes + format fields match the id model") {
+    val recs = Multimodal.synthesizeWav(spark, docs).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    assert(recs.keySet == Set(1L, 2L, 17L, 300L))
+    recs.foreach { case (id, wav) =>
+      assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+      assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
+      // independent parse through the real JVM audio stack
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate.toInt == 8000 + (id % 3).toInt * 4000)
+      assert(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16)
+      assert(ais.getFrameLength == (id % 96) * 7 + 64, s"frame count for media $id")
+      ais.close()
+    }
+  }
+
+  test("decodeWav round-trip: real parser recovers exact format fields and sample sums") {
+    val out = Multimodal.decodeWav(spark,
+      Multimodal.synthesizeWav(spark, docs).toDF()).collect()
+      .map(r => r.media_id -> r).toMap
+    out.foreach { case (id, m) =>
+      val sv = samples(id)
+      assert(m.sample_rate == 8000 + (id % 3).toInt * 4000)
+      assert(m.channels == 1 && m.bits == 16)
+      assert(m.n_samples == sv.length.toLong)
+      assert(m.duration_us == sv.length.toLong * 1000000L / m.sample_rate)
+      assert(m.sample_sum == sv.map(_.toLong).sum, s"sample sum for media $id")
+      assert(m.abs_sum == sv.map(v => math.abs(v).toLong).sum)
+    }
+  }
+
+  test("decodeWav rejects an undecodable payload instead of passing nulls") {
+    val bad = Seq((9L, "audio/wav", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+      .toDF("media_id", "media_type", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWav(spark, bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("wavWindows: per-window count/peak/Σs² match the model; state bounded by window") {
+    val out = Multimodal.wavWindows(spark,
+      Multimodal.synthesizeWav(spark, docs).toDF(), 256).collect()
+      .groupBy(_.media_id)
+    docs.select("doc_id").as[Long].collect().foreach { id =>
+      val sv = samples(id)
+      val expected = sv.grouped(256).zipWithIndex.toSeq
+      val got = out(id).sortBy(_.win_no)
+      assert(got.length == expected.length, s"window count for media $id")
+      expected.foreach { case (w, k) =>
+        val g = got(k)
+        assert(g.n == w.length && g.win_no == k)
+        assert(g.peak == w.map(math.abs).max)
+        assert(g.sq_sum == w.map(v => v.toLong * v).sum)
+      }
+    }
+  }
 }
