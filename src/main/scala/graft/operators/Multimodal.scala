@@ -259,6 +259,122 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
+  // Real multi-frame GIF path (javax.imageio — the pure-JVM container
+  // with FRAMES, standing in for video: per-frame decode is the
+  // frame-sampling shape a video pipeline needs, on a real codec)
+  // ---------------------------------------------------------------
+
+  /** Closed-form gray value of pixel (x, y) in frame f of media `id` —
+    * shared by [[synthesizeGif]], the frame-decode oracle, and specs. */
+  @inline private[operators] def framePixelValue(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id + 5L * f + 7L * x + 13L * y) % 256L).toInt
+
+  /** Per-id GIF geometry: w ∈ [4,15], h ∈ [4,9], frames ∈ [2,5]. */
+  @inline private[operators] def gifDims(id: Long): (Int, Int) =
+    ((id % 12 + 4).toInt, ((id / 12) % 6 + 4).toInt)
+  @inline private[operators] def gifFrameCount(id: Long): Int = (id % 4 + 2).toInt
+
+  /** Synthesize one REAL animated GIF per document: every frame is the
+    * [[framePixelValue]] grayscale raster, written as a full frame (no
+    * inter-frame delta) through `javax.imageio`'s GIF sequence writer.
+    * Output payloads are genuine multi-frame GIF89a containers — the
+    * fixture for the frame-decode operator below. */
+  def synthesizeGif(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        val writer = {
+          val ws = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+          require(ws.hasNext, "JVM has no GIF ImageWriter plugin")
+          ws.next()
+        }
+        it.map { id =>
+          val (w, h) = gifDims(id)
+          val nf = gifFrameCount(id)
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          // MODE_DISABLED: the JDK GIF writer interlaces by default, and
+          // the decode side then returns rows out of order (and drops
+          // the final pass on small rasters) — plain raster order is
+          // the only layout that round-trips exactly.
+          val param = writer.getDefaultWriteParam
+          param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+          var f = 0
+          while (f < nf) {
+            // indexed with an explicit 256-gray sRGB palette: the raster
+            // sample IS the gray value, and GIF stores indices + palette
+            // verbatim. (TYPE_BYTE_GRAY would round-trip through a
+            // linear-gray→sRGB conversion and skew every pixel.)
+            val grays = Array.tabulate(256)(_.toByte)
+            val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, framePixelValue(id, f, x, y)); x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), param)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          writer.reset()
+          MediaRecord(id, "image/gif", bos.toByteArray)
+        }
+      }
+  }
+
+  /** One row per decoded GIF FRAME: real dims + gray pixel sum, every
+    * column oracle-recomputable from (media_id, frame_no) alone. This
+    * is the video frame-extraction shape — explode a container into
+    * per-frame rows inside the decode task, never materializing the
+    * whole clip as one value downstream. */
+  case class GifFrame(media_id: Long, frame_no: Int, width: Int,
+                      height: Int, px_sum: Long)
+
+  def decodeGifFrames(spark: SparkSession, media: DataFrame): Dataset[GifFrame] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        val reader = {
+          val rs = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+          require(rs.hasNext, "JVM has no GIF ImageReader plugin")
+          rs.next()
+        }
+        it.flatMap { r =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          reader.setInput(iis)
+          val nf = reader.getNumImages(true)
+          require(nf > 0, s"undecodable GIF payload for media ${r.media_id}")
+          val frames = (0 until nf).map { f =>
+            val img = reader.read(f)
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += (img.getRGB(x, y) & 0xff); x += 1
+              }
+              y += 1
+            }
+            GifFrame(r.media_id, f, img.getWidth, img.getHeight, sum)
+          }
+          iis.close()
+          frames
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------
   // Real WAV path (javax.sound.sampled — pure JVM, headless-safe:
   // parsing an AudioInputStream needs no audio device)
   // ---------------------------------------------------------------

@@ -1797,5 +1797,34 @@ w AS (SELECT doc_id, win_no, CAST(count(*) AS INTEGER) AS n,
 SELECT doc_id AS media_id, win_no, n, peak, sq_sum,
        round(sqrt(CAST(sq_sum AS DOUBLE) / n), 6) AS rms
 FROM w""")),
+
+    // Multimodal: REAL video-shaped frame decode — synthesize one
+    // genuine multi-frame GIF89a per document (frame count, dims, and
+    // every pixel closed-form in doc_id; interlacing disabled — the JDK
+    // writer/reader pair doesn't round-trip interlaced rasters), then
+    // explode the container into per-frame rows through the real
+    // javax.imageio GIF codec, emitting each frame's decoded dims +
+    // pixel sum. The oracle recomputes all of it from (doc_id,
+    // frame_no) arithmetic, hash-certifying the palette, LZW, and
+    // frame-sequencing layers end to end — the container-with-frames
+    // analog of mm01's single-raster decode.
+    Q("mm09_gif_frames",
+      (s, d) => Multimodal.decodeGifFrames(s,
+        Multimodal.synthesizeGif(s, Tables.documents(s, d)).toDF()).toDF(),
+      Some("""WITH g AS (SELECT doc_id,
+                     CAST(doc_id % 12 + 4 AS INTEGER) AS w,
+                     CAST((doc_id // 12) % 6 + 4 AS INTEGER) AS h,
+                     CAST(doc_id % 4 + 2 AS INTEGER) AS nf
+              FROM documents),
+f AS (SELECT doc_id, w, h, CAST(unnest(generate_series(0, nf - 1)) AS INTEGER) AS frame_no
+      FROM g),
+px AS (SELECT doc_id, w, h, frame_no, unnest(generate_series(0, w - 1)) AS x FROM f),
+pxy AS (SELECT doc_id, w, h, frame_no, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+sm AS (SELECT doc_id, frame_no, w, h,
+              sum((doc_id + 5 * frame_no + 7 * x + 13 * y) % 256) AS ps
+       FROM pxy GROUP BY 1, 2, 3, 4)
+SELECT doc_id AS media_id, frame_no, w AS width, h AS height,
+       CAST(ps AS BIGINT) AS px_sum
+FROM sm""")),
   )
 }

@@ -130,6 +130,41 @@ class MultimodalSpec extends SparkSpec {
     assert(h(40L) != h(41L), "these two distinct rasters must separate")
   }
 
+  test("synthesizeGif emits genuine multi-frame GIFs: magic bytes + frame count match the id model") {
+    val recs = Multimodal.synthesizeGif(spark, docs).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    assert(recs.keySet == Set(1L, 2L, 17L, 300L))
+    recs.foreach { case (id, gif) =>
+      assert(new String(gif, 0, 6, "US-ASCII").startsWith("GIF8"))
+      // independent frame count through a fresh reader
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      r.setInput(iis)
+      assert(r.getNumImages(true) == (id % 4 + 2).toInt, s"frame count for media $id")
+      iis.close()
+    }
+  }
+
+  test("decodeGifFrames round-trip: every frame's dims and pixel sum match the model") {
+    val out = Multimodal.decodeGifFrames(spark,
+      Multimodal.synthesizeGif(spark, docs).toDF()).collect()
+      .groupBy(_.media_id)
+    docs.select("doc_id").as[Long].collect().foreach { id =>
+      val w = (id % 12 + 4).toInt
+      val h = ((id / 12) % 6 + 4).toInt
+      val frames = out(id).sortBy(_.frame_no)
+      assert(frames.length == (id % 4 + 2).toInt)
+      frames.foreach { fr =>
+        assert(fr.width == w && fr.height == h)
+        val expect = (for (y <- 0 until h; x <- 0 until w)
+          yield ((id + 5L * fr.frame_no + 7L * x + 13L * y) % 256L)).sum
+        assert(fr.px_sum == expect,
+          s"pixel sum for media $id frame ${fr.frame_no}")
+      }
+    }
+  }
+
   /** Reference sample model shared with the oracles. */
   private def samples(id: Long): Array[Int] =
     Array.tabulate(((id % 96) * 7 + 64).toInt)(i =>
