@@ -232,6 +232,45 @@ FROM agg""")),
       Some("""SELECT event_id, user_id, event_type, value
               FROM events WHERE event_id = 777""")),
 
+    // Time travel over the stage-and-swap lake: publish a customer
+    // snapshot as v1, publish a CDC-style corrected snapshot as v2
+    // (the atomic flip makes v2 current), then read BOTH — v1 pinned
+    // by version, v2 through _CURRENT — and emit per-version
+    // aggregates. Green means the retained old version is byte-stable
+    // after the flip (readers pinned to it reproduce yesterday's
+    // numbers exactly) while _CURRENT serves the new one; at 100 TB a
+    // pinned read is the same parquet scan resolved through a pinned
+    // directory, so reproducibility costs nothing.
+    Q("lake04_time_travel",
+      (s, d) => {
+        import graft.sinks.Publish
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_lake_tt_${new java.io.File(d).getName}").getAbsolutePath
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        val corrected = c.withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, round(col("c_acctbal") + 100, 2))
+            .otherwise(col("c_acctbal")))
+        Publish.publishTables(s, Map("customer" -> c), root, "000000001")
+        Publish.publishTables(s, Map("customer" -> corrected), root, "000000002")
+        def agg(df: org.apache.spark.sql.DataFrame, v: String) =
+          df.agg(count(lit(1)).as("n"),
+            round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+              .as("total"))
+            .select(lit(v).as("version"), col("n"), col("total"))
+        agg(Publish.readTableAt(s, root, "customer", "000000001"), "v1")
+          .unionByName(agg(Publish.readTable(s, root, "customer"), "v2"))
+      },
+      Some("""SELECT 'v1' AS version, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+              FROM customer
+              UNION ALL
+              SELECT 'v2', CAST(count(*) AS BIGINT),
+               round(CAST(sum(CAST(
+                 CASE WHEN c_custkey % 7 = 0 THEN round(c_acctbal + 100, 2)
+                      ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE), 2)
+              FROM customer""")),
+
     // Interval-frame rolling window: per-user trailing-1-hour event
     // count and decimal-exact value sum at every event (RANGE frame on
     // the epoch-seconds order key, so co-timed events share a frame

@@ -112,6 +112,23 @@ object Publish {
     spark.read.parquet(new Path(new Path(root, v), table).toString)
   }
 
+  /** Time travel: read `table` AS OF a specific retained version — the
+    * rollback/debug/reproducibility read the stage-and-swap layout
+    * gives for free until [[vacuum]] reclaims the version dir. Fails
+    * loudly when the version was vacuumed or never published (a silent
+    * empty read would be indistinguishable from data loss downstream).
+    * Reading an old version costs nothing extra at 100 TB: it is the
+    * same parquet scan, just resolved through a pinned directory
+    * instead of `_CURRENT`. */
+  def readTableAt(spark: SparkSession, root: String, table: String,
+                  version: String): DataFrame = {
+    val ctx = fc(spark)
+    val vdir = new Path(root, s"v-$version")
+    require(ctx.util.exists(vdir),
+      s"version v-$version not present under $root (vacuumed or never published)")
+    spark.read.parquet(new Path(vdir, table).toString)
+  }
+
   /** Retention for the stage-and-swap lake: every publish leaves its
     * full `v-<version>` directory behind, which at 100 TB is the
     * storage bill doubling with every run. `vacuum` deletes published

@@ -184,4 +184,24 @@ class PublishSpec extends SparkSpec {
       assert(Publish.currentVersion(spark, root).contains(cur))
     } finally pool.shutdownNow()
   }
+
+  test("time travel: a version-pinned read is stable across later publishes; vacuumed raises") {
+    val root = freshRoot()
+    Publish.publishTables(spark, Map("t" -> Seq(1, 2, 3).toDF("x")), root, "001")
+    Publish.publishTables(spark, Map("t" -> Seq(10, 20).toDF("x")), root, "002")
+    Publish.publishTables(spark, Map("t" -> Seq(99).toDF("x")), root, "003")
+    // pinned read reproduces v1 exactly even though _CURRENT moved twice
+    assert(Publish.readTableAt(spark, root, "t", "001")
+      .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(Publish.readTable(spark, root, "t").as[Int].collect().toSeq == Seq(99))
+    // vacuum v1 away (keep current + 1) — the pinned read must fail
+    // loudly, never return an empty frame
+    assert(Publish.vacuum(spark, root, 1) == Seq("v-001"))
+    val e = intercept[IllegalArgumentException] {
+      Publish.readTableAt(spark, root, "t", "001")
+    }
+    assert(e.getMessage.contains("vacuumed or never published"))
+    assert(Publish.readTableAt(spark, root, "t", "002")
+      .as[Int].collect().sorted.toSeq == Seq(10, 20))
+  }
 }
