@@ -635,6 +635,33 @@ object RelationalQueries {
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY c_mktsegment""")),
 
+    // ORC round-trip: lineitem → ORC files → back → aggregate. Proves
+    // the second columnar lake format end to end (type mapping,
+    // timestamp semantics, predicate-compatible scan) — the oracle
+    // reads the ORIGINAL parquet, so any value drift introduced by the
+    // ORC encode/decode (timestamp TZ shifts are the classic one) is a
+    // hash mismatch, not a trusted no-op.
+    Q("op45_orc_roundtrip",
+      (s, d) => {
+        import graft.sources.Formats
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_orc_li_${new java.io.File(d).getName}").getAbsolutePath
+        Formats.writeOrc(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+            col("l_shipdate")), path)
+        Formats.readOrc(s, path)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+              .as("sum_qty"),
+            min(col("l_shipdate")).as("first_ship"),
+            max(col("l_shipdate")).as("last_ship"))
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+               min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+              FROM lineitem GROUP BY l_returnflag""")),
+
     // Native pivot — the inverse of the reference's unpivot loop
     // (OP-20): per-customer order counts spread across the five
     // o_orderpriority columns. Values are PINNED (explicit list), so
