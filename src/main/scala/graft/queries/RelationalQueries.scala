@@ -635,6 +635,67 @@ object RelationalQueries {
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY c_mktsegment""")),
 
+    // End-to-end entity resolution (Hernández–Stolfo merge/purge as a
+    // pipeline): sorted-neighborhood blocking (op42) → edit-distance
+    // verify within windows → connected components over match edges →
+    // SURVIVORSHIP: one golden record per cluster, picked by the
+    // classic most-complete rule (longest name, ties by lexicographic
+    // then smallest key). Every stage is the scale-safe form — blocking
+    // is window-bounded (never part²), CC is the large/small-star
+    // operator, survivorship is one min_by hash agg (map-side
+    // combinable, no per-cluster window).
+    Q("op46_er_golden_record",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val pos = (col("p_partkey") % length(col("p_name"))).cast("int") + 1
+        val dirty = p.select(
+          col("p_partkey"),
+          when(col("p_partkey") % 2 === 1,
+            concat(col("p_name").substr(lit(1), pos - 1),
+              col("p_name").substr(pos + 1, length(col("p_name")))))
+            .otherwise(col("p_name")).as("sucio"))
+        val pairs = graft.operators.Dedup
+          .sortedNeighborhood(dirty, "p_partkey", "sucio", 4, 2)
+        val (labels, _) = graft.operators.NearDup.starComponents(
+          dirty.select(col("p_partkey")),
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          "p_partkey")
+        val members = labels.join(dirty, Seq("p_partkey"))
+        val golden = members.groupBy(col("canonical_id"))
+          .agg(expr("min_by(sucio, struct(-length(sucio), sucio, p_partkey))")
+            .as("golden_name"))
+        members.join(golden, Seq("canonical_id"))
+          .select(col("p_partkey"), col("canonical_id"), col("golden_name"))
+      },
+      Some("""WITH RECURSIVE dirty AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 2 = 1 THEN
+                 substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
+                 || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+               ELSE p_name END AS sucio
+        FROM part),
+      rk AS (SELECT p_partkey, sucio,
+                    row_number() OVER (ORDER BY sucio, p_partkey) AS rn
+             FROM dirty WHERE sucio IS NOT NULL),
+      prs AS (SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b
+              FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn - a.rn < 4
+              WHERE levenshtein(a.sucio, b.sucio) <= 2),
+      edges AS (SELECT pk_a AS src, pk_b AS dst FROM prs
+                UNION ALL SELECT pk_b, pk_a FROM prs),
+      reach AS (SELECT p_partkey, p_partkey AS r FROM dirty
+                UNION
+                SELECT re.p_partkey, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+      lbl AS (SELECT p_partkey, min(r) AS canonical_id FROM reach GROUP BY 1),
+      mem AS (SELECT l.p_partkey, l.canonical_id, dd.sucio
+              FROM lbl l JOIN dirty dd USING (p_partkey)),
+      gold AS (SELECT canonical_id, sucio AS golden_name FROM (
+        SELECT canonical_id, sucio,
+               row_number() OVER (PARTITION BY canonical_id
+                 ORDER BY length(sucio) DESC, sucio ASC, p_partkey ASC) AS g
+        FROM mem) t WHERE g = 1)
+      SELECT m.p_partkey, m.canonical_id, g.golden_name
+      FROM mem m JOIN gold g USING (canonical_id)""")),
+
     // ORC round-trip: lineitem → ORC files → back → aggregate. Proves
     // the second columnar lake format end to end (type mapping,
     // timestamp semantics, predicate-compatible scan) — the oracle
