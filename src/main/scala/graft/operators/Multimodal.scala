@@ -490,6 +490,58 @@ object Multimodal {
       }
   }
 
+  /** Per-media audio fingerprint row: the 16-bit energy-delta hash as a
+    * '0'/'1' bitstring plus the exact total |amplitude| sum it derives
+    * from. */
+  case class AudioFingerprint(media_id: Long, afp: String, abs_sum: Long)
+
+  /** Perceptual audio fingerprint (energy-delta hash — the shape of
+    * Haitsma–Kalker's audio fingerprinting, on band-less window
+    * energies): split the decoded PCM into 17 equal-count windows by
+    * the same exact integer index map the image paths use (sample k of
+    * window w spans [w·n/17, (w+1)·n/17)), take each window's mean
+    * |amplitude| as exact integer sums, and emit bit w = (energy of
+    * window w+1 > energy of window w) — 16 bits per clip. Encoding
+    * details (bitrate, container) wash out of window-energy TRENDS, so
+    * re-encodes collide; the hash is then the BLOCKING KEY for audio
+    * dedup — group-by-fingerprint, the dd01 exact-dedup shape with a
+    * perceptual key, never pairwise sample comparison. The comparison
+    * uses cross-multiplied integer sums (s·n vs s'·n'), so there is no
+    * float division for engines to disagree on and a SQL oracle
+    * recomputes the entire hash from media_id arithmetic. */
+  def audioFingerprint(spark: SparkSession, media: DataFrame): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (_, pcm) = readWav(r.payload, r.media_id)
+          val n = pcm.length
+          val windows = 17
+          val sums = new Array[Long](windows)
+          val counts = new Array[Long](windows)
+          var w = 0
+          while (w < windows) {
+            var i = w.toLong * n / windows
+            val end = (w + 1).toLong * n / windows
+            while (i < end) { sums(w) += math.abs(pcm(i.toInt)); i += 1 }
+            counts(w) = end - w.toLong * n / windows
+            w += 1
+          }
+          var abs = 0L
+          sums.foreach(abs += _)
+          val bits = new java.lang.StringBuilder(windows - 1)
+          w = 0
+          while (w < windows - 1) {
+            // mean(w+1) > mean(w), cross-multiplied to stay integer-exact
+            bits.append(
+              if (sums(w + 1) * counts(w) > sums(w) * counts(w + 1)) '1' else '0')
+            w += 1
+          }
+          AudioFingerprint(r.media_id, bits.toString, abs)
+        }
+      }
+  }
+
   /** Parse a WAV payload through the real JVM audio stack: AudioSystem
     * resolves the RIFF reader, the AudioFormat carries the header
     * fields, and the PCM frames decode honoring the format's declared

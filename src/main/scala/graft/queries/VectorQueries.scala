@@ -1826,5 +1826,46 @@ sm AS (SELECT doc_id, frame_no, w, h,
 SELECT doc_id AS media_id, frame_no, w AS width, h AS height,
        CAST(ps AS BIGINT) AS px_sum
 FROM sm""")),
+
+    // Multimodal PERCEPTUAL audio dedup: energy-delta fingerprint
+    // (Haitsma–Kalker shape) of the REAL decoded PCM — 17 equal-count
+    // windows by exact integer index map, bit w = (window w+1's mean
+    // |amplitude| > window w's), compared via cross-multiplied integer
+    // sums so no float division exists for engines to disagree on —
+    // then dedup by GROUPING on the 16-bit hash (the dd01 exact-dedup
+    // shape with a perceptual key; never pairwise samples). The oracle
+    // recomputes hash, group size, and canonical id from doc_id
+    // arithmetic: the audio analog of mm06's aHash.
+    Q("mm10_audio_fp_dedup",
+      (s, d) => {
+        val fp = Multimodal.audioFingerprint(s,
+          Multimodal.synthesizeWav(s, Tables.documents(s, d)).toDF()).toDF()
+        val grp = fp.groupBy(col("afp"))
+          .agg(count(lit(1)).cast("long").as("n_same"),
+            min(col("media_id")).as("canonical_id"))
+        fp.join(grp, Seq("afp"))
+          .select(col("media_id"), col("afp"), col("abs_sum"),
+            col("n_same"), col("canonical_id"))
+      },
+      Some("""WITH g AS (SELECT doc_id, (doc_id % 96) * 7 + 64 AS n FROM documents),
+s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM g),
+v AS (SELECT doc_id, n, (17 * (i + 1) - 1) // n AS w,
+             abs(((doc_id * 31 + i * 17) % 4096) - 2048) AS av
+      FROM s),
+ws AS (SELECT doc_id, w, sum(av) AS es, count(*) AS c FROM v GROUP BY 1, 2),
+bw AS (SELECT doc_id, w, es, c,
+              lead(es) OVER (PARTITION BY doc_id ORDER BY w) AS es2,
+              lead(c)  OVER (PARTITION BY doc_id ORDER BY w) AS c2
+       FROM ws),
+fp AS (SELECT doc_id,
+              string_agg(CASE WHEN es2 * c > es * c2 THEN '1' ELSE '0' END,
+                         '' ORDER BY w) AS afp
+       FROM bw WHERE w < 16 GROUP BY doc_id),
+ab AS (SELECT doc_id, CAST(sum(av) AS BIGINT) AS abs_sum FROM v GROUP BY 1),
+grp AS (SELECT afp, CAST(count(*) AS BIGINT) AS n_same,
+               min(doc_id) AS canonical_id
+        FROM fp GROUP BY afp)
+SELECT f.doc_id AS media_id, f.afp, ab.abs_sum, grp.n_same, grp.canonical_id
+FROM fp f JOIN ab USING (doc_id) JOIN grp USING (afp)""")),
   )
 }

@@ -212,6 +212,41 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("audioFingerprint: bits match the closed-form energy-delta model") {
+    val out = Multimodal.audioFingerprint(spark,
+      Multimodal.synthesizeWav(spark, docs).toDF()).collect()
+      .map(r => r.media_id -> r).toMap
+    docs.select("doc_id").as[Long].collect().foreach { id =>
+      val sv = samples(id)
+      val n = sv.length
+      val sums = new Array[Long](17)
+      val counts = new Array[Long](17)
+      for (w <- 0 until 17) {
+        val from = w.toLong * n / 17; val to = (w + 1).toLong * n / 17
+        counts(w) = to - from
+        for (i <- from until to) sums(w) += math.abs(sv(i.toInt))
+      }
+      val bits = (0 until 16).map(w =>
+        if (sums(w + 1) * counts(w) > sums(w) * counts(w + 1)) '1' else '0').mkString
+      assert(out(id).afp == bits, s"fingerprint for media $id")
+      assert(out(id).abs_sum == sums.sum)
+    }
+  }
+
+  test("audioFingerprint: perceptually identical clips (ids 12288 apart) collide; different don't") {
+    // lcm(4096, 96, 3) = 12288: ids that far apart share rate, length,
+    // and every sample — byte-identical WAVs, the audio re-encode case.
+    // id=200 is long enough (120 samples) that its |amplitude| curve
+    // wraps mid-clip, giving a non-trivial bit pattern; id=1's curve is
+    // monotone (all-zero fingerprint), so the two must separate.
+    val trio = Seq((200L, "a"), (12488L, "b"), (1L, "c")).toDF("doc_id", "text")
+    val fp = Multimodal.audioFingerprint(spark,
+      Multimodal.synthesizeWav(spark, trio).toDF()).collect()
+      .map(r => r.media_id -> r.afp).toMap
+    assert(fp(200L) == fp(12488L), "identical PCM must share the fingerprint")
+    assert(fp(200L) != fp(1L), "these two distinct clips must separate")
+  }
+
   test("wavWindows: per-window count/peak/Σs² match the model; state bounded by window") {
     val out = Multimodal.wavWindows(spark,
       Multimodal.synthesizeWav(spark, docs).toDF(), 256).collect()
