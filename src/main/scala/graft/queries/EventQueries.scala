@@ -271,6 +271,43 @@ FROM agg""")),
                       ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE), 2)
               FROM customer""")),
 
+    // Version reconciliation diff: publish a snapshot, publish a CDC'd
+    // successor (updates on %7, deletes on %11, inserts on %13 — the
+    // op39 change shapes), then ask the lake "what did that publish
+    // change": one full-outer join on the key + null-safe value
+    // compare, presence tracked by marker columns (never value
+    // nullness), output DELTA-sized — the audit read behind CDC
+    // verification and incremental-consumer catch-up. A key that is
+    // both %7 and %11 must report deleted, not updated (delete wins in
+    // the v2 construction; the oracle mirrors the precedence).
+    Q("lake05_version_diff",
+      (s, d) => {
+        import graft.sinks.Publish
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_lake_vd_${new java.io.File(d).getName}").getAbsolutePath
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        val v2 = c.filter(col("c_custkey") % 11 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 7 === 0, round(col("c_acctbal") + 100, 2))
+              .otherwise(col("c_acctbal")))
+          .unionByName(c.filter(col("c_custkey") % 13 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+        Publish.publishTables(s, Map("customer" -> c), root, "000000001")
+        Publish.publishTables(s, Map("customer" -> v2), root, "000000002")
+        Publish.versionDiff(s, root, "customer", Seq("c_custkey"),
+          "000000001", "000000002")
+      },
+      Some("""SELECT c_custkey, 'deleted' AS change_type
+              FROM customer WHERE c_custkey % 11 = 0
+              UNION ALL
+              SELECT c_custkey, 'updated'
+              FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+              UNION ALL
+              SELECT c_custkey + 1000000, 'inserted'
+              FROM customer WHERE c_custkey % 13 = 0""")),
+
     // Interval-frame rolling window: per-user trailing-1-hour event
     // count and decimal-exact value sum at every event (RANGE frame on
     // the epoch-seconds order key, so co-timed events share a frame

@@ -129,6 +129,42 @@ object Publish {
     spark.read.parquet(new Path(vdir, table).toString)
   }
 
+  /** Reconciliation diff between two retained versions of a table: one
+    * row per CHANGED key, classified inserted / deleted / updated —
+    * "what did this publish actually change", the audit read behind
+    * CDC verification, rollback review, and incremental-consumer
+    * catch-up. One full-outer join on the key (each side shuffles once;
+    * with [[Bucketed]] layouts it would be exchange-free) and a
+    * null-safe comparison over the shared non-key columns, so unchanged
+    * rows drop out and the output is DELTA-sized — at 100 TB you read
+    * two versions but only the churn comes back. Presence is tracked by
+    * explicit marker columns, never by value-column nullness (a
+    * legitimately all-null row is not an absent row). */
+  def versionDiff(spark: SparkSession, root: String, table: String,
+                  keyCols: Seq[String], vOld: String, vNew: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "versionDiff needs at least one key column")
+    val o = readTableAt(spark, root, table, vOld)
+    val n = readTableAt(spark, root, table, vNew)
+    val valueCols = o.columns.filterNot(keyCols.contains)
+      .filter(n.columns.contains).toSeq
+    val ok = o.select(keyCols.map(col) ++
+      valueCols.map(c => col(c).as(s"__o_$c")): _*)
+      .withColumn("__o_present", lit(true))
+    val nk = n.select(keyCols.map(col) ++
+      valueCols.map(c => col(c).as(s"__n_$c")): _*)
+      .withColumn("__n_present", lit(true))
+    val changed = valueCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    ok.join(nk, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__o_present").isNull, "inserted")
+          .when(col("__n_present").isNull, "deleted")
+          .when(changed, "updated"))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) :+ col("change_type"): _*)
+  }
+
   /** Retention for the stage-and-swap lake: every publish leaves its
     * full `v-<version>` directory behind, which at 100 TB is the
     * storage bill doubling with every run. `vacuum` deletes published

@@ -204,4 +204,28 @@ class PublishSpec extends SparkSpec {
     assert(Publish.readTableAt(spark, root, "t", "002")
       .as[Int].collect().sorted.toSeq == Seq(10, 20))
   }
+
+  test("versionDiff: insert/delete/update classified; null-safe compare; all-null row is unchanged") {
+    val root = freshRoot()
+    val v1 = Seq[(Long, Option[Int], String)](
+      (1L, Some(10), "a"),   // unchanged
+      (2L, None, "b"),       // all-interesting-col null, unchanged — must NOT diff
+      (3L, Some(30), "c"),   // value update
+      (4L, None, "d"),       // null -> value update
+      (5L, Some(50), "e")    // deleted in v2
+    ).toDF("k", "v", "s")
+    val v2 = Seq[(Long, Option[Int], String)](
+      (1L, Some(10), "a"),
+      (2L, None, "b"),
+      (3L, Some(31), "c"),
+      (4L, Some(40), "d"),
+      (6L, Some(60), "f")    // inserted
+    ).toDF("k", "v", "s")
+    Publish.publishTables(spark, Map("t" -> v1), root, "001")
+    Publish.publishTables(spark, Map("t" -> v2), root, "002")
+    val diff = Publish.versionDiff(spark, root, "t", Seq("k"), "001", "002")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(3L -> "updated", 4L -> "updated",
+      5L -> "deleted", 6L -> "inserted"))
+  }
 }
