@@ -667,20 +667,23 @@ object RelationalQueries {
         members.join(golden, Seq("canonical_id"))
           .select(col("p_partkey"), col("canonical_id"), col("golden_name"))
       },
-      Some("""WITH RECURSIVE dirty AS (
+      Some("""WITH RECURSIVE dirty AS MATERIALIZED (
         SELECT p_partkey,
                CASE WHEN p_partkey % 2 = 1 THEN
                  substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
                  || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
                ELSE p_name END AS sucio
         FROM part),
-      rk AS (SELECT p_partkey, sucio,
+      rk AS MATERIALIZED (SELECT p_partkey, sucio,
                     row_number() OVER (ORDER BY sucio, p_partkey) AS rn
              FROM dirty WHERE sucio IS NOT NULL),
-      prs AS (SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b
+      -- MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
+      -- recursive reach would re-run the levenshtein join every round
+      -- (the round-13 kmeans-chain finding; >900 s at the ~sf1 stamp).
+      prs AS MATERIALIZED (SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b
               FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn - a.rn < 4
               WHERE levenshtein(a.sucio, b.sucio) <= 2),
-      edges AS (SELECT pk_a AS src, pk_b AS dst FROM prs
+      edges AS MATERIALIZED (SELECT pk_a AS src, pk_b AS dst FROM prs
                 UNION ALL SELECT pk_b, pk_a FROM prs),
       reach AS (SELECT p_partkey, p_partkey AS r FROM dirty
                 UNION
