@@ -5,17 +5,21 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, plus decode / feature-extract /
-  * resize / frame-sample operators.
+  * resize / frame-sample / fingerprint operators.
   *
-  * The image path is REAL: payloads are PNG bytes, and decode/resize
-  * run through `javax.imageio` (pure-JVM PNG codec — no container
-  * dependencies) inside the production mapPartitions shape (codec
-  * handle per partition, streaming iterator, no partition
-  * materialization). Because the synthetic fixture's pixel content is
-  * a closed-form function of (media_id, x, y), every decoded quantity
-  * — dimensions, pixel count, channel sum — is independently
-  * computable by a SQL oracle, so the encode→decode→resample
-  * round-trip is hash-checked end to end, not trusted.
+  * All three modality legs run REAL pure-JVM codecs inside the
+  * production mapPartitions shape (codec handle per partition,
+  * streaming iterator, no partition materialization):
+  *  - image: PNG via `javax.imageio` (decode, resize, aHash);
+  *  - video-shaped: multi-frame GIF89a via `javax.imageio`'s sequence
+  *    reader/writer (per-frame extraction);
+  *  - audio: RIFF/WAVE PCM via `javax.sound.sampled` (decode, windowed
+  *    energy, perceptual fingerprint).
+  * Because every synthetic payload's content is a closed-form function
+  * of (media_id, position), every decoded quantity — dims, frame
+  * counts, pixel/sample sums — is independently computable by a SQL
+  * oracle, so each encode→decode round-trip is hash-checked end to
+  * end, not trusted.
   */
 object Multimodal {
 
@@ -288,6 +292,10 @@ object Multimodal {
           require(ws.hasNext, "JVM has no GIF ImageWriter plugin")
           ws.next()
         }
+        // one palette for the whole partition: the raster sample IS the
+        // gray value under this explicit 256-gray sRGB IndexColorModel
+        val grays = Array.tabulate(256)(_.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
         it.map { id =>
           val (w, h) = gifDims(id)
           val nf = gifFrameCount(id)
@@ -303,12 +311,10 @@ object Multimodal {
           param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
           var f = 0
           while (f < nf) {
-            // indexed with an explicit 256-gray sRGB palette: the raster
-            // sample IS the gray value, and GIF stores indices + palette
-            // verbatim. (TYPE_BYTE_GRAY would round-trip through a
-            // linear-gray→sRGB conversion and skew every pixel.)
-            val grays = Array.tabulate(256)(_.toByte)
-            val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+            // TYPE_BYTE_INDEXED with the explicit gray palette: GIF
+            // stores indices + palette verbatim. (TYPE_BYTE_GRAY would
+            // round-trip through a linear-gray→sRGB conversion and skew
+            // every pixel.)
             val img = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
             val raster = img.getRaster
