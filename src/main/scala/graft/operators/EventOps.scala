@@ -682,6 +682,45 @@ object EventOps {
         size(col("__vs")).cast("long").as("n_sample"))
   }
 
+  /** Last-touch conversion attribution: every `convType` event is
+    * credited to the LATEST preceding `touchTypes` event of the same
+    * entity within a `lookbackDays` window, or to the `"direct"`
+    * channel when no touch qualifies — the standard event-analytics
+    * attribution read (cf. the funnel/cohort family above; this one
+    * answers "which channel drove the conversion", not "did the user
+    * get there").
+    *
+    * Shape: touches are first collapsed to one row per (key, ts) —
+    * `max_by` on the unique event id, so simultaneous touches resolve
+    * deterministically in any engine — then matched by [[asofJoin]]'s
+    * union + carry-forward window: ONE shuffle keyed by the entity id,
+    * O((T+C) log) per key, never the O(T·C) per-key range join. The
+    * lookback is applied AFTER the as-of match as a plain column
+    * predicate (the carried touch is the latest one, so "latest touch
+    * inside the window" ≡ "latest touch, if inside the window").
+    * A touch at exactly the conversion's timestamp counts (asofJoin's
+    * <= semantics). Output: the conversion rows plus a non-null
+    * `channel` column. */
+  def attributeLastTouch(events: DataFrame, keyCol: String, tsCol: String,
+                         idCol: String, typeCol: String,
+                         touchTypes: Seq[String], convType: String,
+                         lookbackDays: Int): DataFrame = {
+    require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      s"conversion type '$convType' cannot also be a touch type")
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max_by(col(typeCol), col(idCol)).as("touch_channel"))
+    val conv = events.filter(col(typeCol) === convType)
+    asofJoin(conv, touches, keyCol, tsCol, Seq("touch_channel"), "__t_")
+      .withColumn("channel",
+        when(col(s"__t_$tsCol") >=
+            col(tsCol) - expr(s"INTERVAL $lookbackDays DAYS"),
+          col("__t_touch_channel")).otherwise(lit("direct")))
+      .drop(s"__t_$tsCol", "__t_touch_channel")
+  }
+
   def jsonExtractAgg(events: DataFrame): DataFrame =
     events
       // try_cast, not cast: under ANSI mode (Spark 4 default) a plain

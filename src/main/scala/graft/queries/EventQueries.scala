@@ -914,5 +914,40 @@ FROM terms GROUP BY source"""
                            CAST(floor(value) AS BIGINT) AS v FROM events) t
               WINDOW w AS (PARTITION BY user_id ORDER BY v ASC),
                      wt AS (PARTITION BY user_id ORDER BY v ASC, event_id ASC)""")),
+
+    // Last-touch conversion attribution: each purchase credited to the
+    // latest view/click of the same user within a 7-day lookback, else
+    // 'direct' — the channel-revenue read every event pipeline serves.
+    // Engine: EventOps.attributeLastTouch (ONE user-keyed asof window,
+    // never a per-key range join); oracle: DuckDB's native ASOF LEFT
+    // JOIN with the same post-match lookback predicate. Simultaneous
+    // touches collapse by max event_id on BOTH sides (max_by), so the
+    // tie is pinned, not engine-dependent.
+    Q("ex29_attribution",
+      (s, d) => EventOps.attributeLastTouch(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click"), "purchase", lookbackDays = 7)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("revenue")),
+      Some("""WITH conv AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase'),
+              tch AS (
+                SELECT user_id, ts, max_by(event_type, event_id) AS channel
+                FROM events WHERE event_type IN ('view', 'click')
+                GROUP BY 1, 2),
+              att AS (
+                SELECT c.value,
+                       CASE WHEN t.ts IS NOT NULL
+                                 AND t.ts >= c.ts - INTERVAL 7 DAY
+                            THEN t.channel ELSE 'direct' END AS channel
+                FROM conv c ASOF LEFT JOIN tch t
+                  ON c.user_id = t.user_id AND t.ts <= c.ts)
+              SELECT channel, CAST(count(*) AS BIGINT) AS n,
+                     round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                       AS revenue
+              FROM att GROUP BY channel""")),
   )
 }

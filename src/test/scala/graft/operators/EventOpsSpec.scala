@@ -452,4 +452,33 @@ class EventOpsSpec extends SparkSpec {
       ("a", "c") -> ((1L, 0.333333)),
       ("b", "a") -> ((1L, 1.0))))
   }
+
+  test("attributeLastTouch: lookback, exact-ts touch, simultaneous-touch tiebreak") {
+    val ev = Seq(
+      // user 1: touch 10 days before conversion -> outside 7-day window -> direct
+      (1L, ts("2026-01-01 10:00:00"), 1L, "view", 0.0, null.asInstanceOf[String]),
+      (2L, ts("2026-01-11 10:00:00"), 1L, "purchase", 5.0, null.asInstanceOf[String]),
+      // user 2: two touches; the LATER one (click) wins
+      (3L, ts("2026-01-10 09:00:00"), 2L, "view", 0.0, null.asInstanceOf[String]),
+      (4L, ts("2026-01-10 10:00:00"), 2L, "click", 0.0, null.asInstanceOf[String]),
+      (5L, ts("2026-01-10 11:00:00"), 2L, "purchase", 7.0, null.asInstanceOf[String]),
+      // user 3: touch at EXACTLY the conversion ts counts (<= semantics)
+      (6L, ts("2026-01-10 11:00:00"), 3L, "view", 0.0, null.asInstanceOf[String]),
+      (7L, ts("2026-01-10 11:00:00"), 3L, "purchase", 9.0, null.asInstanceOf[String]),
+      // user 4: SIMULTANEOUS touches -> max event_id (the click, id 9) wins
+      (8L, ts("2026-01-10 08:00:00"), 4L, "view", 0.0, null.asInstanceOf[String]),
+      (9L, ts("2026-01-10 08:00:00"), 4L, "click", 0.0, null.asInstanceOf[String]),
+      (10L, ts("2026-01-10 09:00:00"), 4L, "purchase", 3.0, null.asInstanceOf[String]),
+      // user 5: no touch at all -> direct
+      (11L, ts("2026-01-10 09:00:00"), 5L, "purchase", 2.0, null.asInstanceOf[String]),
+      // a 7-days-minus-a-second touch is INSIDE the window (>= boundary)
+      (12L, ts("2026-01-03 10:00:01"), 6L, "view", 0.0, null.asInstanceOf[String]),
+      (13L, ts("2026-01-10 10:00:00"), 6L, "purchase", 4.0, null.asInstanceOf[String]),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.attributeLastTouch(ev, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click"), "purchase", lookbackDays = 7)
+      .select("user_id", "channel").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "direct", 2L -> "click", 3L -> "view",
+      4L -> "click", 5L -> "direct", 6L -> "view"))
+  }
 }
