@@ -371,4 +371,69 @@ object Graph {
         round(teleport +
           lit(damping) * coalesce(col("__m"), lit(0.0)), 9).as("__r"))
   }
+
+  /** Transitive ancestor closure of a FOREST (each node at most one
+    * parent; roots carry a NULL parent): one row per (node, ancestor)
+    * pair, self included — the "explode the hierarchy" primitive
+    * behind org-chart and bill-of-materials rollups (the recursive-CTE
+    * read Spark has no native operator for).
+    *
+    * Pointer doubling, not per-level climbing: round k extends every
+    * node's known ancestor PATH by the path already known at its
+    * frontier ancestor, so `rounds` joins cover any depth BELOW
+    * 2^rounds (the frontier pointer — the convergence witness — nulls
+    * out one round after the path completes, so depth ≤ 2^rounds - 1;
+    * 63 at the default, deeper than any real hierarchy) instead of one
+    * join per level. Each round is ONE self-join keyed by the frontier
+    * id; state per node is its ancestor path, O(depth) ids — never
+    * corpus-sized. A parent id with no node row is treated as a root
+    * boundary (the path stops there, keeping the known prefix).
+    * Raises if any frontier survives `rounds` doublings — depth ≥
+    * 2^rounds, or a cycle (a cycle is unbounded depth). */
+  def ancestorClosure(edges: DataFrame, childCol: String, parentCol: String,
+                      rounds: Int = 6): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16] (depth 2^rounds), got $rounds")
+    val empty = typedLit(Seq.empty[Long])
+    var st = edges.select(
+      col(childCol).cast("long").as("node"),
+      when(col(parentCol).isNotNull, array(col(parentCol).cast("long")))
+        .otherwise(empty).as("path"),
+      col(parentCol).cast("long").as("top"))
+    for (_ <- 1 to rounds) {
+      // stage() per round: each doubling reads the previous state
+      // TWICE (as probe and as build side) — without truncation the
+      // plan itself would double per round (2^rounds scans).
+      st = NearDup.stage(st)
+      val other = st.select(col("node").as("__onode"),
+        col("path").as("__opath"), col("top").as("__otop"))
+      st = st.join(other, st("top") === other("__onode"), "left")
+        .select(col("node"),
+          concat(col("path"), coalesce(col("__opath"), empty)).as("path"),
+          col("__otop").as("top"))
+    }
+    if (!st.filter(col("top").isNotNull).isEmpty)
+      throw new IllegalStateException(
+        s"hierarchy deeper than 2^$rounds or cyclic — raise `rounds`")
+    st.select(col("node"), explode(col("path")).as("anc"))
+      .unionByName(edges.select(col(childCol).cast("long").as("node"),
+        col(childCol).cast("long").as("anc")))
+  }
+
+  /** Hierarchical subtree rollup over a forest: for every node, the
+    * count of nodes in its subtree (self included) and the
+    * money-rounded sum of `valueCol` over that subtree — computed as
+    * [[ancestorClosure]] (N×depth pairs, linear-with-a-log-factor,
+    * never a per-level shuffle chain) followed by ONE node-keyed value
+    * join and ONE hash aggregation on the ancestor id. */
+  def subtreeRollup(edges: DataFrame, childCol: String, parentCol: String,
+                    values: DataFrame, nodeCol: String, valueCol: String,
+                    rounds: Int = 6): DataFrame =
+    ancestorClosure(edges, childCol, parentCol, rounds)
+      .join(values.select(col(nodeCol).cast("long").as("node"),
+        col(valueCol).as("__v")), Seq("node"))
+      .groupBy(col("anc").as("node"))
+      .agg(count(lit(1)).as("n_desc"),
+        round(sum(col("__v").cast("decimal(18,2)")).cast("double"), 2)
+          .as("subtree_total"))
 }

@@ -59,4 +59,26 @@ object IncrementalRollup {
       col("mn"), col("mx"),
       (expr("(CAST(s * 100 AS BIGINT) * 100) DIV n").cast("double") / 10000)
         .as("avg_v")): _*)
+
+  /** First-order delta of a JOIN view under append-only deltas on BOTH
+    * inputs (the incremental-view-maintenance algebra, cf. DBToaster,
+    * Koch et al., VLDB'14 §2): with L' = L ∪ ΔL and R' = R ∪ ΔR,
+    *
+    *   Δ(L ⋈ R) = (ΔL ⋈ R) ∪ (L ⋈ ΔR) ∪ (ΔL ⋈ ΔR)
+    *
+    * — three joins whose inputs each include at least one DELTA side,
+    * so refresh cost is O(Δ · matches), never a rescan-and-rejoin of
+    * the two 100 TB bases (the base-⋈-base term is exactly the one the
+    * algebra avoids). The three terms are disjoint by construction
+    * (every joined pair has a distinct old/delta provenance), so the
+    * union is duplicate-free and feeds [[state]]/[[merge]] directly:
+    * merge(state(L ⋈ R), state(joinViewDelta(...))) == state(L' ⋈ R').
+    * Append-only contract: deltas are INSERTS; updates/deletes need
+    * the signed (multiplicity ±1) extension. */
+  def joinViewDelta(lOld: DataFrame, lDelta: DataFrame,
+                    rOld: DataFrame, rDelta: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    lDelta.join(rOld, keys)
+      .unionByName(lOld.join(rDelta, keys))
+      .unionByName(lDelta.join(rDelta, keys))
 }

@@ -162,6 +162,63 @@ object NearDup {
         (col("__nt") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Content-defined chunking + chunk-level dedup stats — the STORAGE
+    * dedup primitive (LBFS/FastCDC family, Muthitacharoen et al. SOSP
+    * 2001): a chunk boundary falls after token p wherever the hash of
+    * the k-gram ending at p ≡ 0 (mod divisor), so boundaries are a
+    * function of CONTENT, not offsets — an insertion early in a doc
+    * shifts only the chunk it lands in, and every identical passage
+    * re-chunks identically corpus-wide (the property fixed-size
+    * blocking lacks). Expected chunk length = `divisor` tokens.
+    *
+    * Differs from [[duplicatedSpanCoverage]]/[[stripDuplicatedSpans]]
+    * (every shared n-gram, token-granular): chunking partitions each
+    * doc ONCE and dedups at chunk granularity — the unit a content-
+    * addressed store would actually persist.
+    *
+    * Shape: one doc-keyed window pass assigns boundaries and chunk ids
+    * (per-row state is the k-token lag buffer), chunks reassemble in
+    * ONE hash agg with per-DOC bounded state (the repo-wide per-doc
+    * bound), then two hash aggs roll (source, chunk-hash) up to
+    * per-source totals: chunks, distinct chunks, duplicated tokens
+    * (what a dedup store saves), duplicate fraction. Every shuffle is
+    * keyed by doc id, chunk hash, or source — never all-pairs. */
+  def contentChunkStats(docs: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, k: Int = 3,
+                        divisor: Int = 8): DataFrame = {
+    require(k >= 2, s"gram size k must be >= 2, got $k")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val toks = docs.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val gramParts = ((k - 1) to 1 by -1).map(j => lag(col("tok"), j).over(w)) :+
+      col("tok")
+    val withChunk = toks
+      .withColumn("__b",
+        when(col("pos") >= k - 1 &&
+            pmod(baseHash(concat_ws(" ", gramParts: _*)),
+              lit(divisor.toLong)) === 0, 1).otherwise(0))
+      .withColumn("__cid",
+        coalesce(sum(col("__b"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    val chunks = withChunk.groupBy(col(idCol), col("__cid"))
+      .agg(
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ")).as("__h"),
+        count(lit(1)).as("__ntoks"))
+    val per = chunks
+      .join(docs.select(col(idCol), col(sourceCol).as("source")), Seq(idCol))
+      .groupBy(col("source"), col("__h"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__ntoks")).as("__ntoks"))
+    per.groupBy(col("source"))
+      .agg(sum(col("__cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum((col("__cnt") - 1) * col("__ntoks")).as("dup_tokens"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum(col("__cnt")), 6)
+          .as("dup_frac"))
+  }
+
   /** MinHash signature: columns mh0..mh{n-1} (BIGINT), min seeded hash
     * over the document's shingles. Docs with fewer tokens than
     * `shingleSize` are kept with null signatures (left join). */

@@ -186,4 +186,76 @@ object Retrieval {
       .agg(sum(col("__best")).as("maxsim"))
       .withColumn("rerank", row_number().over(wr).cast("long"))
   }
+
+  /** Number of term-hash partitions of the stored positional index.
+    * Hash buckets, not raw terms: partitioning by term itself would
+    * create one directory per vocabulary entry (millions at corpus
+    * scale); 64 buckets keeps the listing O(1) while a phrase query
+    * still prunes the scan to ≤ |phrase| buckets. */
+  val posIndexBuckets = 64
+
+  private def termBucket(term: Column): Column =
+    pmod(NearDup.baseHash(term), lit(posIndexBuckets.toLong))
+
+  /** Driver-side mirror of [[termBucket]] (same md5 first-8-hex-chars
+    * slice as [[NearDup.baseHash]]), for pruning with literal terms. */
+  private[operators] def termBucketLocal(term: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    math.floorMod(java.lang.Long.parseLong(hex.substring(0, 8), 16),
+      posIndexBuckets.toLong)
+  }
+
+  /** Build a STORED positional inverted index: one row per token
+    * occurrence (term, doc_id, pos — 0-based), laid out as parquet
+    * partitioned by the term's hash bucket. The corpus pays this one
+    * explode + write once; every later phrase/proximity query reads
+    * only its own terms' buckets (static partition pruning on the
+    * `bucket` literal set) instead of re-scanning 100 TB of text.
+    * Same write-once/query-forever discipline as
+    * [[Similarity.writeBucketedCorpus]]. */
+  def writePositionalIndex(docs: DataFrame, idCol: String, textCol: String,
+                           path: String): Unit =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"),
+        termBucket(col("term")).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Exact phrase search over the stored positional index: the classic
+    * positional-postings intersection. Posting list i (term w_i,
+    * partition-pruned read) joins the running match set on
+    * (doc_id, pos == first_pos + i) — an EQUI join on a composite
+    * high-cardinality key (never a range/nested-loop), each side
+    * already restricted to query-term postings, so the work is
+    * Σ|postings(w_i)|, independent of corpus size. Output: one row per
+    * doc containing the phrase, with occurrence count and first
+    * (0-based) match position. Matching is exact on tokens (the index
+    * stores tokens as written; normalize at write time if needed). */
+  def phraseSearch(spark: SparkSession, indexPath: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val idx = spark.read.parquet(indexPath)
+      // literal bucket set first: static partition pruning keeps the
+      // scan to ≤ |phrase| of the 64 bucket directories
+      .filter(col("bucket").isin(phrase.map(termBucketLocal): _*))
+    def postings(term: String) =
+      idx.filter(col("term") === term).select(col("doc_id"), col("pos"))
+    val first = postings(phrase.head)
+    val matches = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (term, i)) =>
+        // distinct names on the probe side: both frames descend from
+        // the same index scan, and identical names would force Spark's
+        // ambiguous-self-join heuristics into the join condition
+        val p = postings(term)
+          .select(col("doc_id").as("__pdoc"), (col("pos") - i).as("__start"))
+        acc.join(p, acc("doc_id") === p("__pdoc") &&
+            acc("pos") === p("__start"))
+          .select(acc("doc_id"), acc("pos"))
+    }
+    matches.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+  }
 }

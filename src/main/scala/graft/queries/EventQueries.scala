@@ -915,6 +915,35 @@ FROM terms GROUP BY source"""
               WINDOW w AS (PARTITION BY user_id ORDER BY v ASC),
                      wt AS (PARTITION BY user_id ORDER BY v ASC, event_id ASC)""")),
 
+    // Schema-evolution read: the lake's oldest files predate a column
+    // (ingest batches written before c_mktsegment existed), the newest
+    // carry it — ONE mergeSchema scan serves the union schema with
+    // NULL for pre-evolution rows, no rewrite of the old 100 TB. The
+    // oracle derives the same nullability from the batch-membership
+    // rule, so a merge that dropped, reordered, or backfilled the
+    // column fails the hash. (Evolution here is strictly ADDITIVE —
+    // the safe kind; type changes still need a rewrite.)
+    Q("lake06_schema_evolution",
+      (s, d) => {
+        val root = graft.Scratch.dir("lake_se", d)
+        val c = Tables.customer(s, d)
+        c.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_acctbal"))
+          .write.mode("overwrite").parquet(root)
+        c.filter(col("c_custkey") % 2 === 1)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+          .write.mode("append").parquet(root)
+        s.read.option("mergeSchema", "true").parquet(root)
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+              .as("total"))
+      },
+      Some("""SELECT CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS segment,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+              FROM customer GROUP BY 1""")),
+
     // Last-touch conversion attribution: each purchase credited to the
     // latest view/click of the same user within a 7-day lookback, else
     // 'direct' — the channel-revenue read every event pipeline serves.

@@ -1745,5 +1745,74 @@ object RelationalQueries {
               SELECT c_custkey, (CASE (c_custkey % ${names.size}) $whens END) AS nombre
               FROM customer) t"""
       }),
+
+    // Hierarchical subtree rollup — the recursive-CTE read (org chart,
+    // bill-of-materials) Spark has no native operator for. The
+    // hierarchy is a deterministic forest over customers (parent =
+    // custkey div 7; custkeys < 7 are roots, depth ~log7 N at any SF);
+    // the engine climbs it with Graph.ancestorClosure's pointer
+    // doubling — 6 staged self-joins cover depth 63, N×depth pairs,
+    // one hash agg on the ancestor — while the oracle IS the recursive
+    // CTE, so the unrolled form is checked against real recursion.
+    Q("op47_hierarchy_rollup",
+      (s, d) => {
+        val edges = Tables.customer(s, d).select(
+          col("c_custkey").as("child"),
+          when(col("c_custkey") >= 7, expr("c_custkey div 7")).as("parent"))
+        graft.operators.Graph.subtreeRollup(edges, "child", "parent",
+          Tables.customer(s, d), "c_custkey", "c_acctbal")
+      },
+      Some("""WITH RECURSIVE anc AS (
+                SELECT c_custkey AS node, c_custkey // 7 AS a
+                FROM customer WHERE c_custkey >= 7
+                UNION ALL
+                SELECT anc.node, c.c_custkey // 7
+                FROM anc JOIN customer c ON c.c_custkey = anc.a
+                WHERE c.c_custkey >= 7),
+              pairs AS (SELECT node, a FROM anc
+                        UNION ALL SELECT c_custkey, c_custkey FROM customer)
+              SELECT p.a AS node, CAST(count(*) AS BIGINT) AS n_desc,
+                     round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                       AS DOUBLE), 2) AS subtree_total
+              FROM pairs p JOIN customer c ON c.c_custkey = p.node
+              GROUP BY 1""")),
+
+    // Incremental JOIN-view maintenance: a monthly revenue rollup over
+    // orders ⋈ lineitem is refreshed from append deltas on BOTH inputs
+    // using the first-order delta algebra (ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR —
+    // IncrementalRollup.joinViewDelta), merged into the old view's
+    // mergeable state; the base-⋈-base rejoin never happens. The
+    // splits use INDEPENDENT columns (orderkey %13 vs suppkey %7) so
+    // all three delta terms are non-empty — the oracle recomputes the
+    // full join, so a missed or double-counted term fails the hash.
+    // ex13 is the single-table version; this is the two-sided one.
+    Q("op48_delta_join_view",
+      (s, d) => {
+        import graft.operators.IncrementalRollup
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        val l = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+        val (oOld, oDel) = (o.filter(col("o_orderkey") % 13 =!= 0),
+          o.filter(col("o_orderkey") % 13 === 0))
+        val (lOld, lDel) = (l.filter(col("l_suppkey") % 7 =!= 0),
+          l.filter(col("l_suppkey") % 7 === 0))
+        val mk = Seq("month")
+        val vOld = IncrementalRollup.state(
+          oOld.join(lOld, Seq("o_orderkey")), mk, "l_extendedprice")
+        val dv = IncrementalRollup.state(
+          IncrementalRollup.joinViewDelta(oOld, oDel, lOld, lDel,
+            Seq("o_orderkey")), mk, "l_extendedprice")
+        IncrementalRollup.finalize(IncrementalRollup.merge(vOld, dv, mk), mk)
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+               min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+               CAST((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) * 100)
+                    // count(*) AS DOUBLE) / 10000 AS avg_v
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              GROUP BY 1""")),
   )
 }

@@ -1112,6 +1112,67 @@ SELECT query_id, doc_id, maxsim,
          ORDER BY maxsim DESC, doc_id ASC) AS BIGINT) AS rerank
 FROM ms""")),
 
+    // Exact phrase search over a STORED positional inverted index —
+    // the retrieval primitive BM25's bag-of-words scoring cannot
+    // express ("fast table" as adjacent tokens, not co-occurrence).
+    // The corpus pays one explode + bucket-partitioned write; the
+    // query reads ONLY the phrase terms' hash buckets (static
+    // partition pruning — 2 of 64 directories) and intersects the two
+    // posting lists with an equi-join on (doc_id, adjusted position).
+    // Work is Σ|postings(term)|, independent of corpus size. The
+    // oracle mirrors the SEMANTICS directly (adjacent-token scan),
+    // not the index — so an index-construction bug (lost/shifted
+    // positions, bucket misroute) fails the hash.
+    Q("tx39_phrase_search",
+      (s, d) => {
+        import graft.operators.Retrieval
+        val path = graft.Scratch.dir("posindex", d)
+        Retrieval.writePositionalIndex(Tables.documents(s, d), "doc_id", "text", path)
+        Retrieval.phraseSearch(s, path, Seq("fast", "table"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+hits AS (SELECT doc_id, i - 1 AS pos
+         FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+         WHERE toks[i] = 'fast' AND toks[i+1] = 'table')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id""")),
+
+    // Content-defined chunking dedup (LBFS/FastCDC shape): boundaries
+    // where the 3-gram hash ≡ 0 mod 8 (expected ~8-token chunks), then
+    // chunk-level dedup stats per source — the content-addressed-store
+    // read (what would a chunk store save on this corpus?), at chunk
+    // granularity vs dd14/dd15's token-granular span analysis. The
+    // oracle rebuilds the identical boundaries from the same md5 gram
+    // hash, so chunking + reassembly + hashing are all hash-gated.
+    Q("tx40_content_chunks",
+      (s, d) => graft.operators.NearDup.contentChunkStats(
+        Tables.documents(s, d), "doc_id", "text", "source", k = 3, divisor = 8),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+pos AS (SELECT doc_id, i, toks[i] AS tok,
+               CASE WHEN i >= 3 AND CAST(('0x' || substr(md5(
+                      toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i]), 1, 8))
+                      AS BIGINT) % 8 = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+ch AS (SELECT doc_id, i, tok,
+              coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+       FROM pos),
+chunks AS (SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY i) AS ctext,
+                  CAST(count(*) AS BIGINT) AS ntoks
+           FROM ch GROUP BY 1, 2),
+hashed AS (SELECT d.source, md5(c.ctext) AS h, c.ntoks
+           FROM chunks c JOIN documents d USING (doc_id)),
+per AS (SELECT source, h, CAST(count(*) AS BIGINT) AS cnt,
+               min(ntoks) AS ntoks
+        FROM hashed GROUP BY 1, 2)
+SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum((cnt - 1) * ntoks) AS BIGINT) AS dup_tokens,
+       round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_frac
+FROM per GROUP BY 1""")),
+
     // Count-min-sketch heavy hitters over the corpus term distribution:
     // depth×width bounded-memory frequency sketch (md5-derived hash
     // family shared with the oracle — deterministic, so the approximate

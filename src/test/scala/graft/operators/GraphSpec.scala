@@ -252,4 +252,44 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(run1 == run2)
   }
+
+  test("ancestorClosure: full closure incl self; unknown parent = root boundary") {
+    //   1          6 -> 99 (99 has no node row: boundary, kept in 6's path)
+    //  2 3
+    // 4
+    val edges = Seq((1L, None), (2L, Some(1L)), (3L, Some(1L)), (4L, Some(2L)),
+      (6L, Some(99L))).toDF("child", "parent")
+    val out = Graph.ancestorClosure(edges, "child", "parent", rounds = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L), (2L, 2L), (2L, 1L), (3L, 3L), (3L, 1L),
+      (4L, 4L), (4L, 2L), (4L, 1L), (6L, 6L), (6L, 99L)))
+  }
+
+  test("ancestorClosure: depth 2^rounds - 1 fits; depth 2^rounds raises; cycle raises") {
+    def chain(n: Int) = (1 to n).map(i =>
+      (i.toLong, if (i == 1) None else Some(i - 1L))).toDF("child", "parent")
+    // depth 3 (three ancestors above the leaf) with rounds=2 -> < 2^2 fits
+    val ok = Graph.ancestorClosure(chain(4), "child", "parent", rounds = 2)
+      .as[(Long, Long)].collect()
+    assert(ok.count(_._1 == 4L) == 4) // leaf sees 3 ancestors + self
+    intercept[IllegalStateException] {
+      // depth 4 = 2^rounds: the frontier witness hasn't nulled yet
+      Graph.ancestorClosure(chain(5), "child", "parent", rounds = 2).count()
+    }
+    val cyc = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("child", "parent")
+    intercept[IllegalStateException] {
+      Graph.ancestorClosure(cyc, "child", "parent", rounds = 3).count()
+    }
+  }
+
+  test("subtreeRollup: counts and money-rounded sums per subtree") {
+    val edges = Seq((1L, None), (2L, Some(1L)), (3L, Some(1L)), (4L, Some(2L)))
+      .toDF("child", "parent")
+    val vals = Seq((1L, 1.10), (2L, 2.25), (3L, 4.01), (4L, 8.64))
+      .toDF("id", "v")
+    val out = Graph.subtreeRollup(edges, "child", "parent", vals, "id", "v")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> ((4L, 16.0)), 2L -> ((2L, 10.89)),
+      3L -> ((1L, 4.01)), 4L -> ((1L, 8.64))))
+  }
 }

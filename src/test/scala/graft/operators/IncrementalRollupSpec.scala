@@ -48,4 +48,26 @@ class IncrementalRollupSpec extends SparkSpec {
       .select("avg_v").as[Double].head()
     assert(out == 70.4912) // truncating integer div: 7049125 * 10 DIV 16... floor
   }
+
+  test("joinViewDelta: merged state equals the full rejoin; ΔL⋈ΔR term is load-bearing") {
+    // keys chosen so every delta term matches something: k1 old⋈old,
+    // k2 ΔL⋈R, k3 L⋈ΔR, k4 ΔL⋈ΔR.
+    val lOld = Seq((1L, "g"), (3L, "g")).toDF("k", "g")
+    val lDel = Seq((2L, "g"), (4L, "g")).toDF("k", "g")
+    val rOld = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "value")
+    val rDel = Seq((3L, 4.0), (4L, 8.0)).toDF("k", "value")
+    val jk = Seq("k")
+    def st(df: DataFrame) = IncrementalRollup.state(df, keys, "value")
+    val incremental = IncrementalRollup.merge(
+      st(lOld.join(rOld, jk)),
+      st(IncrementalRollup.joinViewDelta(lOld, lDel, rOld, rDel, jk)), keys)
+    val full = st(lOld.unionByName(lDel).join(rOld.unionByName(rDel), jk))
+    assert(fin(incremental) == fin(full))
+    assert(fin(full).head.n == 4L) // all four provenance classes joined
+    // red: the naive two-term delta (forgetting ΔL⋈ΔR) undercounts
+    val naive = IncrementalRollup.merge(
+      st(lOld.join(rOld, jk)),
+      st(lDel.join(rOld, jk).unionByName(lOld.join(rDel, jk))), keys)
+    assert(fin(naive) != fin(full))
+  }
 }

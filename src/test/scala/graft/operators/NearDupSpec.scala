@@ -372,4 +372,36 @@ class NearDupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == want)
   }
+
+  test("contentChunkStats: identical docs dedup fully; tiny docs are one chunk") {
+    // all-distinct tokens: a periodic text would repeat chunks WITHIN
+    // a doc (boundaries are content-defined, so they repeat with the
+    // period) and break the n = 2·distinct arithmetic below
+    val text = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, text, "s1"), (2L, text, "s1"), // byte-identical pair
+      (3L, "solo", "s2"),                  // single token -> one 1-token chunk
+    ).toDF("doc_id", "text", "source")
+    val out = NearDup.contentChunkStats(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val (n, d, dup, frac) = out("s1")
+    assert(n == 2 * d, "identical docs must produce identical chunk sets")
+    assert(dup == 60L, "every token of the second copy is saved")
+    assert(frac == 0.5)
+    assert(out("s2") == ((1L, 1L, 0L, 0.0)))
+  }
+
+  test("contentChunkStats: a front insertion leaves later chunks shared (content-defined)") {
+    val a = (1 to 60).map(i => s"w${i % 13}").mkString(" ")
+    val docs = Seq((1L, a, "s"), (2L, "zzz " + a, "s"))
+      .toDF("doc_id", "text", "source")
+    val Array((n, d, dup)) = NearDup.contentChunkStats(docs, "doc_id", "text", "source")
+      .select("n_chunks", "n_distinct", "dup_tokens")
+      .as[(Long, Long, Long)].collect()
+    // Fixed-size blocking would share NOTHING after a 1-token shift;
+    // content-defined boundaries must re-align within ~a chunk or two.
+    assert(dup >= 30, s"expected most of the 60 shifted tokens to dedup, got $dup")
+    assert(d < n)
+  }
 }

@@ -210,4 +210,34 @@ class RetrievalSpec extends SparkSpec {
         s"rerank not dense for query $q")
     }
   }
+
+  test("phraseSearch: adjacency, overlap, 3-term chains, and bucket-pruned scan") {
+    val docs = Seq(
+      (1L, "a b c a b"),   // "a b" at 0 and 3
+      (2L, "b a b a b"),   // "a b" at 1 and 3; "b a b" at 0 and 2 (overlapping)
+      (3L, "a a a"),       // "a a" at 0 and 1 (overlapping); no "a b"
+      (4L, "c c c"),       // no phrase at all
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_posidx").toString
+    try {
+      Retrieval.writePositionalIndex(docs, "doc_id", "text", path)
+      def run(phrase: String*) =
+        Retrieval.phraseSearch(spark, path, phrase)
+          .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(run("a", "b") == Map(1L -> ((2L, 0L)), 2L -> ((2L, 1L))))
+      assert(run("a", "a") == Map(3L -> ((2L, 0L)))) // overlapping occurrences count
+      assert(run("b", "a", "b") == Map(2L -> ((2L, 0L))))
+      assert(run("a", "b", "c") == Map(1L -> ((1L, 0L))))
+      assert(run("c", "a", "b") == Map(1L -> ((1L, 2L))))
+      assert(run("z", "b").isEmpty) // absent term -> empty, no error
+      // the scan must prune to ONLY the phrase terms' bucket partitions
+      val plan = Retrieval.phraseSearch(spark, path, Seq("a", "b"))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pfs = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+      assert(pfs.nonEmpty, s"index scan lost partition pruning:\n$plan")
+      assert(pfs.forall(_.contains("bucket")),
+        s"bucket literals must reach partition pruning: ${pfs.mkString("; ")}")
+    } finally graft.Scratch.delete(path)
+  }
 }

@@ -87,4 +87,18 @@ class FormatsSpec extends SparkSpec {
     assert(opts("lowerBound") == "1" && opts("upperBound") == "1000000")
     assert(opts("fetchsize").toInt > 0)
   }
+
+  test("mergeSchema read: additive evolution nulls exactly the pre-evolution rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_se").toString
+    try {
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+        .write.mode("overwrite").parquet(dir)
+      Seq((3L, 30.0, "seg")).toDF("id", "v", "extra")
+        .write.mode("append").parquet(dir)
+      val got = spark.read.option("mergeSchema", "true").parquet(dir)
+        .select($"id", $"extra").as[(Long, Option[String])].collect().toMap
+      assert(got == Map(1L -> None, 2L -> None, 3L -> Some("seg")))
+    } finally graft.Scratch.delete(dir)
+  }
 }
