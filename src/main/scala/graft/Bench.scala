@@ -91,9 +91,12 @@ object Bench {
     "tpch_q1", "tpch_q3",
     // round 7 families
     "ann07_recall", "ann03c_bucketed_append", "ann03d_bucketed_compacted",
-    "tpch_q5", "tpch_q18", "ex18_cohort_retention",
-    // round 14 families
-    "op44_bucketed_smb_join", "mm09_gif_frames", "op46_er_golden_record",
+    "tpch_q5", "tpch_q18",
+    // round 14 families (op44_bucketed_smb_join was inline through
+    // round 14; dropped with ex18 below to keep the printed line
+    // inside the driver's 2000-char stdout tail — both still land in
+    // bench_full.json like every other query)
+    "mm09_gif_frames", "op46_er_golden_record",
     // round 8 families (cheap sub-second entries — tx22_chunking,
     // ex19_histogram_quantiles, dq05_drift_psi, tx26 — were dropped to
     // keep the printed line inside the driver's 2000-char stdout tail;
