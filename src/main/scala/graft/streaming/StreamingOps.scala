@@ -393,6 +393,86 @@ object StreamingOps {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming materialized JOIN-view maintenance — the ingest form of
+    * [[graft.operators.IncrementalRollup.joinViewDelta]]: one tagged
+    * stream carries append batches for BOTH join inputs (`sideCol` =
+    * "L"/"R"; union two sources upstream), and each micro-batch folds
+    *
+    *   ΔV = ΔL ⋈ R_acc  ∪  L_acc ⋈ ΔR  ∪  ΔL ⋈ ΔR
+    *
+    * into the view's mergeable rollup state, republished atomically
+    * per batch (stage-and-swap; same idempotent replay guard as
+    * [[dedupIngest]] — a replayed batch id is a no-op). The base-⋈-base
+    * join never executes: per batch the SHUFFLE is delta-matched and
+    * the published state is viewKeys-sized.
+    *
+    * Side accumulations are append-only batch-id-named parquet dirs
+    * (`side_l/batch-<id>`, overwritten on replay — idempotent), so the
+    * per-batch side WRITE is delta-sized; the delta terms re-READ the
+    * accumulated opposite side, which at 100 TB you bound by laying
+    * the side dirs out bucketed on the join key
+    * ([[graft.sinks.Bucketed]]) so each delta join prunes to its key
+    * buckets. A crash between the side write and the publish replays
+    * the batch: the side dirs rewrite byte-identically (accumulation
+    * reads only dirs with id < current, so a half-written current dir
+    * is never read as history) and the publish proceeds.
+    *
+    * Consumers read
+    * `IncrementalRollup.finalize(Publish.readTable(s, root,
+    * "view_state"), viewKeys)`. Append-only contract as
+    * [[graft.operators.IncrementalRollup.joinViewDelta]]. */
+  def joinViewIngest(tagged: DataFrame, root: String, sideCol: String,
+                     lCols: Seq[String], rCols: Seq[String],
+                     joinKeys: Seq[String], viewKeys: Seq[String],
+                     valueCol: String,
+                     checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.IncrementalRollup
+    val w = tagged.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        if (!lastFoldedBatch(s, root).exists(_ >= id)) {
+          val lDelta = batch.filter(col(sideCol) === "L").select(lCols.map(col): _*)
+          val rDelta = batch.filter(col(sideCol) === "R").select(rCols.map(col): _*)
+          val lAcc = readSideBefore(s, s"$root/side_l", id, lDelta)
+          val rAcc = readSideBefore(s, s"$root/side_r", id, rDelta)
+          lDelta.write.mode("overwrite").parquet(f"$root/side_l/batch-$id%09d")
+          rDelta.write.mode("overwrite").parquet(f"$root/side_r/batch-$id%09d")
+          val dv = IncrementalRollup.state(
+            IncrementalRollup.joinViewDelta(lAcc, lDelta, rAcc, rDelta, joinKeys),
+            viewKeys, valueCol)
+          val prior = graft.sinks.Publish.currentVersion(s, root) match {
+            case Some(_) => graft.sinks.Publish.readTable(s, root, "view_state")
+            case None    => dv.limit(0)
+          }
+          graft.sinks.Publish.publishTables(s,
+            Map("view_state" -> IncrementalRollup.merge(prior, dv, viewKeys)),
+            root, f"$id%09d")
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** All side batches folded BEFORE `beforeId` (exclusive — a replayed
+    * current batch's half-written dir must never read as history);
+    * `template.limit(0)` when none exist yet. */
+  private def readSideBefore(s: org.apache.spark.sql.SparkSession, dir: String,
+                             beforeId: Long, template: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val B = """^batch-(\d{9})$""".r
+    val prior =
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .flatMap(_.getPath match {
+          case path => path.getName match {
+            case B(d) if d.toLong < beforeId => Some(path.toString)
+            case _ => None
+          }
+        })
+    if (prior.isEmpty) template.limit(0) else s.read.parquet(prior: _*)
+  }
+
   /** Merge sorted-by-start open sessions with a batch of event times
     * under the closed-boundary gap rule (`next <= last + gap` merges). */
   private[graft] def mergeAll(sessions: List[OpenSession], eventTs: List[Long],

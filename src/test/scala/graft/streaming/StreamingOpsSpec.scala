@@ -468,6 +468,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got(1L) == got(2L))
   }
 
+  test("joinViewIngest: mixed/one-sided batches fold to the full rejoin exactly") {
+    import graft.operators.IncrementalRollup
+    import graft.sinks.Publish
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_jvi").toString
+    val input = MemoryStream[(String, Long, String, Double)]
+    val q = StreamingOps.joinViewIngest(
+      input.toDF().toDF("side", "k", "g", "value"), root, "side",
+      lCols = Seq("k", "g"), rCols = Seq("k", "value"),
+      joinKeys = Seq("k"), viewKeys = Seq("g"), valueCol = "value")
+    try {
+      // b1: both sides, in-batch match (ΔL⋈ΔR term)
+      input.addData(Seq(("L", 1L, "a", 0.0), ("L", 2L, "b", 0.0), ("R", 1L, "", 1.0)))
+      q.processAllAvailable()
+      // b2: R-only batch (L⋈ΔR against accumulated L)
+      input.addData(Seq(("R", 1L, "", 2.0), ("R", 2L, "", 4.0)))
+      q.processAllAvailable()
+      // b3: new L row joining old+new R (ΔL⋈R and L⋈ΔR and ΔL⋈ΔR)
+      input.addData(Seq(("L", 3L, "a", 0.0), ("R", 3L, "", 8.0), ("R", 1L, "", 16.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def fin(st: org.apache.spark.sql.DataFrame) =
+      IncrementalRollup.finalize(st, Seq("g"))
+        .select($"g", $"n", $"total").as[(String, Long, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = fin(Publish.readTable(spark, root, "view_state"))
+    val full = fin(IncrementalRollup.state(
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "g")
+        .join(Seq((1L, 1.0), (1L, 2.0), (2L, 4.0), (3L, 8.0), (1L, 16.0))
+          .toDF("k", "value"), Seq("k")),
+      Seq("g"), "value"))
+    assert(got == full)
+    assert(got("a") == ((4L, 27.0)) && got("b") == ((1L, 4.0)))
+  }
+
   test("annIndexIngest: streamed index equals batch build; replayed batch converges") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions.col
