@@ -140,6 +140,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("joinViewDelta: merged state == full rejoin for ANY two-sided split (bulk)") {
+    // Random L (key→group) and R (key→value) tables, arbitrarily split
+    // into old/delta on EACH side: merge(state(Lold⋈Rold), state(ΔV))
+    // must equal state((Lold∪ΔL)⋈(Rold∪ΔR)) — the IVM algebra holds
+    // for every split, not just the fixture's.
+    val lRows = Gen.listOfN(150, Gen.zip(Gen.chooseNum(0, 40), Gen.chooseNum(0, 7)))
+      .sampled.map { case (k, g) => (k.toLong, s"g$g") }
+    val rRows = Gen.listOfN(250, Gen.zip(Gen.chooseNum(0, 40), Gen.chooseNum(0, 99999)))
+      .sampled.map { case (k, cents) => (k.toLong, cents / 100.0) }
+    val l = lRows.toDF("k", "g")
+    val r = rRows.toDF("k", "value")
+    val keys = Seq("g")
+    def fin(st: org.apache.spark.sql.DataFrame) =
+      operators.IncrementalRollup.finalize(st, keys).collect().map(_.toSeq).toSet
+    val full = operators.IncrementalRollup.state(
+      l.join(r, Seq("k")), keys, "value")
+    Seq(2, 3, 7).foreach { m =>
+      val lsplit = abs(hash(col("g"), col("k"))) % m === 0
+      val rsplit = abs(hash(col("value"))) % m === 0
+      val (lOld, lDel) = (l.filter(!lsplit), l.filter(lsplit))
+      val (rOld, rDel) = (r.filter(!rsplit), r.filter(rsplit))
+      val merged = operators.IncrementalRollup.merge(
+        operators.IncrementalRollup.state(lOld.join(rOld, Seq("k")), keys, "value"),
+        operators.IncrementalRollup.state(
+          operators.IncrementalRollup.joinViewDelta(lOld, lDel, rOld, rDel, Seq("k")),
+          keys, "value"), keys)
+      assert(fin(merged) == fin(full), s"split mod $m diverged")
+    }
+  }
+
   test("zorderValue stays within 2*bits bits and is monotone-safe on known orderings (bulk)") {
     val pts = Gen.listOfN(300,
       Gen.zip(Gen.chooseNum(0L, 1023L), Gen.chooseNum(0L, 1023L))).sampled
