@@ -485,6 +485,55 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Hamming-radius near-dup pairs over an arbitrary '0'/'1'-bitstring
+    * hash column (perceptual hashes — aHash, audio fingerprints —
+    * arrive as fixed-width bitstrings) — [[simhashNearDup]]'s byte-band
+    * pigeonhole generalized to any width, with the exact-shrink
+    * doctrine applied FIRST: identical hashes collapse to one
+    * representative row with a multiplicity (k duplicate rasters
+    * contribute ONE distinct-hash node, never k²/2 pairs — the dd18
+    * lesson), so the banded self-join and the output are sized by the
+    * DISTINCT hash set, independent of corpus duplication. Pigeonhole
+    * exactness: maxHamming < numBands guarantees ≤ maxHamming
+    * differing bits leave at least one band equal, so recall over
+    * distinct pairs is 1.0, not probabilistic. Hamming is computed on
+    * 32-bit chunks (conv → XOR → bit_count, pure codegen). Output: one
+    * row per unordered distinct-hash pair within the radius, with both
+    * multiplicities and representative ids. */
+  def bitstringNearDup(hashes: DataFrame, idCol: String, hashCol: String,
+                       bits: Int, maxHamming: Int,
+                       numBands: Int): DataFrame = {
+    require(maxHamming < numBands, "pigeonhole exactness needs maxHamming < numBands")
+    require(bits % numBands == 0, s"bits=$bits must divide into numBands=$numBands")
+    val bandLen = bits / numBands
+    val u = hashes.groupBy(col(hashCol).as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("rep"))
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        substring(col("h"), b * bandLen + 1, bandLen).as("band_key"))
+    }
+    val banded = u.select(col("h"), col("n"), col("rep"),
+      explode(array(bands: _*)).as("bk"))
+      .select(col("h"), col("n"), col("rep"), col("bk.band"), col("bk.band_key"))
+    val a = banded.select(col("band"), col("band_key"), col("h").as("hash_a"),
+      col("n").as("n_a"), col("rep").as("rep_a"))
+    val b = banded.select(col("band"), col("band_key"), col("h").as("hash_b"),
+      col("n").as("n_b"), col("rep").as("rep_b"))
+    val hamming = (0 until bits by 32).map { i =>
+      bit_count(conv(substring(col("hash_a"), i + 1, math.min(32, bits - i)), 2, 10)
+        .cast("long")
+        .bitwiseXOR(conv(substring(col("hash_b"), i + 1, math.min(32, bits - i)), 2, 10)
+          .cast("long")))
+    }.reduce(_ + _)
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("hash_a") < col("hash_b"))
+      .select(col("hash_a"), col("hash_b"), col("n_a"), col("n_b"),
+        col("rep_a"), col("rep_b"))
+      .distinct()
+      .withColumn("hamming", hamming.cast("int"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Eagerly materialize a small intermediate (candidate pairs, verified
     * jaccard pairs, iteration labels) and truncate its lineage.
     * AQE exchange reuse does NOT cover multi-branch consumption of a

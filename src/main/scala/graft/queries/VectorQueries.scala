@@ -1744,6 +1744,46 @@ grp AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_same,
 SELECT b.doc_id AS media_id, b.ahash, b.mean_px, grp.n_same, grp.canonical_id
 FROM b JOIN grp USING (ahash)""")),
 
+    // Multimodal perceptual NEAR-dup (mm06 finds only exact aHash
+    // collisions; re-encoded/slightly-altered images land a few bits
+    // away): Hamming-radius pairs over the 64-bit aHash via
+    // NearDup.bitstringNearDup — identical hashes collapse to one
+    // multiplicity-carrying node FIRST (never k²/2 pairs per duplicate
+    // group), then the 4×16-bit band pigeonhole (radius 3 < 4 bands ⇒
+    // exact recall over distinct pairs) and a 32-bit-chunk XOR popcount
+    // verify. Output is distinct-hash-pair sized at every SF. The
+    // oracle pairs the distinct hashes naively (bounded set) with
+    // DuckDB BIT xor — a banding or popcount bug fails the hash.
+    Q("mm11_ahash_neardup",
+      (s, d) => {
+        val ah = Multimodal.aHashPng(s,
+          Multimodal.synthesizePng(s, Tables.documents(s, d)).toDF()).toDF()
+        graft.operators.NearDup.bitstringNearDup(
+          ah.select(col("media_id"), col("ahash")), "media_id", "ahash",
+          bits = 64, maxHamming = 3, numBands = 4)
+      },
+      Some("""WITH dims AS (SELECT doc_id,
+                     CAST(doc_id % 16 + 4 AS INTEGER) AS w,
+                     CAST((doc_id // 16) % 8 + 4 AS INTEGER) AS h
+              FROM documents),
+gx AS (SELECT doc_id, w, h, unnest(generate_series(0, 7)) AS x FROM dims),
+g AS (SELECT doc_id, w, h, x, unnest(generate_series(0, 7)) AS y FROM gx),
+p AS (SELECT doc_id, y * 8 + x AS pos,
+             (doc_id + 7 * ((x * w) // 8) + 13 * ((y * h) // 8)) % 256 AS px
+      FROM g),
+m AS (SELECT doc_id, sum(px) / 64.0 AS mu FROM p GROUP BY doc_id),
+b AS (SELECT p.doc_id,
+             string_agg(CASE WHEN p.px > m.mu THEN '1' ELSE '0' END, ''
+                        ORDER BY p.pos) AS ahash
+      FROM p JOIN m USING (doc_id) GROUP BY p.doc_id),
+u AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS rep
+      FROM b GROUP BY ahash)
+SELECT a.ahash AS hash_a, c.ahash AS hash_b, a.n AS n_a, c.n AS n_b,
+       a.rep AS rep_a, c.rep AS rep_b,
+       CAST(bit_count(xor(a.ahash::BIT, c.ahash::BIT)) AS INTEGER) AS hamming
+FROM u a JOIN u c ON a.ahash < c.ahash
+WHERE bit_count(xor(a.ahash::BIT, c.ahash::BIT)) <= 3""")),
+
     // Multimodal: REAL audio decode — synthesize one genuine RIFF/WAVE
     // payload per document (rate, sample count, and every PCM sample are
     // closed-form functions of doc_id), parse it back through

@@ -373,6 +373,37 @@ class NearDupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bitstringNearDup: shrink-first multiplicities, pigeonhole recall vs brute force") {
+    val rows = Seq(
+      (1L, "00000000"), (4L, "00000000"), // duplicate hash -> one node, n=2
+      (2L, "00000001"),                   // hamming 1 from A
+      (3L, "00001111"),                   // hamming 4 from A (out), 3 from B (in)
+    ).toDF("id", "h")
+    val out = NearDup.bitstringNearDup(rows, "id", "h",
+        bits = 8, maxHamming = 3, numBands = 4)
+      .as[(String, String, Long, Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out == Map(
+      ("00000000", "00000001") -> ((2L, 1L, 1L, 2L, 1)),
+      ("00000001", "00001111") -> ((1L, 1L, 2L, 3L, 3))))
+    // brute-force parity on a deterministic spread of 8-bit strings
+    val hs = (0 until 40).map(i => (i.toLong,
+      (0 until 8).map(b => ((i * 37 + b * 11) % 5) / 4).mkString))
+    val got = NearDup.bitstringNearDup(hs.toDF("id", "h"), "id", "h",
+        bits = 8, maxHamming = 2, numBands = 4)
+      .select("hash_a", "hash_b", "hamming")
+      .as[(String, String, Int)].collect().toSet
+    val distinct = hs.map(_._2).distinct
+    val want = (for {
+      a <- distinct; b <- distinct if a < b
+      hd = a.zip(b).count { case (x, y) => x != y } if hd <= 2
+    } yield (a, b, hd)).toSet
+    assert(got == want, "banded candidates must equal the brute-force radius set")
+    intercept[IllegalArgumentException] {
+      NearDup.bitstringNearDup(rows, "id", "h", 8, maxHamming = 4, numBands = 4)
+    }
+  }
+
   test("contentChunkStats: identical docs dedup fully; tiny docs are one chunk") {
     // all-distinct tokens: a periodic text would repeat chunks WITHIN
     // a doc (boundaries are content-defined, so they repeat with the
