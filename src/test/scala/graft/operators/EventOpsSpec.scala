@@ -481,4 +481,13 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Map(1L -> "direct", 2L -> "click", 3L -> "view",
       4L -> "click", 5L -> "direct", 6L -> "view"))
   }
+
+  test("attributeLastTouch guards: bad lookback, empty/overlapping touch types raise") {
+    def run(touch: Seq[String], conv: String, days: Int) =
+      EventOps.attributeLastTouch(events, "user_id", "ts", "event_id",
+        "event_type", touch, conv, days)
+    intercept[IllegalArgumentException] { run(Seq("view"), "purchase", 0) }
+    intercept[IllegalArgumentException] { run(Seq.empty, "purchase", 7) }
+    intercept[IllegalArgumentException] { run(Seq("view", "purchase"), "purchase", 7) }
+  }
 }

@@ -282,6 +282,18 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("ancestorClosure guards: rounds bounds enforced; empty forest is empty") {
+    val edges = Seq((1L, None: Option[Long])).toDF("child", "parent")
+    intercept[IllegalArgumentException] {
+      Graph.ancestorClosure(edges, "child", "parent", rounds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.ancestorClosure(edges, "child", "parent", rounds = 17)
+    }
+    val empty = Seq.empty[(Long, Option[Long])].toDF("child", "parent")
+    assert(Graph.ancestorClosure(empty, "child", "parent").count() == 0)
+  }
+
   test("subtreeRollup: counts and money-rounded sums per subtree") {
     val edges = Seq((1L, None), (2L, Some(1L)), (3L, Some(1L)), (4L, Some(2L)))
       .toDF("child", "parent")

@@ -402,6 +402,19 @@ class NearDupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       NearDup.bitstringNearDup(rows, "id", "h", 8, maxHamming = 4, numBands = 4)
     }
+    intercept[IllegalArgumentException] { // bands must divide the width
+      NearDup.bitstringNearDup(rows, "id", "h", 8, maxHamming = 1, numBands = 3)
+    }
+  }
+
+  test("contentChunkStats guards: degenerate gram size and divisor raise") {
+    val docs = Seq((1L, "a b c", "s")).toDF("doc_id", "text", "source")
+    intercept[IllegalArgumentException] {
+      NearDup.contentChunkStats(docs, "doc_id", "text", "source", k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      NearDup.contentChunkStats(docs, "doc_id", "text", "source", divisor = 1)
+    }
   }
 
   test("contentChunkStats: identical docs dedup fully; tiny docs are one chunk") {
