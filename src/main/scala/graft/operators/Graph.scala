@@ -425,7 +425,16 @@ object Graph {
     * money-rounded sum of `valueCol` over that subtree — computed as
     * [[ancestorClosure]] (N×depth pairs, linear-with-a-log-factor,
     * never a per-level shuffle chain) followed by ONE node-keyed value
-    * join and ONE hash aggregation on the ancestor id. */
+    * join and ONE hash aggregation on the ancestor id.
+    *
+    * Phantom ancestors: a parent id that has no child row of its own
+    * (present only in `parentCol` — a root recorded implicitly) STILL
+    * gets a rollup row, aggregating its descendants' values; but since
+    * it has no row in `values` under its own id, its OWN value is not
+    * part of its `subtree_total` and it does not count itself in
+    * `n_desc`. BOM-style consumers who store a value for every node
+    * should materialize explicit root rows (NULL parent) instead of
+    * relying on implicit ones. Behavior is pinned by GraphSpec. */
   def subtreeRollup(edges: DataFrame, childCol: String, parentCol: String,
                     values: DataFrame, nodeCol: String, valueCol: String,
                     rounds: Int = 6): DataFrame =

@@ -238,11 +238,14 @@ object Retrieval {
                    phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
     val idx = spark.read.parquet(indexPath)
-      // literal bucket set first: static partition pruning keeps the
-      // scan to ≤ |phrase| of the 64 bucket directories
-      .filter(col("bucket").isin(phrase.map(termBucketLocal): _*))
+    // literal bucket equality PER TERM: each posting-list read statically
+    // prunes to exactly its own term's bucket directory (a shared
+    // union-of-buckets filter would make every per-term read scan up to
+    // |phrase| directories — |phrase|× the IO for the same rows)
     def postings(term: String) =
-      idx.filter(col("term") === term).select(col("doc_id"), col("pos"))
+      idx.filter(col("bucket") === termBucketLocal(term) &&
+          col("term") === term)
+        .select(col("doc_id"), col("pos"))
     val first = postings(phrase.head)
     val matches = phrase.zipWithIndex.drop(1).foldLeft(first) {
       case (acc, (term, i)) =>

@@ -197,7 +197,10 @@ object Lake {
     * guard skip live batches (it would read the compaction's digits as
     * an already-folded batch id). */
   def ingestCompactVersion(currentVersion: String): String = {
-    val m = """^v-(\d{9})(?:-c(\d+))?$""".r
+    // \d{9,}: matches the ingest side's widened-padding tolerance for
+    // batch ids >= 1e9 (a fixed {9} would REJECT such a version here
+    // and fail compaction of a perfectly healthy ingest root).
+    val m = """^v-(\d{9,})(?:-c(\d+))?$""".r
     currentVersion match {
       case m(digits, k) =>
         s"$digits-c${Option(k).map(_.toInt + 1).getOrElse(1)}"

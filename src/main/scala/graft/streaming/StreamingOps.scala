@@ -231,7 +231,11 @@ object StreamingOps {
     * .compactPublished]]): the digits IDENTIFY the last folded batch,
     * the suffix keeps maintenance republishes lexicographically newer
     * without claiming a new batch. */
-  private val IngestVersion = """^v-(\d{9})(-.*)?$""".r
+  // \d{9,}: a batch id >= 1e9 widens the f"%09d" padding; a fixed {9}
+  // would parse it to None and disable the replay guard for that id.
+  // The guard compares digits numerically (`digits.toLong`), so the
+  // wider match is safe.
+  private val IngestVersion = """^v-(\d{9,})(-.*)?$""".r
 
   /** The last batch id folded into an ingest root, judged from the
     * PUBLISHED version only (`_CURRENT`), never from directory
@@ -460,7 +464,10 @@ object StreamingOps {
                              beforeId: Long, template: DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val B = """^batch-(\d{9})$""".r
+    // \d{9,}: ids >= 1e9 widen the f"%09d" padding — a fixed {9} would
+    // silently DROP them from accumulated history (data loss, not an
+    // error). Ordering is numeric (`d.toLong`), so width never matters.
+    val B = """^batch-(\d{9,})$""".r
     val prior =
       if (!fs.exists(p)) Seq.empty[String]
       else fs.listStatus(p).toSeq.filter(_.isDirectory)
