@@ -447,7 +447,16 @@ object NearDup {
     * hamming distance < numBands must agree exactly on at least one
     * band (pigeonhole), so banding finds ALL pairs with distance ≤
     * numBands-1 — exact, not approximate — while the self-join stays
-    * bucket-local instead of O(n²). */
+    * bucket-local instead of O(n²).
+    *
+    * AUDIT-ONLY form: bands at ROW level, so a corpus with k copies of a
+    * document pays k²/2 pairs per agreeing bucket — quadratic on
+    * duplicated corpora (the worst 10× ScaleCheck ratio in round 13).
+    * Production consumers use [[simhashNearDupDistinct]], which
+    * exact-shrinks identical hashes to one multiplicity-carrying node
+    * first; this form remains as the doc-level ground truth the audit
+    * queries (dd13-style) compare against, optionally bounded by
+    * `maxBucketSize`. */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3, numBands: Int = 4,
                      maxBucketSize: Option[Int] = None): DataFrame = {
@@ -485,6 +494,49 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** PRODUCTION form of SimHash near-dup: exact-shrink FIRST (the dd18 /
+    * [[bitstringNearDup]] doctrine) — identical simhashes collapse to ONE
+    * distinct-hash node carrying a multiplicity and a representative id
+    * BEFORE the band self-join, so k boilerplate near-identical docs
+    * contribute one node, never k²/2 pairs per band bucket. The banded
+    * join and the output are sized by the DISTINCT simhash set,
+    * independent of corpus duplication — the shape that holds at 100 TB,
+    * where [[simhashNearDup]]'s uncapped row-level banding (kept as the
+    * audit/ground-truth form) grows quadratically on duplicated corpora.
+    * Pigeonhole exactness over distinct pairs is unchanged: maxHamming <
+    * numBands ⇒ recall 1.0. Output: one row per unordered distinct-hash
+    * pair within the radius — (hash_a, hash_b, n_a, n_b, rep_a, rep_b,
+    * hamming); expanding to doc-level pairs is a double join back on
+    * simhash, done only when a consumer truly needs the quadratic set. */
+  def simhashNearDupDistinct(docs: DataFrame, idCol: String, textCol: String,
+                             maxHamming: Int = 3, numBands: Int = 4): DataFrame = {
+    require(maxHamming < numBands, "pigeonhole exactness needs maxHamming < numBands")
+    val bandBits = 32 / numBands
+    val u = simhash(docs, idCol, textCol)
+      .groupBy(col("simhash").as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("rep"))
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("h"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("band_key"))
+    }
+    val banded = u.select(col("h"), col("n"), col("rep"),
+      explode(array(bands: _*)).as("bk"))
+      .select(col("h"), col("n"), col("rep"), col("bk.band"), col("bk.band_key"))
+    val a = banded.select(col("band"), col("band_key"), col("h").as("hash_a"),
+      col("n").as("n_a"), col("rep").as("rep_a"))
+    val b = banded.select(col("band"), col("band_key"), col("h").as("hash_b"),
+      col("n").as("n_b"), col("rep").as("rep_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("hash_a") < col("hash_b"))
+      .select(col("hash_a"), col("hash_b"), col("n_a"), col("n_b"),
+        col("rep_a"), col("rep_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Hamming-radius near-dup pairs over an arbitrary '0'/'1'-bitstring
     * hash column (perceptual hashes — aHash, audio fingerprints —
     * arrive as fixed-width bitstrings) — [[simhashNearDup]]'s byte-band
@@ -508,6 +560,16 @@ object NearDup {
     val bandLen = bits / numBands
     val u = hashes.groupBy(col(hashCol).as("h"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("rep"))
+      // Fail LOUDLY on a malformed hash instead of silently mis-pairing:
+      // a short hash yields empty band keys (every such row collides in
+      // those bands — a quadratic candidate join) and a truncated
+      // popcount. assert_true returns NULL when the predicate holds, so
+      // the filter keeps every valid row and raises on the first bad one
+      // — checked on the DISTINCT-hash set, not per input row.
+      .filter(assert_true(
+        length(col("h")) === bits && col("h").rlike("^[01]+$"),
+        concat(lit(s"bitstringNearDup: hash must be $bits chars of 0/1, got "),
+          col("h"))).isNull)
     val bands = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         substring(col("h"), b * bandLen + 1, bandLen).as("band_key"))

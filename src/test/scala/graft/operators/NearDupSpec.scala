@@ -407,6 +407,61 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("bitstringNearDup: malformed hash fails loudly, never mis-pairs") {
+    // A short hash would yield empty band keys (quadratic collisions) and
+    // a truncated popcount — the guard must raise, not return wrong pairs.
+    val short = Seq((1L, "00000000"), (2L, "0000")).toDF("id", "h")
+    val e1 = intercept[Exception] {
+      NearDup.bitstringNearDup(short, "id", "h", 8, 3, 4).collect()
+    }
+    assert(e1.getMessage.contains("bitstringNearDup") ||
+      Option(e1.getCause).exists(_.getMessage.contains("bitstringNearDup")))
+    val junk = Seq((1L, "00000000"), (2L, "0000000x")).toDF("id", "h")
+    intercept[Exception] {
+      NearDup.bitstringNearDup(junk, "id", "h", 8, 3, 4).collect()
+    }
+  }
+
+  test("simhashNearDupDistinct: dup docs collapse to one node; distinct-pair parity with audit form") {
+    // 3 exact copies of one doc + 1 near dup + 1 unrelated: the audit
+    // (row-level) form pays 3 choose 2 intra-dup pairs; the production
+    // form must emit ZERO intra-dup pairs (same hash = one node) and one
+    // cross-hash pair carrying multiplicity 3.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (6L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "completely different content about spark engines here"),
+    ).toDF("doc_id", "text")
+    val prod = NearDup.simhashNearDupDistinct(corpus, "doc_id", "text", 3, 4)
+      .collect()
+    val audit = NearDup.simhashNearDup(corpus, "doc_id", "text", 3, 4)
+    // every production row is a DISTINCT-hash pair: hash_a < hash_b
+    assert(prod.forall(r => r.getLong(0) < r.getLong(1)))
+    prod.foreach { r =>
+      if (Set(r.getLong(4), r.getLong(5)).contains(1L))
+        assert(r.getLong(2) == 3L || r.getLong(3) == 3L,
+          "the triplicated doc's node must carry multiplicity 3")
+    }
+    // doc-level expansion of the production pairs == the audit form's
+    // CROSS-hash pairs (audit adds intra-dup hamming-0 pairs on top)
+    val sig = NearDup.simhash(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap // doc_id -> simhash
+    val expanded = prod.flatMap { r =>
+      val (ha, hb) = (r.getLong(0), r.getLong(1))
+      for {
+        a <- sig.collect { case (d, h) if h == ha => d }
+        b <- sig.collect { case (d, h) if h == hb => d }
+      } yield (math.min(a, b), math.max(a, b))
+    }.toSet
+    val auditCross = audit.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, _) => sig(a) != sig(b) }
+      .map { case (a, b, _) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(expanded == auditCross)
+  }
+
   test("contentChunkStats guards: degenerate gram size and divisor raise") {
     val docs = Seq((1L, "a b c", "s")).toDF("doc_id", "text", "source")
     intercept[IllegalArgumentException] {
