@@ -263,6 +263,118 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
+  // Real JPEG path (javax.imageio — the LOSSY codec of the big-three
+  // image formats; PNG and GIF above are lossless)
+  // ---------------------------------------------------------------
+
+  /** Whether block (bx, by) of media `id`'s JPEG raster is the HIGH
+    * gray (192) or the LOW gray (64) — the closed-form pattern shared
+    * by [[synthesizeJpeg]], the aHash oracle, and the specs.
+    *
+    * The pattern is engineered so aHash is EXACT despite JPEG loss:
+    * for any id, each half of the 8×8 block grid has (3·bx + 5·by)
+    * uniform mod 4 (bx residues repeat twice per half-row set, by
+    * residues 0..3 once per half), so exactly 32 of 64 blocks are HIGH
+    * — the pre-codec 8×8 downsample mean is pinned at
+    * (32·64 + 32·192)/64 = 128 with a ±64 margin to either level,
+    * while the id-dependent offsets (id, id div 4) still vary the
+    * LAYOUT, giving real duplicate groups across ids. */
+  @inline private[operators] def jpegBlockHigh(id: Long, bx: Int, by: Int): Boolean =
+    (((if (by < 4) id else id / 4) + 3L * bx + 5L * by) % 4L) < 2L
+
+  /** Synthesize one REAL JPEG per document: a 64×64 grayscale image of
+    * flat 8×8 blocks ALIGNED TO JPEG'S DCT GRID (a flat block has only
+    * a DC coefficient, so quantization error stays within a few gray
+    * levels — far inside the 64-level margin the aHash thresholds
+    * across), encoded through `javax.imageio`'s JPEG writer.
+    * TYPE_BYTE_GRAY + raster samples: the JPEG codec reads/writes the
+    * raster's luma samples verbatim; going through getRGB/setRGB would
+    * insert the linear-gray→sRGB conversion and skew every value (the
+    * GIF palette lesson, lossy edition). */
+  def synthesizeJpeg(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            64, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < 64) {
+            var x = 0
+            while (x < 64) {
+              val v = if (jpegBlockHigh(id, x / 8, y / 8)) 192 else 64
+              raster.setSample(x, y, 0, v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          MediaRecord(id, "image/jpeg", bos.toByteArray)
+        }
+      }
+  }
+
+  /** Perceptual average-hash over the REAL JPEG decode — the lossy-
+    * codec leg of [[aHashPng]]: decode via `javax.imageio`'s JPEG
+    * reader (one reader per partition), 8×8 downsample by the exact
+    * integer index map (x·w/8), mean threshold, 64-bit row-major
+    * bitstring. Samples are read from the RASTER (raw decoded luma),
+    * not getRGB — the gray color model's sRGB conversion would shift
+    * values nonlinearly. aHash is deterministic despite lossy decode
+    * because the fixture guarantees a ≥64-gray-level margin between
+    * every sampled pixel and the mean, two orders beyond flat-block
+    * quantization error; the hash itself (not the noisy pixels) is the
+    * emitted, oracle-checked value. No mean_px column: unlike PNG, the
+    * decoded mean carries codec-dependent noise and would not be
+    * engine-reproducible. */
+  def aHashJpeg(spark: SparkSession, media: DataFrame): Dataset[JpegHash] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        val reader = {
+          val rs = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+          require(rs.hasNext, "JVM has no JPEG ImageReader plugin")
+          rs.next()
+        }
+        it.map { r =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val img =
+            try {
+              reader.setInput(iis)
+              val i = reader.read(0)
+              require(i != null, s"undecodable JPEG payload for media ${r.media_id}")
+              i
+            } finally iis.close()
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = new Array[Int](64)
+          var sum = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val v = raster.getSample(x * w / 8, y * h / 8, 0)
+              px(y * 8 + x) = v; sum += v; x += 1
+            }
+            y += 1
+          }
+          val mu = sum / 64.0
+          val bits = new java.lang.StringBuilder(64)
+          var i = 0
+          while (i < 64) { bits.append(if (px(i) > mu) '1' else '0'); i += 1 }
+          JpegHash(r.media_id, bits.toString)
+        }
+      }
+  }
+
+  /** Per-media JPEG perceptual hash (no mean column — see
+    * [[aHashJpeg]]). */
+  case class JpegHash(media_id: Long, ahash: String)
+
+  // ---------------------------------------------------------------
   // Real multi-frame GIF path (javax.imageio — the pure-JVM container
   // with FRAMES, standing in for video: per-frame decode is the
   // frame-sampling shape a video pipeline needs, on a real codec)

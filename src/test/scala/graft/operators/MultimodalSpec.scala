@@ -130,6 +130,44 @@ class MultimodalSpec extends SparkSpec {
     assert(h(40L) != h(41L), "these two distinct rasters must separate")
   }
 
+  test("synthesizeJpeg emits genuine JPEGs; decoded blocks stay inside the aHash margin") {
+    val recs = Multimodal.synthesizeJpeg(spark, docs).collect()
+    recs.foreach { r =>
+      // SOI marker: a real JPEG container, not a stub
+      assert((r.payload(0) & 0xff) == 0xff && (r.payload(1) & 0xff) == 0xd8,
+        s"media ${r.media_id} missing JPEG SOI marker")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == 64 && img.getHeight == 64)
+      val raster = img.getRaster
+      // every pixel of every flat DCT-aligned block decodes within a few
+      // gray levels of its intended value — far inside the ±64 margin
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val want = if (Multimodal.jpegBlockHigh(r.media_id, x / 8, y / 8)) 192 else 64
+        val got = raster.getSample(x, y, 0)
+        assert(math.abs(got - want) < 16,
+          s"media ${r.media_id} px($x,$y): decoded $got vs intended $want")
+      }
+    }
+  }
+
+  test("aHashJpeg: decoded hash equals the closed-form model bit for bit (loss-immune)") {
+    val out = Multimodal.aHashJpeg(spark,
+      Multimodal.synthesizeJpeg(spark, docs).toDF()).collect()
+    out.foreach { r =>
+      val expected = (for (y <- 0 until 8; x <- 0 until 8)
+        yield if (Multimodal.jpegBlockHigh(r.media_id, x, y)) '1' else '0').mkString
+      assert(r.ahash == expected, s"JPEG aHash bits for media ${r.media_id}")
+    }
+    // ids that agree on (id mod 4, id div 4 mod 4) paint identical block
+    // patterns -> hash collides; a pattern-changing id must separate
+    val trio = Seq((3L, "a"), (19L, "b"), (4L, "c")).toDF("doc_id", "text")
+    val h = Multimodal.aHashJpeg(spark,
+      Multimodal.synthesizeJpeg(spark, trio).toDF()).collect()
+      .map(r => r.media_id -> r.ahash).toMap
+    assert(h(3L) == h(19L), "same block pattern must share the hash")
+    assert(h(3L) != h(4L), "different block patterns must separate")
+  }
+
   test("synthesizeGif emits genuine multi-frame GIFs: magic bytes + frame count match the id model") {
     val recs = Multimodal.synthesizeGif(spark, docs).collect()
       .map(r => r.media_id -> r.payload).toMap
