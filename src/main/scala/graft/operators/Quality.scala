@@ -123,6 +123,44 @@ object Quality {
     else df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Distributed logistic-regression training — the TRAINED quality
+    * classifier completing the heuristic tx gates (the fastText-style
+    * curation step: label a sample, train, score the corpus). Full-batch
+    * gradient descent, deterministic by the k-means/BPE discipline: each
+    * round is ONE map-side-combining aggregation over the feature frame
+    * (per-feature `round(avg((σ(margin) − y)·x_j), 6)` — the rounding
+    * pins the only float whose summation order engines could disagree
+    * on), then an O(d) driver update `w_j ← w_j − lr·g_j`. After the
+    * round-6 cut every subsequent double op is a pure function of pinned
+    * values, so the whole training trajectory is reproducible in SQL as
+    * unrolled CTEs (tx42's oracle does exactly that). Driver state is d
+    * doubles — the bounded-collect class of k-means centroids, never
+    * rows. Callers include an explicit all-ones bias column. */
+  def trainLogistic(feat: DataFrame, labelCol: String,
+                    featureCols: Seq[String], rounds: Int,
+                    lr: Double): Array[Double] = {
+    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32]: $rounds")
+    require(featureCols.nonEmpty, "need at least one feature column")
+    var w = Array.fill(featureCols.size)(0.0)
+    for (_ <- 1 to rounds) {
+      val err = logisticP(w, featureCols) - col(labelCol)
+      val aggs = featureCols.map(c => round(avg(err * col(c)), 6))
+      val g = feat.agg(aggs.head, aggs.tail: _*).first()
+      w = Array.tabulate(w.length)(i => w(i) - lr * g.getDouble(i))
+    }
+    w
+  }
+
+  /** Per-row score column under trained weights: round-6 σ(w·x). */
+  def logisticScore(weights: Array[Double], featureCols: Seq[String]): Column =
+    round(logisticP(weights, featureCols), 6)
+
+  private def logisticP(weights: Array[Double], featureCols: Seq[String]): Column = {
+    val margin = featureCols.zip(weights)
+      .map { case (c, wi) => col(c) * lit(wi) }.reduce(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-margin))
+  }
+
   /** Population-stability-index drift gate: per group, how far the
     * `current` side's value distribution has drifted from the
     * `baseline` side's — PSI = Σ (p−q)·ln(p/q) over fixed-width

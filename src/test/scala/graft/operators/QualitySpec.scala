@@ -268,4 +268,29 @@ class QualitySpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("alpha"))
   }
+
+  test("trainLogistic: planted spam scores below planted prose; training is deterministic") {
+    // Features mimic tx42's: token-mass share per hash bucket + bias.
+    // Spam = all mass in one bucket (repetitive); prose = spread mass.
+    // 60 labeled docs, 3 buckets for a clean signal.
+    val rows = (0 until 60).map { i =>
+      val spam = i % 2 == 0
+      if (spam) (i.toLong, 0.0, 1.0, 0.0, 0.0, 1.0)          // y=0, mass in x0
+      else      (i.toLong, 1.0, 0.2, 0.4, 0.4, 1.0)          // y=1, spread
+    }.toDF("id", "y", "x0", "x1", "x2", "xb")
+    val cols = Seq("x0", "x1", "x2", "xb")
+    val w = Quality.trainLogistic(rows, "y", cols, rounds = 8, lr = 1.0)
+    val scored = rows.select($"id", $"y",
+        Quality.logisticScore(w, cols).as("s"))
+      .as[(Long, Double, Double)].collect()
+    val spamMax = scored.filter(_._2 == 0.0).map(_._3).max
+    val proseMin = scored.filter(_._2 == 1.0).map(_._3).min
+    assert(spamMax < proseMin,
+      s"every planted spam doc ($spamMax) must score below every prose doc ($proseMin)")
+    // determinism: same data re-partitioned differently → identical weights
+    val w2 = Quality.trainLogistic(rows.repartition(13), "y", cols, 8, 1.0)
+    assert(w.toSeq == w2.toSeq, "training must not depend on physical layout")
+    intercept[IllegalArgumentException] { Quality.trainLogistic(rows, "y", cols, 0, 1.0) }
+    intercept[IllegalArgumentException] { Quality.trainLogistic(rows, "y", Nil, 1, 1.0) }
+  }
 }
