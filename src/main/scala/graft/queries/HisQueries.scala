@@ -12,37 +12,39 @@ import graft.operators.Reshape
 object HisQueries {
   val all: Seq[Q] = Seq(
     Q("his_extract_wide",
-      (s, d) => TurnosPipeline.wideExtract(s, d),
+      (s, d) => TurnosPipeline.wideExtractStaged(s, d),
       Some(TurnosOracle.wideSql)),
     Q("his_paciente",
-      (s, d) => TurnosPipeline.paciente(TurnosPipeline.wideExtract(s, d)),
+      (s, d) => TurnosPipeline.paciente(TurnosPipeline.wideExtractStaged(s, d)),
       Some(TurnosOracle.pacienteSql)),
     // NOTE on caching: wideExtract appears in several DAG branches of
-    // the queries below. persist() was tried and MEASURED SLOWER at
-    // sf0.1 (68.6s -> 112.4s total): parallel downstream stages race to
-    // fill the cache and the columnar materialization of every column
-    // defeats pruning. AQE's exchange reuse already dedups the leaf
-    // joins; recompute of the cheap projections is the better trade.
+    // the queries below AND across the standalone registry entries.
+    // persist() was tried and MEASURED SLOWER at sf0.1 (68.6s ->
+    // 112.4s total): parallel downstream stages raced to fill the lazy
+    // cache. wideExtractStaged is the working replacement — one EAGER
+    // localCheckpoint per (session, dir), computed before any consumer
+    // plans against it, reused by every his_* entry (hashes unchanged;
+    // lineage truncation only).
     Q("his_turno",
       (s, d) => {
-        val wide = TurnosPipeline.wideExtract(s, d)
+        val wide = TurnosPipeline.wideExtractStaged(s, d)
         TurnosPipeline.turno(wide, TurnosPipeline.paciente(wide))
       },
       Some(TurnosOracle.turnoSql)),
     Q("his_prestacion",
       (s, d) => TurnosPipeline.prestacion(
-        TurnosPipeline.prestacionLong(TurnosPipeline.wideExtract(s, d))),
+        TurnosPipeline.prestacionLong(TurnosPipeline.wideExtractStaged(s, d))),
       Some(TurnosOracle.prestacionSql)),
     // OP-20: the unpivot/melt stage in isolation (wide slots → long).
     Q("op20_unpivot",
-      (s, d) => TurnosPipeline.prestacionLong(TurnosPipeline.wideExtract(s, d)),
+      (s, d) => TurnosPipeline.prestacionLong(TurnosPipeline.wideExtractStaged(s, d)),
       Some(TurnosOracle.unpivotSql)),
 
     // OP-13: same dim joined once per denormalized FK column (11×),
     // broadcast once + reused; ≡ unpivot-then-join (ReshapeSpec).
     Q("op13_repeated_dim_join",
       (s, d) => {
-        val wide = TurnosPipeline.wideExtract(s, d)
+        val wide = TurnosPipeline.wideExtractStaged(s, d)
         val dim = TurnosPipeline.prestacion(TurnosPipeline.prestacionLong(wide))
         val slots = (0 until TurnosPipeline.nSlots).map(k => s"prestacion$k")
         Reshape.repeatedDimJoin(wide, dim, "nombre", "id", slots, "p")
@@ -53,7 +55,7 @@ object HisQueries {
 
     Q("his_prestacion_x_turno",
       (s, d) => {
-        val wide = TurnosPipeline.wideExtract(s, d)
+        val wide = TurnosPipeline.wideExtractStaged(s, d)
         val long = TurnosPipeline.prestacionLong(wide)
         val turnoDim = TurnosPipeline.turno(wide, TurnosPipeline.paciente(wide))
         TurnosPipeline.prestacionXTurno(long, turnoDim, TurnosPipeline.prestacion(long))
