@@ -1635,8 +1635,31 @@ FROM m GROUP BY source""")),
       (s, d) => NearDup.simhash(Tables.documents(s, d), "doc_id", "text"),
       Some(s"WITH $simhashCtes SELECT doc_id, simhash FROM sim")),
 
-    // SimHash near-dup pairs via byte-band pigeonhole (exact for
-    // hamming ≤ 3 with 4 bands).
+    // PRODUCTION SimHash near-dup (the form a user copies): identical
+    // simhashes exact-shrink to ONE multiplicity-carrying node BEFORE
+    // the byte-band pigeonhole self-join — output and shuffle are sized
+    // by the DISTINCT simhash set, independent of corpus duplication
+    // (the mm11 treatment; dd08 below stays as the row-level audit
+    // form). Oracle pairs the distinct hashes naively — banding is an
+    // exact optimization for hamming ≤ 3 with 4 bands, so any recall
+    // loss in the banded plan fails the hash.
+    Q("dd08b_simhash_neardup_prod",
+      (s, d) => NearDup.simhashNearDupDistinct(
+        Tables.documents(s, d), "doc_id", "text", 3, 4),
+      Some(s"""WITH $simhashCtes,
+u AS (SELECT simhash, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS rep
+      FROM sim GROUP BY simhash)
+SELECT a.simhash AS hash_a, b.simhash AS hash_b, a.n AS n_a, b.n AS n_b,
+       a.rep AS rep_a, b.rep AS rep_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM u a JOIN u b ON a.simhash < b.simhash
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
+
+    // AUDIT entry — doc-level SimHash near-dup pairs via byte-band
+    // pigeonhole (exact for hamming ≤ 3 with 4 bands). Row-level
+    // banding: k duplicate docs cost k²/2 pairs per bucket, so this is
+    // the ground-truth/audit form (like dd13 for LSH), NOT the
+    // production path — that is dd08b above.
     Q("dd08_simhash_neardup",
       (s, d) => NearDup.simhashNearDup(Tables.documents(s, d), "doc_id", "text", 3, 4),
       Some {
@@ -1935,6 +1958,168 @@ c AS (SELECT t.doc_id, t.source, t.tk,
 SELECT c.source, c.doc_id, CAST(c.tk AS BIGINT) AS n_tokens,
        round(c.cl / m.m, 6) AS pct_rank_est
 FROM c JOIN m USING (source)""")),
+
+    // Deterministic global-shuffle SHARD EXPORT — the terminal writer
+    // of the training-data pipeline (everything upstream exists: tx16
+    // packing, tx31 budgets; this emits the artifact a training run
+    // reads). md5-rank keyed permutation → ONE range shuffle for the
+    // exclusive token prefix (Packing.runningTotal — never a global
+    // window) → shard k = (prefix·N) div total (exact integers) →
+    // parquet dir per shard + _manifest receipt. The registered result
+    // is the manifest RECOMPUTED FROM THE READ-BACK SHARDS, so the
+    // write path itself (partition layout, shard routing, no lost/dup
+    // docs) is what the oracle hash certifies; PackingSpec pins
+    // re-runs byte-identical.
+    Q("tx41_shard_export",
+      (s, d) => {
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_tx41_${new java.io.File(d).getName}").getAbsolutePath
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        Packing.exportShards(docs, "doc_id", col("n_tokens"), 8, "tx41", out)
+        s.read.parquet(s"$out/shards")
+          .groupBy(col("shard").cast("int").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tokens"),
+            bit_xor(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+              .cast("long")).as("digest"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                  md5('tx41:' || CAST(doc_id AS VARCHAR)) AS rk
+           FROM documents),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t),
+o AS (SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY rk, doc_id) - n_tokens AS BIGINT) AS o_off
+      FROM t),
+a AS (SELECT doc_id, n_tokens,
+             CAST(least(7, (o.o_off * 8) // tot.total) AS INTEGER) AS shard
+      FROM o, tot)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)) AS digest
+FROM a GROUP BY shard""")),
+
+    // TRAINED quality classifier — the fastText-style curation step the
+    // heuristic tx gates (entropy/repetition/bigram-LM) approximate:
+    // distributed full-batch logistic regression over tx33's hashed-TF
+    // features (token-length-normalized, round-6) with the tx06 quality
+    // gate as labels. Training follows the k-means/BPE determinism
+    // discipline — per round ONE map-side-combining aggregation
+    // (per-feature round-6 gradient) + an O(d) driver update — so the
+    // ORACLE REPRODUCES THE TRAINING LOOP ITSELF as unrolled CTEs
+    // (init + 3 GD rounds), not just the final scores. QualitySpec pins
+    // planted spam below planted prose under the same trainer.
+    Q("tx42_lr_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dim = 16
+        val tf = TextAnalysis.hashedTf(docs, "doc_id", "text", dim)
+        val m = docs.select(
+          (Seq(col("doc_id")) ++ TextAnalysis.qualityMetrics(col("text"))): _*)
+        val lbl = m.select(col("doc_id"),
+          when(col("n_tokens").between(20, 2000) && col("ttr") >= 0.3 &&
+            col("mean_token_len").between(2.0, 12.0), 1.0).otherwise(0.0).as("y"),
+          col("n_tokens").cast("long").as("nt"))
+          .filter(col("nt") >= 1)
+        val wide = tf.groupBy(col("doc_id"))
+          .pivot("dim_idx", (0 until dim).map(j => java.lang.Long.valueOf(j.toLong)))
+          .agg(first(col("tf")))
+          .join(lbl, Seq("doc_id"))
+        val xcols = (0 until dim).map(j =>
+          round(col(s"`$j`").cast("double") / col("nt"), 6).as(s"x$j"))
+        val X = NearDup.stage(wide.select(
+          (Seq(col("doc_id"), col("y")) ++ xcols :+ lit(1.0).as("xb")): _*))
+        val featureCols = (0 until dim).map(j => s"x$j") :+ "xb"
+        val w = graft.operators.Quality.trainLogistic(X, "y", featureCols, 3, 0.5)
+        X.select(col("doc_id"), col("y"),
+          graft.operators.Quality.logisticScore(w, featureCols).as("score"))
+      },
+      Some(tx42Sql)),
+
+    // CROSS-MODALITY canonical groups — the curation bridge dd10 builds
+    // for text only, over BOTH perceptual-hash graphs: image near-dup
+    // edges (real PNG decode → aHash → exact-shrink membership +
+    // Hamming≤3 distinct-hash pairs, mm11's machinery) UNIONed with
+    // text near-dup edges (simhash exact-shrink membership + Hamming≤3
+    // pairs, dd08b's machinery), then ONE connected-components fixpoint
+    // (starComponents — O(log n) rounds; driver union-find only under
+    // its hard 2M-edge gate). Edge volume is linear in docs
+    // (membership) + distinct-hash-pair sized (near-dup) — never
+    // pairwise. A doc whose image matches one group and whose text
+    // matches another MERGES the groups — exactly the cross-modality
+    // dedup a media-rich training pipeline needs. Oracle: closed-form
+    // aHash (mm11) + simhash CTEs + recursive-CTE reachability.
+    Q("mm13_media_canonical",
+      (s, d) => {
+        import graft.operators.Multimodal
+        val docs = Tables.documents(s, d)
+        val ah = Multimodal.aHashPng(s,
+          Multimodal.synthesizePng(s, docs).toDF()).toDF()
+          .select(col("media_id"), col("ahash"))
+        val imgReps = ah.groupBy(col("ahash")).agg(min(col("media_id")).as("rep"))
+        val imgMember = ah.join(imgReps, Seq("ahash"))
+          .select(col("media_id").as("src"), col("rep").as("dst"))
+        val imgPairs = NearDup.bitstringNearDup(ah, "media_id", "ahash",
+            bits = 64, maxHamming = 3, numBands = 4)
+          .select(col("rep_a").as("src"), col("rep_b").as("dst"))
+        val sh = NearDup.simhash(docs, "doc_id", "text")
+        val txtReps = sh.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
+        val txtMember = sh.join(txtReps, Seq("simhash"))
+          .select(col("doc_id").as("src"), col("rep").as("dst"))
+        val txtPairs = NearDup.simhashNearDupDistinct(docs, "doc_id", "text", 3, 4)
+          .select(col("rep_a").as("src"), col("rep_b").as("dst"))
+        val edges = imgMember.unionAll(imgPairs)
+          .unionAll(txtMember).unionAll(txtPairs)
+        val (labels, _) = NearDup.starComponents(
+          docs.select(col("doc_id")), edges, "doc_id")
+        val grp = labels.groupBy(col("canonical_id"))
+          .agg(count(lit(1)).as("n_members"))
+        labels.join(grp, Seq("canonical_id"))
+          .select(col("doc_id"), col("canonical_id"), col("n_members"))
+      },
+      Some(s"""WITH RECURSIVE $simhashCtes,
+dims AS (SELECT doc_id,
+                CAST(doc_id % 16 + 4 AS INTEGER) AS w,
+                CAST((doc_id // 16) % 8 + 4 AS INTEGER) AS h
+         FROM documents),
+agx AS (SELECT doc_id, w, h, unnest(generate_series(0, 7)) AS x FROM dims),
+ag AS (SELECT doc_id, w, h, x, unnest(generate_series(0, 7)) AS y FROM agx),
+ap AS (SELECT doc_id, y * 8 + x AS pos,
+              (doc_id + 7 * ((x * w) // 8) + 13 * ((y * h) // 8)) % 256 AS px
+       FROM ag),
+am AS (SELECT doc_id, sum(px) / 64.0 AS mu FROM ap GROUP BY doc_id),
+ab AS (SELECT ap.doc_id,
+              string_agg(CASE WHEN ap.px > am.mu THEN '1' ELSE '0' END, ''
+                         ORDER BY ap.pos) AS ahash
+       FROM ap JOIN am USING (doc_id) GROUP BY ap.doc_id),
+ar AS (SELECT ahash, min(doc_id) AS rep FROM ab GROUP BY ahash),
+sr AS (SELECT simhash, min(doc_id) AS rep FROM sim GROUP BY simhash),
+e0 AS (
+  SELECT ab.doc_id AS src, ar.rep AS dst FROM ab JOIN ar USING (ahash)
+  UNION ALL
+  SELECT a.rep, c.rep FROM ar a JOIN ar c ON a.ahash < c.ahash
+  WHERE bit_count(xor(a.ahash::BIT, c.ahash::BIT)) <= 3
+  UNION ALL
+  SELECT sim.doc_id, sr.rep FROM sim JOIN sr USING (simhash)
+  UNION ALL
+  SELECT a.rep, c.rep FROM sr a JOIN sr c ON a.simhash < c.simhash
+  WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+),
+edges AS (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION
+  SELECT dst, src FROM e0 WHERE src <> dst
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT re.doc_id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r
+),
+cc AS (SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id),
+grp AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_members
+        FROM cc GROUP BY canonical_id)
+SELECT cc.doc_id, cc.canonical_id, grp.n_members
+FROM cc JOIN grp USING (canonical_id)""")),
   )
 
   /** One CTE layer per possible waterfill round (α = 0): re-allocate
@@ -1955,6 +2140,55 @@ FROM c JOIN m USING (source)""")),
             THEN CAST(1.0 AS DOUBLE) END AS rate
        FROM $prev)"""
     }.mkString(",\n")
+
+  /** tx42's oracle: hashed-TF features + the ENTIRE logistic-regression
+    * training trajectory (init + 3 full-batch GD rounds, lr 0.5,
+    * round-6 gradients — [[graft.operators.Quality.trainLogistic]]'s
+    * exact arithmetic) unrolled as CTE layers, then the round-6
+    * sigmoid scores under the final weights. */
+  private lazy val tx42Sql: String = {
+    val dim = 16
+    val fcols = (0 until dim).map(j => s"x$j") :+ "xb"
+    val xExprs = (0 until dim).map(j =>
+      s"round(COALESCE(sum(CASE WHEN j = $j THEN tf END), 0) / CAST(l.nt AS DOUBLE), 6) AS x$j")
+      .mkString(",\n       ")
+    def margin(w: String) = fcols.map(c => s"$w.w_$c * X.$c").mkString(" + ")
+    val w0 = fcols.map(c => s"0.0 AS w_$c").mkString(", ")
+    val rounds = (1 to 3).map { r =>
+      val prev = s"w${r - 1}"
+      val gs = fcols.map(c => s"round(avg((p - y) * $c), 6) AS g_$c").mkString(",\n       ")
+      val ws = fcols.map(c => s"w.w_$c - 0.5 * g.g_$c AS w_$c").mkString(", ")
+      s"""m$r AS (SELECT X.*, 1.0 / (1.0 + exp(-(${margin("w")}))) AS p FROM X, $prev w),
+g$r AS (SELECT $gs FROM m$r),
+w$r AS (SELECT $ws FROM $prev w, g$r g)"""
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+n AS (SELECT doc_id, len(toks) AS nt,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+             round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mtl
+      FROM t WHERE len(toks) >= 1),
+lbl AS (SELECT doc_id, nt,
+               CAST(CASE WHEN nt BETWEEN 20 AND 2000 AND ttr >= 0.3
+                     AND mtl BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+        FROM n),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+hx AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % $dim AS j,
+              CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT) % 2 = 0
+                   THEN 1 ELSE -1 END AS sgn
+       FROM tok),
+tf AS (SELECT doc_id, j, sum(sgn) AS tf FROM hx GROUP BY 1, 2),
+X AS (SELECT l.doc_id, l.y,
+       $xExprs,
+       CAST(1 AS DOUBLE) AS xb
+      FROM lbl l LEFT JOIN tf ON tf.doc_id = l.doc_id
+      GROUP BY l.doc_id, l.y, l.nt),
+w0 AS (SELECT $w0),
+$rounds
+SELECT X.doc_id, X.y,
+       round(1.0 / (1.0 + exp(-(${margin("w")}))), 6) AS score
+FROM X, w3 w"""
+  }
 
   /** Shared simhash CTE chain mirroring [[NearDup.simhash]]. */
   private lazy val simhashCtes: String = {

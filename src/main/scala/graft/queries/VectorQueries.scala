@@ -1784,6 +1784,41 @@ SELECT a.ahash AS hash_a, c.ahash AS hash_b, a.n AS n_a, c.n AS n_b,
 FROM u a JOIN u c ON a.ahash < c.ahash
 WHERE bit_count(xor(a.ahash::BIT, c.ahash::BIT)) <= 3""")),
 
+    // Multimodal: REAL JPEG decode — the LOSSY member of the big-three
+    // image formats (PNG mm05/mm06, GIF mm09). The fixture pins the
+    // aHash exactly despite codec loss: flat 8×8 blocks aligned to the
+    // DCT grid (only DC survives — error a few gray levels), two levels
+    // 64/192 in an exactly-half-high pattern (mean pinned at 128, ±64
+    // margin), so the decoded hash equals the closed-form hash and the
+    // whole encode→decode→hash→dedup chain is hash-certified. Dedup is
+    // group-by-hash (dd01 shape with a perceptual key) — never pairwise
+    // pixels.
+    Q("mm12_jpeg_ahash_dedup",
+      (s, d) => {
+        val ah = Multimodal.aHashJpeg(s,
+          Multimodal.synthesizeJpeg(s, Tables.documents(s, d)).toDF()).toDF()
+        val grp = ah.groupBy(col("ahash"))
+          .agg(count(lit(1)).cast("long").as("n_same"),
+            min(col("media_id")).as("canonical_id"))
+        ah.join(grp, Seq("ahash"))
+          .select(col("media_id"), col("ahash"), col("n_same"),
+            col("canonical_id"))
+      },
+      Some("""WITH gx AS (SELECT doc_id, unnest(generate_series(0, 7)) AS x FROM documents),
+g AS (SELECT doc_id, x, unnest(generate_series(0, 7)) AS y FROM gx),
+b AS (SELECT doc_id, y * 8 + x AS pos,
+             CASE WHEN ((CASE WHEN y < 4 THEN doc_id ELSE doc_id // 4 END)
+                        + 3 * x + 5 * y) % 4 < 2
+                  THEN '1' ELSE '0' END AS bit
+      FROM g),
+hh AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS ahash
+       FROM b GROUP BY doc_id),
+grp AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_same,
+               min(doc_id) AS canonical_id
+        FROM hh GROUP BY ahash)
+SELECT hh.doc_id AS media_id, hh.ahash, grp.n_same, grp.canonical_id
+FROM hh JOIN grp USING (ahash)""")),
+
     // Multimodal: REAL audio decode — synthesize one genuine RIFF/WAVE
     // payload per document (rate, sample count, and every PCM sample are
     // closed-form functions of doc_id), parse it back through
