@@ -101,4 +101,56 @@ class FormatsSpec extends SparkSpec {
       assert(got == Map(1L -> None, 2L -> None, 3L -> Some("seg")))
     } finally graft.Scratch.delete(dir)
   }
+
+  test("avro round-trip: full type surface incl. nulls, date, timestamp, binary") {
+    import org.apache.spark.sql.Row
+    val p = tmp("graft_avro")
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", IntegerType), StructField("x", DoubleType),
+      StructField("f", FloatType), StructField("s", StringType),
+      StructField("b", BooleanType), StructField("raw", BinaryType),
+      StructField("d", DateType), StructField("ts", TimestampType)))
+    val ts = java.sql.Timestamp.valueOf("2024-03-05 06:07:08.123456")
+    val rows = Seq(
+      Row(1L, 7, 2.5, 1.5f, "hola", true, Array[Byte](1, 2, 3),
+        java.sql.Date.valueOf("2024-03-05"), ts),
+      Row(2L, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), st)
+    Formats.writeAvro(df, p)
+    // genuine Avro container files: OBJ1 magic
+    val files = new java.io.File(p).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.nonEmpty)
+    val magic = java.nio.file.Files.readAllBytes(files.head.toPath).take(4)
+    assert(magic.sameElements(Array[Byte]('O', 'b', 'j', 1)))
+    val back = Formats.readAvro(spark, p)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      st.map(f => (f.name, f.dataType)))
+    val got = back.collect().sortBy(_.getLong(0))
+    assert(got.length == 2)
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getInt(1) == 7 && r.getDouble(2) == 2.5 &&
+      r.getFloat(3) == 1.5f && r.getString(4) == "hola" && r.getBoolean(5) &&
+      r.getAs[Array[Byte]](6).toSeq == Seq[Byte](1, 2, 3) &&
+      r.getDate(7) == java.sql.Date.valueOf("2024-03-05") &&
+      r.getTimestamp(8) == ts, s"row mismatch: $r")
+    assert((1 to 8).forall(got(1).isNullAt), "null row must round-trip as nulls")
+    // unsupported type fails loudly at plan time
+    intercept[IllegalArgumentException] {
+      Formats.writeAvro(
+        data.select(org.apache.spark.sql.functions.array($"id").as("a")),
+        tmp("graft_avro_bad"))
+    }
+  }
+
+  test("gzip-jsonl round-trip: per-partition .gz files, explicit schema read") {
+    val p = tmp("graft_gzjl")
+    Formats.writeJsonlGz(data.repartition(2), p)
+    val gz = new java.io.File(p).listFiles().filter(_.getName.endsWith(".json.gz"))
+    assert(gz.length == 2, "one gzip member per partition (file-count parallelism)")
+    val got = Formats.readJsonlGz(spark, p, schema)
+      .as[(Long, Option[String], Double)].collect().toSet
+    assert(got == Set((1L, Some("ana"), 0.5), (2L, Some("luis"), 1.25), (3L, None, 2.0)))
+  }
 }
