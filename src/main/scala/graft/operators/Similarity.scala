@@ -135,7 +135,7 @@ object Similarity {
     * `partitionBy` lays each bucket out as its own directory. */
   def writeBucketedCorpus(corpus: DataFrame, path: String,
                           numPlanes: Int = 8, dim: Int = 64,
-                          metaCols: Seq[String] = Nil): Unit =
+                          metaCols: Seq[String] = Nil): Unit = {
     corpus.select((Seq("vec_id", "embedding") ++ metaCols).map(col): _*)
       .withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
       // Cluster by bucket before the partitioned write: without it every
@@ -144,6 +144,57 @@ object Similarity {
       // file per bucket per write — the layout a 100 TB reader wants.
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeStats(corpus.sparkSession, path,
+      corpus.select(lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors")))
+  }
+
+  /** Per-bucket cardinality/size manifest of a stored bucket index
+    * (`<path>/_stats`: bucket, n_vectors, n_bytes) — emitted at
+    * write/append/compact time so a HOT LSH bucket is visible from one
+    * tiny metadata read instead of being discovered at query time (or
+    * via a 100 TB file listing). Underscore-prefixed like `_centroids`,
+    * so index scans never see it. n_vectors is exact and
+    * oracle-checkable (ann03f); n_bytes comes from an O(buckets)
+    * driver-side directory listing of files this writer just produced. */
+  def bucketStats(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    spark.read.parquet(s"$path/_stats")
+
+  /** The buckets a capacity planner cares about: n_vectors above
+    * `threshold`, largest first — the skew report that decides caps,
+    * probe budgets, and re-hash decisions BEFORE queries hit the index. */
+  def hotBuckets(spark: org.apache.spark.sql.SparkSession, path: String,
+                 threshold: Long): DataFrame =
+    bucketStats(spark, path).filter(col("n_vectors") > threshold)
+      .orderBy(col("n_vectors").desc, col("bucket").asc)
+
+  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+                         path: String, counts: DataFrame): Unit = {
+    val bytes = listBucketBytes(spark, path)
+    val bdf = spark.createDataFrame(bytes.toSeq).toDF("bucket", "n_bytes")
+    counts.select(col("bucket").cast("long").as("bucket"), col("n_vectors"))
+      .join(bdf, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_vectors"),
+        coalesce(col("n_bytes"), lit(0L)).as("n_bytes"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** (bucket → total file bytes) from one directory listing per bucket
+    * dir — O(2^planes) namenode calls, never a data read. */
+  private def listBucketBytes(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Map[Long, Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map { d =>
+        val b = d.getPath.getName.stripPrefix("bucket=").toLong
+        b -> fs.listStatus(d.getPath).map(_.getLen).sum
+      }.toMap
+  }
 
   /** Incremental maintenance of the stored bucket index: a batch of
     * new vectors is bucketed with the SAME hyperplanes and appended in
@@ -157,11 +208,39 @@ object Similarity {
     * (ann03c proves parity with the all-at-once build against ann03's
     * oracle). */
   def appendToStoredBuckets(newVectors: DataFrame, path: String,
-                            numPlanes: Int = 8, dim: Int = 64): Unit =
+                            numPlanes: Int = 8, dim: Int = 64): Unit = {
     newVectors.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
+    // Stats maintenance is O(batch ∪ buckets), never O(corpus): merge
+    // the batch's counts into the existing manifest — untouched
+    // buckets' rows carry over verbatim (spec-pinned). An index
+    // predating the manifest (no _stats) gets one authoritative
+    // rebuild from the index itself.
+    val spark = newVectors.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchCounts = newVectors
+      .select(lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_stats"))) {
+        // stage the old manifest BEFORE the overwrite below clobbers
+        // the files a lazy plan would still need to read
+        val old = graft.operators.NearDup.stage(
+          bucketStats(spark, path).select(col("bucket"), col("n_vectors")))
+        old.join(batchCounts
+            .select(col("bucket").cast("long").as("bucket"),
+              col("n_vectors").as("__add")), Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            (coalesce(col("n_vectors"), lit(0L)) +
+              coalesce(col("__add"), lit(0L))).as("n_vectors"))
+      } else
+        spark.read.parquet(path).groupBy(col("bucket").cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_vectors"))
+    writeStats(spark, path, merged)
+  }
 
   /** One ingest batch of the STREAMING index-maintenance path
     * ([[graft.streaming.StreamingOps.annIndexIngest]]): vectors are
@@ -196,11 +275,15 @@ object Similarity {
     * readers). Results are layout-invariant: ann03d hash-matches the
     * same oracle as ann03/ann03b/ann03c. */
   def compactStoredBuckets(spark: org.apache.spark.sql.SparkSession,
-                           src: String, dest: String): Unit =
+                           src: String, dest: String): Unit = {
     spark.read.parquet(src)
       .select(col("vec_id"), col("embedding"), col("bucket"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dest)
+    writeStats(spark, dest,
+      spark.read.parquet(dest).groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_vectors")))
+  }
 
   /** [[bucketedTopK]] against a STORED bucket-partitioned corpus
     * ([[writeBucketedCorpus]]'s layout): the broadcast-hash join on the

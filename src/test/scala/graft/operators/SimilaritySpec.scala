@@ -253,6 +253,59 @@ class SimilaritySpec extends SparkSpec {
       "compaction changed results")
   }
 
+  test("bucket stats manifest: exact counts at build; append merges only touched rows; compact refreshes") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files.createTempDirectory("graft_stats_spec").toString
+    Similarity.writeBucketedCorpus(emb.filter($"vec_id" < 300), path)
+    def expected(pred: org.apache.spark.sql.Column): Map[Long, Long] =
+      emb.filter(pred).select(Similarity.lshBucket($"embedding", 8, 64).as("b"))
+        .groupBy($"b").count().as[(Long, Long)].collect().toMap
+    def manifest: Map[Long, (Long, Long)] =
+      Similarity.bucketStats(spark, path)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val m0 = manifest
+    assert(m0.view.mapValues(_._1).toMap == expected($"vec_id" < 300),
+      "build-time manifest must carry exact per-bucket counts")
+    assert(m0.values.forall(_._2 > 0L), "every written bucket has bytes on disk")
+    val batch = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    Similarity.appendToStoredBuckets(batch, path)
+    val m1 = manifest
+    assert(m1.view.mapValues(_._1).toMap == expected($"vec_id" < 400),
+      "append must merge batch counts into the manifest")
+    val hit = batch.select(Similarity.lshBucket($"embedding", 8, 64).as("b"))
+      .distinct().as[Long].collect().toSet
+    m0.keys.filterNot(hit).foreach { b =>
+      assert(m1(b)._1 == m0(b)._1, s"untouched bucket $b count drifted")
+    }
+    // hotBuckets is the manifest filtered+sorted, not a data read
+    val thr = m1.values.map(_._1).toSeq.sorted.apply(m1.size / 2)
+    val hot = Similarity.hotBuckets(spark, path, thr)
+      .select($"bucket", $"n_vectors").as[(Long, Long)].collect()
+    assert(hot.toMap == m1.view.mapValues(_._1).filter(_._2 > thr).toMap)
+    assert(hot.map(_._2).toSeq == hot.map(_._2).toSeq.sortBy(-_))
+    // a compacted copy gets a fresh, equally exact manifest
+    val dest = java.nio.file.Files.createTempDirectory("graft_stats_dest").toString
+    Similarity.compactStoredBuckets(spark, path, dest)
+    val mc = Similarity.bucketStats(spark, dest)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(mc == expected($"vec_id" < 400))
+    // legacy index without a manifest: first append rebuilds it authoritatively
+    val legacy = java.nio.file.Files.createTempDirectory("graft_stats_legacy").toString
+    Similarity.writeBucketedCorpus(emb.filter($"vec_id" < 200), legacy)
+    val fs = new java.io.File(s"$legacy/_stats")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del); f.delete(): Unit
+    }
+    del(fs)
+    Similarity.appendToStoredBuckets(
+      emb.filter($"vec_id" >= 200 && $"vec_id" < 250), legacy)
+    val ml = Similarity.bucketStats(spark, legacy)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(ml == expected($"vec_id" < 250),
+      "missing manifest must be rebuilt from the index, not from the batch alone")
+  }
+
   test("trained PQ codebooks beat sample codebooks on ADC recall@10") {
     // The deterministic fixture makes the recall comparison exact: the
     // L2-k-means-trained m=16/K=64 path (pqTopKTrained) must beat the
