@@ -726,6 +726,71 @@ object RelationalQueries {
                min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
               FROM lineitem GROUP BY l_returnflag""")),
 
+    // Avro round-trip: lineitem → Avro container files (written inside
+    // the tasks, deflate + sync markers) → back through the SPLITTABLE
+    // AvroKeyInputFormat scan → aggregate. Proves the row-oriented
+    // interchange format end to end (schema mapping incl. the date
+    // logical type, union-null handling) — the oracle reads the
+    // ORIGINAL parquet, so any value drift in encode/decode is a hash
+    // mismatch, not a trusted no-op. Same pattern as op45 (ORC).
+    Q("op49_avro_roundtrip",
+      (s, d) => {
+        import graft.sources.Formats
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_avro_li_${new java.io.File(d).getName}").getAbsolutePath
+        Formats.writeAvro(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+            col("l_shipdate")), path)
+        Formats.readAvro(s, path)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+              .as("sum_qty"),
+            min(col("l_shipdate")).as("first_ship"),
+            max(col("l_shipdate")).as("last_ship"))
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+               min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    // Gzip-JSONL round-trip — the crawl-dump landing format: write one
+    // .json.gz per partition, read back with an EXPLICIT schema (no
+    // inference pass), aggregate; oracle reads the original parquet.
+    // Parallelism at 100 TB comes from FILE COUNT (gzip text cannot
+    // split) — the writer emits per-partition files for exactly that
+    // reason, and FormatsSpec pins the .gz extension on disk.
+    Q("op50_gzip_jsonl",
+      (s, d) => {
+        import graft.sources.Formats
+        import org.apache.spark.sql.types._
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_gzjsonl_o_${new java.io.File(d).getName}").getAbsolutePath
+        Formats.writeJsonlGz(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"),
+            // the fixture column is a timestamp; export the DATE (the
+            // JSON date/timestamp formats diverge across engines)
+            to_date(col("o_orderdate")).as("o_orderdate")), path)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+          StructField("o_totalprice", DoubleType),
+          StructField("o_orderpriority", StringType),
+          StructField("o_orderdate", DateType)))
+        Formats.readJsonlGz(s, path, schema)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+              .as("sum_price"),
+            min(col("o_orderdate")).as("first_order"),
+            max(col("o_orderdate")).as("last_order"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+               min(CAST(o_orderdate AS DATE)) AS first_order,
+               max(CAST(o_orderdate AS DATE)) AS last_order
+              FROM orders GROUP BY o_orderpriority""")),
+
     // Native pivot — the inverse of the reference's unpivot loop
     // (OP-20): per-customer order counts spread across the five
     // o_orderpriority columns. Values are PINNED (explicit list), so

@@ -587,6 +587,33 @@ SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id""")
       },
       Some(ann03Oracle)),
 
+    // The stored index's STATS MANIFEST as the source of truth: build +
+    // append maintain `_stats` (bucket, n_vectors, n_bytes) at write
+    // time — O(batch ∪ buckets) merges, never an index rescan — so hot
+    // LSH buckets are a one-row metadata read BEFORE queries discover
+    // them the hard way. This query reads the manifest (not the data,
+    // not a file listing) after a build+append lifecycle; the oracle
+    // recomputes every bucket's cardinality from the embeddings table,
+    // so a stale or mis-merged manifest fails the hash.
+    Q("ann03f_bucket_stats",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val path = graft.Scratch.dir("bucketed_stats", d)
+        graft.Scratch.delete(path) // fresh build each run: append is not idempotent
+        Similarity.writeBucketedCorpus(emb.filter(col("vec_id") < 1500), path)
+        Similarity.appendToStoredBuckets(emb.filter(col("vec_id") >= 1500), path)
+        Similarity.bucketStats(s, path).select(col("bucket"), col("n_vectors"))
+      },
+      Some(s"""WITH $planesSql,
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
+bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors FROM bk GROUP BY bucket""")),
+
     // Multi-probe against the SAME stored layout (Lv et al. 2007's
     // perturbation idea, single-bit-flip variant): each query probes
     // its own bucket PLUS the three buckets across its weakest-margin
