@@ -144,9 +144,9 @@ object Similarity {
       // file per bucket per write — the layout a 100 TB reader wants.
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    writeStats(corpus.sparkSession, path,
+    writeStats(corpus.sparkSession, path, collectCounts(
       corpus.select(lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors")))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))))
   }
 
   /** Per-bucket cardinality/size manifest of a stored bucket index
@@ -170,16 +170,25 @@ object Similarity {
       .orderBy(col("n_vectors").desc, col("bucket").asc)
 
   private def writeStats(spark: org.apache.spark.sql.SparkSession,
-                         path: String, counts: DataFrame): Unit = {
+                         path: String, counts: Map[Long, Long]): Unit = {
+    // The manifest is bucket-count bounded (≤ 2^planes rows), so the
+    // byte-listing merge happens DRIVER-SIDE — the guarded-collect
+    // class of k-means centroids — and the write is one tiny job
+    // instead of a stage + join + write chain (measured ~1 s of fixed
+    // job overhead per index write at bench scale).
     val bytes = listBucketBytes(spark, path)
-    val bdf = spark.createDataFrame(bytes.toSeq).toDF("bucket", "n_bytes")
-    counts.select(col("bucket").cast("long").as("bucket"), col("n_vectors"))
-      .join(bdf, Seq("bucket"), "left")
-      .select(col("bucket"), col("n_vectors"),
-        coalesce(col("n_bytes"), lit(0L)).as("n_bytes"))
+    val rows = counts.toSeq.sorted.map { case (b, n) =>
+      (b, n, bytes.getOrElse(b, 0L))
+    }
+    spark.createDataFrame(rows)
+      .toDF("bucket", "n_vectors", "n_bytes")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_stats")
   }
+
+  /** Bounded collect of per-bucket counts: ≤ 2^numPlanes rows. */
+  private def collectCounts(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** (bucket → total file bytes) from one directory listing per bucket
     * dir — O(2^planes) namenode calls, never a data read. */
@@ -213,32 +222,28 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
-    // Stats maintenance is O(batch ∪ buckets), never O(corpus): merge
-    // the batch's counts into the existing manifest — untouched
-    // buckets' rows carry over verbatim (spec-pinned). An index
-    // predating the manifest (no _stats) gets one authoritative
-    // rebuild from the index itself.
+    // Stats maintenance is O(batch ∪ buckets), never O(corpus): the
+    // batch's counts (ONE agg job, bounded collect) merge into the
+    // existing manifest driver-side — untouched buckets' rows carry
+    // over verbatim (spec-pinned). An index predating the manifest
+    // (no _stats) gets one authoritative rebuild from the index
+    // itself.
     val spark = newVectors.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchCounts = newVectors
+    val batchCounts = collectCounts(newVectors
       .select(lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors")))
     val merged =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_stats"))) {
-        // stage the old manifest BEFORE the overwrite below clobbers
-        // the files a lazy plan would still need to read
-        val old = graft.operators.NearDup.stage(
+        val old = collectCounts(
           bucketStats(spark, path).select(col("bucket"), col("n_vectors")))
-        old.join(batchCounts
-            .select(col("bucket").cast("long").as("bucket"),
-              col("n_vectors").as("__add")), Seq("bucket"), "full_outer")
-          .select(col("bucket"),
-            (coalesce(col("n_vectors"), lit(0L)) +
-              coalesce(col("__add"), lit(0L))).as("n_vectors"))
+        (old.keySet ++ batchCounts.keySet).map(b =>
+          b -> (old.getOrElse(b, 0L) + batchCounts.getOrElse(b, 0L))).toMap
       } else
-        spark.read.parquet(path).groupBy(col("bucket").cast("long").as("bucket"))
-          .agg(count(lit(1)).as("n_vectors"))
+        collectCounts(spark.read.parquet(path)
+          .groupBy(col("bucket").cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_vectors")))
     writeStats(spark, path, merged)
   }
 
@@ -280,9 +285,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("bucket"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dest)
-    writeStats(spark, dest,
+    writeStats(spark, dest, collectCounts(
       spark.read.parquet(dest).groupBy(col("bucket").cast("long").as("bucket"))
-        .agg(count(lit(1)).as("n_vectors")))
+        .agg(count(lit(1)).as("n_vectors"))))
   }
 
   /** [[bucketedTopK]] against a STORED bucket-partitioned corpus
