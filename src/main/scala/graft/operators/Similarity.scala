@@ -259,6 +259,13 @@ object Similarity {
     * replay overwriting the same partitions. `bucket` stays the
     * top-level directory, so query-side dynamic partition pruning is
     * unaffected; [[compactStoredBuckets]] folds the batch level away.
+    *
+    * Stats note: this streaming path deliberately does NOT touch the
+    * `_stats` manifest per micro-batch (a replayed batch would
+    * double-merge counts — the manifest write is not idempotent the
+    * way the dynamic-partition data write is); the manifest refreshes
+    * authoritatively at [[compactStoredBuckets]] time, which the
+    * streaming maintenance protocol already schedules.
     */
   def writeIndexBatch(vectors: DataFrame, path: String, batchId: Long,
                       numPlanes: Int = 8, dim: Int = 64): Unit =
