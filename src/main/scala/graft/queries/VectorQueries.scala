@@ -614,6 +614,38 @@ bits AS (SELECT vec_id, p,
 bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors FROM bk GROUP BY bucket""")),
 
+    // The hotBuckets REPORT as a first-class query: the capacity
+    // planner's view over ann03f's manifest — buckets above 1.5× the
+    // MEAN bucket load, largest first — answered from the
+    // bucket-count-sized `_stats` read alone (no data scan, no file
+    // listing). The scale-free threshold keeps real buckets on BOTH
+    // sides of the cut at every gate SF, and `cnt > 1.5·total/nb` is
+    // evaluated as the exact integer predicate `2·cnt·nb > 3·total`
+    // (threshold = (3·total) div (2·nb) — equivalent for integer cnt),
+    // so no float rounding can flip a boundary bucket between engines.
+    Q("ann03g_hot_buckets",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val path = graft.Scratch.dir("bucketed_hot", d)
+        Similarity.writeBucketedCorpus(emb, path)
+        val stats = Similarity.bucketStats(s, path)
+          .agg(sum(col("n_vectors")).as("t"), count(lit(1)).as("nb")).first()
+        val thr = 3L * stats.getLong(0) / (2L * stats.getLong(1))
+        Similarity.hotBuckets(s, path, thr)
+          .select(col("bucket"), col("n_vectors"))
+      },
+      Some(s"""WITH $planesSql,
+fl AS (SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS d,
+              unnest(embedding)::DOUBLE AS v
+       FROM embeddings),
+bits AS (SELECT vec_id, p,
+                CASE WHEN sum(v * w) >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END AS bval
+         FROM fl JOIN planes USING (d) GROUP BY vec_id, p),
+bk AS (SELECT vec_id, CAST(sum(bval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+cnts AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors FROM bk GROUP BY bucket),
+thr AS (SELECT (3 * sum(n_vectors)) // (2 * count(*)) AS t FROM cnts)
+SELECT bucket, n_vectors FROM cnts, thr WHERE n_vectors > thr.t""")),
+
     // Multi-probe against the SAME stored layout (Lv et al. 2007's
     // perturbation idea, single-bit-flip variant): each query probes
     // its own bucket PLUS the three buckets across its weakest-margin
