@@ -247,6 +247,15 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
+    // min-of-samples total: the contention-robust companion number.
+    // Two of the last three driver benches landed in shared-box
+    // contention windows where the MEDIAN absorbs one bad sample but
+    // not two; the min column makes the artifact self-diagnosing
+    // (total >> total_min ⇒ contention, total ≈ total_min ⇒ quiet) —
+    // without opening bench_full.json's raw samples.
+    val totalMin = names.collect {
+      case n if !errors.contains(n) && samples(n).nonEmpty => samples(n).min
+    }.sum
 
     // Full artifact: every query's median + all raw samples + errors.
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -260,7 +269,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val gwv = gwViolations.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"errors":$esFull,"samples":$ss,"lifecycle":$lc,"global_window_violations":$gwv,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"total_min":${fmt(totalMin)},"unit":"sec","queries":$qsFull,"errors":$esFull,"samples":$ss,"lifecycle":$lc,"global_window_violations":$gwv,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
 
@@ -269,7 +278,7 @@ object Bench {
     val qsHead = results.filter { case (k, _) => headline.contains(k) }
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsHead,"errors":$es,"n_errors":${errors.size},"n_queries":${results.size},"gw_violations":${gwViolations.size},"full":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"total_min":${fmt(totalMin)},"unit":"sec","queries":$qsHead,"errors":$es,"n_errors":${errors.size},"n_queries":${results.size},"gw_violations":${gwViolations.size},"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
     // Red AFTER the artifacts are written: the numbers stay readable,
     // the run still fails loudly on a new single-partition window.

@@ -15,10 +15,26 @@ object Scratch {
 
   private val pid: Long = ProcessHandle.current().pid()
 
-  /** `$TMPDIR/graft_<name>_<fixture-basename>_p<pid>` */
-  def dir(name: String, fixtureDir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
+  /** Every path this process ever handed out, reclaimed by a JVM
+    * shutdown hook: scratch dirs are rewritten in place while the
+    * process runs (bench passes reuse them by design) but are garbage
+    * the moment it exits — without the hook every harness run leaks
+    * its pid-suffixed dirs into $TMPDIR forever (the round-14 ADVICE
+    * accumulation finding). Pid-scoping makes the hook safe: it only
+    * ever deletes dirs no other process can be using. */
+  private val issued = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => issued.forEach(p => delete(p)), "graft-scratch-cleanup"))
+
+  /** `$TMPDIR/graft_<name>_<fixture-basename>_p<pid>`, deleted at JVM
+    * exit. */
+  def dir(name: String, fixtureDir: String): String = {
+    hook
+    val p = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_${name}_${new java.io.File(fixtureDir).getName}_p$pid").getAbsolutePath
+    issued.add(p)
+    p
+  }
 
   /** Recursive delete that does NOT follow directory symlinks (a
     * planted symlink inside a scratch dir must delete the LINK, never

@@ -123,13 +123,38 @@ object TurnosPipeline {
     * Values are bit-identical to [[wideExtract]] (localCheckpoint only
     * truncates lineage), so every oracle hash is unchanged. Keyed by
     * (session, dir): Verify/Bench/ScaleCheck each reuse within their
-    * own session; a new session re-stages. */
+    * own session; a new session re-stages.
+    *
+    * The staging thunk runs under the memo lock: TrieMap's
+    * getOrElseUpdate may evaluate a racing first call's thunk twice,
+    * which here would eagerly checkpoint the extract twice and leak
+    * the losing copy's blocks with no handle left to unpersist them.
+    * The checkpoint is seconds-scale, so holding a JVM lock for it is
+    * fine (harness processes stage once per session). Entries hold
+    * localCheckpoint'd blocks for the session's lifetime BY DESIGN
+    * (the registry reuses them across queries); [[evictStaged]] is the
+    * eviction path for long-lived sessions that are done with the
+    * his family — and note localCheckpoint blocks do not survive
+    * executor loss, so a non-local deployment that can lose executors
+    * should stage through a real temp table instead. */
   def wideExtractStaged(spark: SparkSession, dir: String): DataFrame =
-    wideMemo.getOrElseUpdate((spark, dir),
-      graft.operators.NearDup.stage(wideExtract(spark, dir)))
+    wideMemo.synchronized {
+      wideMemo.getOrElseUpdate((spark, dir),
+        graft.operators.NearDup.stage(wideExtract(spark, dir)))
+    }
+
+  /** Drop every staged extract belonging to `spark` and unpersist its
+    * checkpoint blocks (blocking = false: reclaim is async, callers
+    * don't wait on the BlockManager). Safe to call between his-family
+    * workloads; the next `wideExtractStaged` simply re-stages. */
+  def evictStaged(spark: SparkSession): Unit = wideMemo.synchronized {
+    wideMemo.keys.filter(_._1 eq spark).foreach { k =>
+      wideMemo.remove(k).foreach(_.unpersist(false))
+    }
+  }
 
   private val wideMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
 
   /** `paciente` dim: ordered first-wins dedup by documento (SURVEY OP-15:
     * winner = most recent fecha_alta, tiebreak turno_id — §7.4 decision),

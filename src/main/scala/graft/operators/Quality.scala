@@ -135,12 +135,43 @@ object Quality {
     * values, so the whole training trajectory is reproducible in SQL as
     * unrolled CTEs (tx42's oracle does exactly that). Driver state is d
     * doubles — the bounded-collect class of k-means centroids, never
-    * rows. Callers include an explicit all-ones bias column. */
+    * rows. Callers include an explicit all-ones bias column.
+    *
+    * Determinism caveat: the round-6 cut pins the gradient only when
+    * avg's UNROUNDED double lands clear of a 1e-6 rounding boundary.
+    * avg itself is summation-order dependent, so a gradient within a
+    * few ULPs of a boundary can round differently across partition
+    * layouts or engines, and the trajectories then diverge from that
+    * round on. The fixtures' gradients sit far from boundaries (the
+    * sf0.01/sf0.1/~sf1 oracle hashes all reproduce bit-for-bit); a
+    * deployment that must GUARANTEE bit-exact cross-engine parity on
+    * adversarial data should aggregate gradients as scaled integers
+    * (sum of round(err·x·1e6) longs) instead of rounding an avg.
+    *
+    * Fails loudly on an empty feature frame or a null feature/label
+    * (the repo's fail-loud doctrine): silently training on garbage —
+    * or throwing an opaque NPE from Row.getDouble — costs more than
+    * the one validating pass. */
   def trainLogistic(feat: DataFrame, labelCol: String,
                     featureCols: Seq[String], rounds: Int,
                     lr: Double): Array[Double] = {
     require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32]: $rounds")
     require(featureCols.nonEmpty, "need at least one feature column")
+    // One validation aggregate before training: row count + per-column
+    // null counts (a single map-side-combining job over the same scan
+    // the first gradient round reads — cheap next to `rounds` rounds).
+    val checkCols = labelCol +: featureCols
+    val checks = count(lit(1)) +:
+      checkCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)))
+    val chk = feat.agg(checks.head, checks.tail: _*).first()
+    if (chk.getLong(0) == 0L) throw new IllegalArgumentException(
+      "trainLogistic: empty feature frame — nothing to train on")
+    val nullCols = checkCols.zipWithIndex.collect {
+      case (c, i) if chk.getLong(i + 1) > 0L => s"$c(${chk.getLong(i + 1)})"
+    }
+    if (nullCols.nonEmpty) throw new IllegalArgumentException(
+      s"trainLogistic: null values in ${nullCols.mkString(", ")} — " +
+        "impute or filter before training (nulls would poison every gradient)")
     var w = Array.fill(featureCols.size)(0.0)
     for (_ <- 1 to rounds) {
       val err = logisticP(w, featureCols) - col(labelCol)

@@ -159,15 +159,60 @@ object Similarity {
     * driver-side directory listing of files this writer just produced. */
   def bucketStats(spark: org.apache.spark.sql.SparkSession,
                   path: String): DataFrame =
-    spark.read.parquet(s"$path/_stats")
+    spark.read.parquet(s"$path/$StatsName")
+
+  /** [[bucketStats]] with a drift check in front: the manifest's
+    * per-bucket byte totals are compared against a FRESH directory
+    * listing (O(buckets) namenode calls, never a data read). A clean
+    * manifest lists identical bytes — every manifest writer records
+    * the post-write listing — so any difference means the manifest
+    * missed data: a crash between an append's data write and its
+    * manifest write, a concurrent append losing the read-merge-write
+    * race (out of [[appendToStoredBuckets]]'s single-writer contract,
+    * but detected rather than trusted), or streaming
+    * [[writeIndexBatch]] ingest that deliberately defers manifest
+    * maintenance to compaction. On drift the manifest is REBUILT
+    * authoritatively from the index itself (the same rescan the
+    * missing-manifest branch runs) and rewritten, so the returned
+    * frame is always consistent with the data on disk. Between
+    * streaming micro-batches that rescan recurs — capacity reports
+    * over a live streaming index should run after compaction, as the
+    * maintenance protocol already schedules. */
+  def bucketStatsVerified(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame = {
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/$StatsName")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = listBucketBytes(spark, path)
+    val manifestBytes =
+      if (!fs.exists(statsPath)) None
+      else Some(bucketStats(spark, path)
+        .select(col("bucket"), col("n_bytes")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    if (!manifestBytes.contains(listed)) rebuildStats(spark, path)
+    bucketStats(spark, path)
+  }
 
   /** The buckets a capacity planner cares about: n_vectors above
     * `threshold`, largest first — the skew report that decides caps,
-    * probe budgets, and re-hash decisions BEFORE queries hit the index. */
+    * probe budgets, and re-hash decisions BEFORE queries hit the
+    * index. Reads through [[bucketStatsVerified]]: a report promoted
+    * as the planning source of truth must not silently serve a
+    * drifted manifest. */
   def hotBuckets(spark: org.apache.spark.sql.SparkSession, path: String,
                  threshold: Long): DataFrame =
-    bucketStats(spark, path).filter(col("n_vectors") > threshold)
+    bucketStatsVerified(spark, path).filter(col("n_vectors") > threshold)
       .orderBy(col("n_vectors").desc, col("bucket").asc)
+
+  private val StatsName = "_stats"
+
+  /** Authoritative manifest rebuild from the index data itself — the
+    * recovery path for a missing or drifted `_stats`. One count-only
+    * scan of the index (column-pruned to the partition column). */
+  private def rebuildStats(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit =
+    writeStats(spark, path, collectCounts(spark.read.parquet(path)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))))
 
   private def writeStats(spark: org.apache.spark.sql.SparkSession,
                          path: String, counts: Map[Long, Long]): Unit = {
@@ -183,7 +228,7 @@ object Similarity {
     spark.createDataFrame(rows)
       .toDF("bucket", "n_vectors", "n_bytes")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_stats")
+      .write.mode("overwrite").parquet(s"$path/$StatsName")
   }
 
   /** Bounded collect of per-bucket counts: ≤ 2^numPlanes rows. */
@@ -215,7 +260,20 @@ object Similarity {
     * ingest: dedup incrementally, index incrementally, no rebuilds.
     * Queries via [[bucketedTopKStored]] see old ∪ new immediately
     * (ann03c proves parity with the all-at-once build against ann03's
-    * oracle). */
+    * oracle).
+    *
+    * SINGLE-WRITER contract: the `_stats` maintenance below is a
+    * read-merge-write with no coordination — two concurrent appenders
+    * interleaving it lose one batch's counts permanently, and a crash
+    * between the data append and the manifest write leaves the
+    * manifest behind the data. Run appends from one writer at a time
+    * (the streaming ingest already serializes micro-batches; batch
+    * pipelines publish through [[graft.sinks.Publish]]'s one-writer
+    * versions). Both failure shapes are DETECTABLE after the fact:
+    * the manifest's recorded bytes no longer match the directory
+    * listing, which [[bucketStatsVerified]] checks and repairs with
+    * an authoritative index rescan — so consumers of the stats
+    * ([[hotBuckets]]) self-heal rather than trust the contract. */
   def appendToStoredBuckets(newVectors: DataFrame, path: String,
                             numPlanes: Int = 8, dim: Int = 64): Unit = {
     newVectors.select(col("vec_id"), col("embedding"))
@@ -231,20 +289,15 @@ object Similarity {
     val spark = newVectors.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchCounts = collectCounts(newVectors
-      .select(lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors")))
-    val merged =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_stats"))) {
-        val old = collectCounts(
-          bucketStats(spark, path).select(col("bucket"), col("n_vectors")))
-        (old.keySet ++ batchCounts.keySet).map(b =>
-          b -> (old.getOrElse(b, 0L) + batchCounts.getOrElse(b, 0L))).toMap
-      } else
-        collectCounts(spark.read.parquet(path)
-          .groupBy(col("bucket").cast("long").as("bucket"))
-          .agg(count(lit(1)).as("n_vectors")))
-    writeStats(spark, path, merged)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$StatsName"))) {
+      val batchCounts = collectCounts(newVectors
+        .select(lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors")))
+      val old = collectCounts(
+        bucketStats(spark, path).select(col("bucket"), col("n_vectors")))
+      writeStats(spark, path, (old.keySet ++ batchCounts.keySet).map(b =>
+        b -> (old.getOrElse(b, 0L) + batchCounts.getOrElse(b, 0L))).toMap)
+    } else rebuildStats(spark, path)
   }
 
   /** One ingest batch of the STREAMING index-maintenance path

@@ -708,8 +708,8 @@ object RelationalQueries {
     Q("op45_orc_roundtrip",
       (s, d) => {
         import graft.sources.Formats
-        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_orc_li_${new java.io.File(d).getName}").getAbsolutePath
+        val path = graft.Scratch.dir("orc_li", d)
+        graft.Scratch.delete(path) // pid-suffixed + fresh write each run (round-14 ADVICE hygiene)
         Formats.writeOrc(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
             col("l_shipdate")), path)
@@ -736,8 +736,8 @@ object RelationalQueries {
     Q("op49_avro_roundtrip",
       (s, d) => {
         import graft.sources.Formats
-        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_avro_li_${new java.io.File(d).getName}").getAbsolutePath
+        val path = graft.Scratch.dir("avro_li", d)
+        graft.Scratch.delete(path) // pid-suffixed + fresh write each run (round-14 ADVICE hygiene)
         Formats.writeAvro(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
             col("l_shipdate")), path)
@@ -764,8 +764,8 @@ object RelationalQueries {
       (s, d) => {
         import graft.sources.Formats
         import org.apache.spark.sql.types._
-        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_gzjsonl_o_${new java.io.File(d).getName}").getAbsolutePath
+        val path = graft.Scratch.dir("gzjsonl_o", d)
+        graft.Scratch.delete(path) // pid-suffixed + fresh write each run (round-14 ADVICE hygiene)
         Formats.writeJsonlGz(Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
             col("o_orderpriority"),

@@ -101,14 +101,41 @@ object Lake {
     * re-applies the exact equality (bloom FPs read extra files, never
     * return wrong rows). */
   def readPrunedEq(spark: SparkSession, path: String, column: String,
-                   value: Any): DataFrame = {
+                   value: Any, maxFiles: Int = MaxPrunedFiles): DataFrame = {
     val pos = bloomPositionsLocal(String.valueOf(value))
     val stats = spark.read.parquet(s"$path/$StatsDir")
-    val files = stats
-      .filter(pos.map(p => array_contains(col(s"bloom_$column"), p)).reduce(_ && _))
-      .select(col("file")).collect().map(_.getString(0))
+    val files = collectFilesBounded(stats
+      .filter(pos.map(p => array_contains(col(s"bloom_$column"), p)).reduce(_ && _)),
+      maxFiles, path)
     if (files.isEmpty) spark.read.parquet(path).limit(0)
     else spark.read.parquet(files.toSeq: _*)
+  }
+
+  /** Hard ceiling on the driver-side surviving-file list the pruned
+    * readers collect. A manifest prune that keeps more paths than this
+    * is no longer a prune — it is a full-table read routed through
+    * driver memory (at 100 TB with small files, millions of ~100-byte
+    * path strings), so the readers fail loudly instead of OOMing the
+    * driver mid-collect. 2^20 paths ≈ 100 MB of strings — generous for
+    * a genuinely selective prune, far below driver-heap risk. */
+  val MaxPrunedFiles: Int = 1 << 20
+
+  /** Collect the surviving file list with the cap enforced BY THE
+    * PLAN: `limit(max+1)` bounds what can ever reach the driver to
+    * max+1 rows, and the +1 row distinguishes "exactly at the cap"
+    * from "over it". Over the cap → fail loudly with the remedies (a
+    * wider-selectivity read belongs on the plain path; too many small
+    * files wants [[compactPublished]]). */
+  private def collectFilesBounded(kept: DataFrame, maxFiles: Int,
+                                  path: String): Seq[String] = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
+    val files = kept.select(col("file")).limit(maxFiles + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (files.size > maxFiles) throw new IllegalStateException(
+      s"manifest prune under $path keeps > $maxFiles files — not a prune " +
+        "anymore; read the table directly (spark.read.parquet(path) + " +
+        "predicate) or compact the layout (Lake.compactPublished) first")
+    files
   }
 
   /** Files the bloom prune keeps for `column = value` vs total. */
@@ -123,18 +150,20 @@ object Lake {
   }
 
   /** Read only the files whose [min,max] can intersect [lo, hi] on
-    * `column`. The manifest collect is O(files) driver work — the same
-    * bounded class as Packing's partition offsets; at 100 TB the file
-    * list is millions at most, and only (path, min, max) triples move.
-    * The result is a conservative SUPERSET of the matching rows: the
-    * caller applies the exact predicate on top (Catalyst additionally
-    * pushes it into the surviving files' row-group stats). */
+    * `column`. The manifest collect is driver work bounded by
+    * `maxFiles` ([[MaxPrunedFiles]] default) — enforced in the plan
+    * via `limit`, so an unselective prune fails loudly BEFORE paths
+    * flood driver memory instead of OOMing at 100 TB small-file
+    * layouts. The result is a conservative SUPERSET of the matching
+    * rows: the caller applies the exact predicate on top (Catalyst
+    * additionally pushes it into the surviving files' row-group
+    * stats). */
   def readPruned(spark: SparkSession, path: String, column: String,
-                 lo: Long, hi: Long): DataFrame = {
+                 lo: Long, hi: Long, maxFiles: Int = MaxPrunedFiles): DataFrame = {
     val stats = spark.read.parquet(s"$path/$StatsDir")
-    val files = stats
-      .filter(col(s"max_$column") >= lo && col(s"min_$column") <= hi)
-      .select(col("file")).collect().map(_.getString(0))
+    val files = collectFilesBounded(stats
+      .filter(col(s"max_$column") >= lo && col(s"min_$column") <= hi),
+      maxFiles, path)
     if (files.isEmpty) spark.read.parquet(path).limit(0)
     else spark.read.parquet(files.toSeq: _*)
   }
@@ -168,7 +197,7 @@ object Lake {
                        bloomCols: Seq[String] = Nil): Unit = {
     val cur = Publish.currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no published version under $root"))
-    require(s"v-$newVersion" > cur,
+    require(Publish.versionOrdering.gt(s"v-$newVersion", cur),
       s"newVersion v-$newVersion must sort after current $cur (monotonic versions)")
     try {
       writeClustered(Publish.readTable(spark, root, table),

@@ -175,25 +175,60 @@ object Publish {
     * paths (manifest, temp files, foreign dirs) are never touched.
     * Returns the deleted version dir names.
     *
-    * Only versions strictly OLDER than the current one (by name) are
-    * candidates: a concurrent publisher's in-flight staging dir is
-    * always newer than `_CURRENT` (versions increase monotonically), so
-    * the newer-or-equal guard means vacuum can never delete a directory
-    * mid-stage and leave the subsequent manifest flip pointing at
-    * nothing. With no published version at all, nothing is deleted —
-    * an unpublished staging dir is indistinguishable from data. Callers
-    * using non-sortable version strings just get a more conservative —
-    * still safe — retention choice. */
+    * Only versions strictly OLDER than the current one (under
+    * [[versionOrdering]]) are candidates: a concurrent publisher's
+    * in-flight staging dir is always newer than `_CURRENT` (versions
+    * increase monotonically), so the newer-or-equal guard means vacuum
+    * can never delete a directory mid-stage and leave the subsequent
+    * manifest flip pointing at nothing. The ordering compares the
+    * DIGITS of `v-<digits>[-suffix]` names numerically — a plain
+    * string compare breaks exactly at the padding rollover
+    * (`v-1000000000` sorts lexicographically BEFORE `v-999999999`),
+    * where a concurrent publisher's wider in-flight dir would become
+    * vacuum-eligible. With no published version at all, nothing is
+    * deleted — an unpublished staging dir is indistinguishable from
+    * data. Callers using non-numeric version strings just get a more
+    * conservative — still safe — retention choice, PROVIDED the root
+    * sticks to one naming discipline: non-numeric names sort after
+    * every numeric one, so under a numeric `_CURRENT` they are never
+    * eligible, while a non-numeric `_CURRENT` over numeric staging
+    * dirs (a mixed-discipline root, out of contract) could vacuum
+    * them — same as before this ordering existed. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 0, s"keepLast must be >= 0: $keepLast")
     val ctx = fc(spark)
     val cur = currentVersion(spark, root)
     val versions = listVersions(spark, root)
-      .filter(v => cur.exists(c => Ordering[String].lt(v, c)))
-      .sorted(Ordering[String].reverse)
+      .filter(v => cur.exists(c => versionOrdering.lt(v, c)))
+      .sorted(versionOrdering.reverse)
     val doomed = versions.drop(keepLast)
     doomed.foreach(v => ctx.delete(new Path(root, v), true))
     doomed
+  }
+
+  private val VersionDigits = """^v-(\d+)(-.*)?$""".r
+
+  /** Total order on version dir names, numeric-aware: `v-<digits>`
+    * (with an optional maintenance suffix, e.g. `-c3` from
+    * [[Lake.compactPublished]]) compares by the digits' VALUE first,
+    * then the suffix — so `v-999999999 < v-1000000000` holds even
+    * though the padding width rolled over, and `v-000000123 <
+    * v-000000123-c1` keeps a compaction republish newer than its
+    * source batch. Names not in that shape compare as plain strings
+    * and sort after every numeric name (a lawful total order: compare
+    * on the tuple (is-non-numeric, digits, suffix/string)). */
+  private[graft] val versionOrdering: Ordering[String] = new Ordering[String] {
+    private def key(v: String): Option[(BigInt, String)] = v match {
+      case VersionDigits(d, sfx) => Some((BigInt(d), if (sfx == null) "" else sfx))
+      case _ => None
+    }
+    def compare(a: String, b: String): Int = (key(a), key(b)) match {
+      case (Some((da, sa)), Some((db, sb))) =>
+        val c = da.compare(db); if (c != 0) c else sa.compareTo(sb)
+      case (Some(_), None) => -1
+      case (None, Some(_)) => 1
+      case (None, None)    => a.compareTo(b)
+    }
   }
 
   /** All version dir names (`v-*`) under `root`, published or staged. */

@@ -233,8 +233,12 @@ object StreamingOps {
     * without claiming a new batch. */
   // \d{9,}: a batch id >= 1e9 widens the f"%09d" padding; a fixed {9}
   // would parse it to None and disable the replay guard for that id.
-  // The guard compares digits numerically (`digits.toLong`), so the
-  // wider match is safe.
+  // Safe on BOTH consumers of version names: this replay guard
+  // compares digits numerically (`digits.toLong`), and Publish.vacuum
+  // / Lake.compactPublished order versions via Publish.versionOrdering
+  // (digits-as-value, not lexicographic), so the width rollover cannot
+  // make a concurrent publisher's wider in-flight staging dir sort
+  // "older" than _CURRENT and become vacuum-eligible mid-stage.
   private val IngestVersion = """^v-(\d{9,})(-.*)?$""".r
 
   /** The last batch id folded into an ingest root, judged from the

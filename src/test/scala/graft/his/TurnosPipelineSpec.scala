@@ -42,4 +42,16 @@ class TurnosPipelineSpec extends SparkSpec {
     assert(pxt.join(prest, pxt("prestacion_id") === prest("id"), "left_anti").count() == 0)
     assert(pxt.join(turnoDim, pxt("turno_id") === turnoDim("id"), "left_anti").count() == 0)
   }
+
+  test("wideExtractStaged: memoized per (session, dir); evictStaged releases for re-staging") {
+    val a = TurnosPipeline.wideExtractStaged(spark, sf0001)
+    val b = TurnosPipeline.wideExtractStaged(spark, sf0001)
+    assert(a eq b, "second call must reuse the staged extract, not re-checkpoint")
+    TurnosPipeline.evictStaged(spark)
+    val c = TurnosPipeline.wideExtractStaged(spark, sf0001)
+    assert(!(a eq c), "eviction must drop the memo so the next call re-stages")
+    // values are bit-identical across staging generations
+    assert(c.count() == a.count())
+    TurnosPipeline.evictStaged(spark)
+  }
 }

@@ -293,4 +293,27 @@ class QualitySpec extends SparkSpec {
     intercept[IllegalArgumentException] { Quality.trainLogistic(rows, "y", cols, 0, 1.0) }
     intercept[IllegalArgumentException] { Quality.trainLogistic(rows, "y", Nil, 1, 1.0) }
   }
+
+  test("trainLogistic fails loudly on empty frames and null features/labels") {
+    // the round-14 ADVICE finding: an empty frame or a null feature
+    // used to surface as an opaque NPE from Row.getDouble mid-training
+    val rows = Seq((1.0, 0.5, 1.0), (0.0, 0.2, 1.0)).toDF("y", "x0", "xb")
+    val cols = Seq("x0", "xb")
+    val empty = intercept[IllegalArgumentException] {
+      Quality.trainLogistic(rows.filter($"y" > 9), "y", cols, 1, 1.0)
+    }
+    assert(empty.getMessage.contains("empty"), empty.getMessage)
+    val withNullFeat = Seq((1.0, Some(0.5), 1.0), (0.0, None, 1.0))
+      .toDF("y", "x0", "xb")
+    val nf = intercept[IllegalArgumentException] {
+      Quality.trainLogistic(withNullFeat, "y", cols, 1, 1.0)
+    }
+    assert(nf.getMessage.contains("x0"), nf.getMessage)
+    val withNullLabel = Seq((Some(1.0), 0.5, 1.0), (None, 0.2, 1.0))
+      .toDF("y", "x0", "xb")
+    val nl = intercept[IllegalArgumentException] {
+      Quality.trainLogistic(withNullLabel, "y", cols, 1, 1.0)
+    }
+    assert(nl.getMessage.contains("y"), nl.getMessage)
+  }
 }

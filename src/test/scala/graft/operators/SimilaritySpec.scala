@@ -306,6 +306,48 @@ class SimilaritySpec extends SparkSpec {
       "missing manifest must be rebuilt from the index, not from the batch alone")
   }
 
+  test("stats drift detector: a lost append is detected from the byte listing and repaired by rescan") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files.createTempDirectory("graft_stats_drift").toString
+    Similarity.writeBucketedCorpus(emb.filter($"vec_id" < 300), path)
+    def expected(pred: org.apache.spark.sql.Column): Map[Long, Long] =
+      emb.filter(pred).select(Similarity.lshBucket($"embedding", 8, 64).as("b"))
+        .groupBy($"b").count().as[(Long, Long)].collect().toMap
+    // clean manifest: the verified read returns it UNCHANGED (no rebuild —
+    // the _stats files' byte content is identical before and after)
+    def statsBytes(): Seq[(String, Long)] =
+      new java.io.File(s"$path/_stats").listFiles().toSeq
+        .map(f => f.getName -> f.length()).sortBy(_._1)
+    val before = statsBytes()
+    val clean = Similarity.bucketStatsVerified(spark, path)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(clean == expected($"vec_id" < 300))
+    assert(statsBytes() == before, "a clean manifest must not be rewritten")
+    // simulate the crash window the round-14 ADVICE flagged: the data
+    // append lands, the process dies before the manifest merge —
+    // exactly what the raw data write of appendToStoredBuckets does.
+    emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+      .select($"vec_id", $"embedding")
+      .withColumn("bucket", Similarity.lshBucket($"embedding", 8, 64))
+      .repartition($"bucket")
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    // the raw manifest is now silently stale…
+    val stale = Similarity.bucketStats(spark, path)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(stale == expected($"vec_id" < 300), "precondition: manifest is behind the data")
+    // …and the verified read detects the drift and rebuilds authoritatively
+    val repaired = Similarity.bucketStatsVerified(spark, path)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(repaired == expected($"vec_id" < 400),
+      "drift must trigger an authoritative rebuild from the index data")
+    // hotBuckets reads through the verified path, so the report is
+    // consistent with the data even when the manifest was behind
+    val hot = Similarity.hotBuckets(spark, path, 0L)
+      .select($"bucket", $"n_vectors").as[(Long, Long)].collect().toMap
+    assert(hot == expected($"vec_id" < 400).filter(_._2 > 0))
+  }
+
   test("trained PQ codebooks beat sample codebooks on ADC recall@10") {
     // The deterministic fixture makes the recall comparison exact: the
     // L2-k-means-trained m=16/K=64 path (pqTopKTrained) must beat the

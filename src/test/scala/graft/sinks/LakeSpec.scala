@@ -34,6 +34,41 @@ class LakeSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("readPruned caps the driver-side file collect: 100k-file manifest fails loudly over the cap") {
+    // Manufactured manifest: 100k file entries (no data files needed —
+    // the cap must trip BEFORE any data read is attempted). At 100 TB
+    // with small files this is the shape that would otherwise stream
+    // millions of path strings into driver memory.
+    val nFiles = 100000L
+    val path = tmp("capped") + "/t"
+    spark.range(nFiles)
+      .select(concat(lit(s"$path/part-"), col("id")).as("file"),
+        (col("id") * 10).as("min_k"), (col("id") * 10 + 9).as("max_k"))
+      .write.mode("overwrite").parquet(s"$path/${Lake.StatsDir}")
+    // unselective range → every file survives the prune → over the cap
+    val e = intercept[IllegalStateException] {
+      Lake.readPruned(spark, path, "k", 0, Long.MaxValue, maxFiles = 50000)
+    }
+    assert(e.getMessage.contains("not a prune"), e.getMessage)
+    assert(e.getMessage.contains("compact"), "remedy must be named in the error")
+    // selective range under the cap: the collect proceeds (list resolves
+    // to missing files only because the manifest is synthetic — the cap
+    // logic is what this test pins, so stop at the bounded collect via
+    // pruneStats parity)
+    val (kept, total) = Lake.pruneStats(spark, path, "k", 0, 99)
+    assert(total == nFiles && kept == 10, s"kept $kept of $total")
+    // and the eq-path enforces the same ceiling
+    val vPos = Lake.bloomPositionsLocal("v")
+    val bloomy = spark.range(nFiles)
+      .select(concat(lit(s"$path/part-"), col("id")).as("file"),
+        array(vPos.map(lit(_)): _*).as("bloom_k"))
+    bloomy.write.mode("overwrite").parquet(s"$path/${Lake.StatsDir}")
+    val e2 = intercept[IllegalStateException] {
+      Lake.readPrunedEq(spark, path, "k", "v", maxFiles = 50000)
+    }
+    assert(e2.getMessage.contains("not a prune"), e2.getMessage)
+  }
+
   test("z-order layout skips files on BOTH dimensions; linear layout only on its own") {
     // 64×64 grid; z-order cluster by interleaved (x, y) vs linear by x.
     val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))

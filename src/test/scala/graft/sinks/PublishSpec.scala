@@ -107,6 +107,42 @@ class PublishSpec extends SparkSpec {
     assert(Publish.readTable(spark, root, "a").as[Int].collect().toSeq == Seq(5))
   }
 
+  test("vacuum at the batch-id width rollover: a wider in-flight staging dir is never eligible") {
+    // The round-14 ADVICE finding: ingest versions are v-%09d, and a
+    // batch id >= 1e9 widens the padding — 'v-1000000000' sorts
+    // lexicographically BEFORE 'v-999999999', so a string-ordered
+    // vacuum under a v-999999999 _CURRENT would see a concurrent
+    // publisher's in-flight v-1000000000 staging dir as OLD and delete
+    // it mid-stage. The numeric ordering must keep it ineligible.
+    val root = freshRoot()
+    Publish.publishTables(spark, Map("a" -> Seq(1).toDF("x")), root, "999999998")
+    Publish.publishTables(spark, Map("a" -> Seq(2).toDF("x")), root, "999999999")
+    // a concurrent publisher mid-stage: data staged, manifest not yet flipped
+    val staged = new java.io.File(s"$root/v-1000000000"); staged.mkdir()
+    val deleted = Publish.vacuum(spark, root, keepLast = 0)
+    assert(deleted == Seq("v-999999998"), s"only the truly older version dies: $deleted")
+    assert(staged.isDirectory,
+      "the wider in-flight staging dir must survive vacuum (it is NEWER than current)")
+    assert(Publish.currentVersion(spark, root).contains("v-999999999"))
+  }
+
+  test("versionOrdering: numeric value over string order, suffix keeps maintenance newer") {
+    val ord = Publish.versionOrdering
+    assert(ord.lt("v-999999999", "v-1000000000"), "rollover compares by value")
+    assert(ord.lt("v-000000123", "v-000000123-c1"), "compaction republish is newer")
+    assert(ord.equiv("v-007", "v-007"))
+    assert(ord.lt("v-007", "v-0000008"), "padding width is irrelevant")
+    // non-numeric names: plain string order among themselves, and never
+    // older than any numeric name (so never vacuum-eligible under a
+    // numeric _CURRENT)
+    assert(ord.lt("v-aaa", "v-bbb"))
+    assert(ord.lt("v-999999999999", "v-aaa"))
+    // lawful total order on a mixed set: sorting must not throw
+    val mixed = Seq("v-100", "v-99", "v-aaa", "v-5-c1", "v-007", "v-1000000000")
+    assert(mixed.sorted(ord) ==
+      Seq("v-5-c1", "v-007", "v-99", "v-100", "v-1000000000", "v-aaa"))
+  }
+
   test("two publishers racing the flip: one wins, no torn manifest, both versions intact") {
     val root = freshRoot()
     Publish.publishTables(spark, Map("a" -> Seq(0).toDF("x")), root, "001")
