@@ -1972,8 +1972,12 @@ FROM c JOIN m USING (source)""")),
     // re-runs byte-identical.
     Q("tx41_shard_export",
       (s, d) => {
-        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_tx41_${new java.io.File(d).getName}").getAbsolutePath
+        // Scratch.dir (pid-suffixed, reclaimed at JVM exit): a fixed
+        // basename-only path collides across concurrent processes —
+        // exportShards' overwrite would delete a sibling's in-flight
+        // dump (the op45/49/50 family shares this discipline).
+        val out = graft.Scratch.dir("tx41", d)
+        graft.Scratch.delete(out) // fresh export each run
         val docs = Tables.documents(s, d).select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
         Packing.exportShards(docs, "doc_id", col("n_tokens"), 8, "tx41", out)
@@ -2077,50 +2081,306 @@ FROM a GROUP BY shard""")),
         labels.join(grp, Seq("canonical_id"))
           .select(col("doc_id"), col("canonical_id"), col("n_members"))
       },
+      // Oracle shape (round-15, after the ~sf1 timeout of the naive
+      // form): the old oracle joined image reps ALL-PAIRS on hamming —
+      // O(reps²) with reps ∝ corpus because aHash is doc_id-dependent —
+      // and ran reachability from EVERY document over a plain
+      // (re-evaluated-per-iteration) edges CTE. Three fixes, all
+      // semantics-preserving (identical hashes at every SF):
+      //  1. every base chain is MATERIALIZED (the kmeansCtes lesson);
+      //  2. rep pairs come from the SAME 4-band pigeonhole the engine
+      //     uses — exact for hamming ≤ 3, Σ bucket² instead of reps²;
+      //  3. the recursion is CONTRACTED to the rep graph: member stars
+      //     collapse to one (img_rep, txt_rep) bridge per doc. Every
+      //     doc is ≥ its image rep (the rep is the group min), so the
+      //     full component's min IS the contracted component's min,
+      //     and docs take their label through their image rep. Unlike
+      //     a fixed-depth layered frontier, the recursive fixpoint is
+      //     exact at ANY component diameter — and cheap, because the
+      //     contracted working set is rep-scale, not doc-scale.
       Some(s"""WITH RECURSIVE $simhashCtes,
+smat AS MATERIALIZED (SELECT doc_id, simhash FROM sim),
 dims AS (SELECT doc_id,
                 CAST(doc_id % 16 + 4 AS INTEGER) AS w,
                 CAST((doc_id // 16) % 8 + 4 AS INTEGER) AS h
          FROM documents),
 agx AS (SELECT doc_id, w, h, unnest(generate_series(0, 7)) AS x FROM dims),
 ag AS (SELECT doc_id, w, h, x, unnest(generate_series(0, 7)) AS y FROM agx),
-ap AS (SELECT doc_id, y * 8 + x AS pos,
+ap AS MATERIALIZED (SELECT doc_id, y * 8 + x AS pos,
               (doc_id + 7 * ((x * w) // 8) + 13 * ((y * h) // 8)) % 256 AS px
        FROM ag),
 am AS (SELECT doc_id, sum(px) / 64.0 AS mu FROM ap GROUP BY doc_id),
-ab AS (SELECT ap.doc_id,
+ab AS MATERIALIZED (SELECT ap.doc_id,
               string_agg(CASE WHEN ap.px > am.mu THEN '1' ELSE '0' END, ''
                          ORDER BY ap.pos) AS ahash
        FROM ap JOIN am USING (doc_id) GROUP BY ap.doc_id),
-ar AS (SELECT ahash, min(doc_id) AS rep FROM ab GROUP BY ahash),
-sr AS (SELECT simhash, min(doc_id) AS rep FROM sim GROUP BY simhash),
-e0 AS (
-  SELECT ab.doc_id AS src, ar.rep AS dst FROM ab JOIN ar USING (ahash)
-  UNION ALL
-  SELECT a.rep, c.rep FROM ar a JOIN ar c ON a.ahash < c.ahash
-  WHERE bit_count(xor(a.ahash::BIT, c.ahash::BIT)) <= 3
-  UNION ALL
-  SELECT sim.doc_id, sr.rep FROM sim JOIN sr USING (simhash)
-  UNION ALL
-  SELECT a.rep, c.rep FROM sr a JOIN sr c ON a.simhash < c.simhash
-  WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
-),
-edges AS (
+ar AS MATERIALIZED (SELECT ahash, min(doc_id) AS rep FROM ab GROUP BY ahash),
+sr AS MATERIALIZED (SELECT simhash, min(doc_id) AS rep FROM smat GROUP BY simhash),
+iband AS MATERIALIZED (
+  SELECT rep, ahash, b, substr(ahash, b * 16 + 1, 16) AS bk
+  FROM ar, (SELECT unnest(generate_series(0, 3)) AS b)),
+ipair AS MATERIALIZED (
+  SELECT DISTINCT a.rep AS src, c.rep AS dst
+  FROM iband a JOIN iband c ON a.b = c.b AND a.bk = c.bk AND a.ahash < c.ahash
+  WHERE bit_count(xor(a.ahash::BIT, c.ahash::BIT)) <= 3),
+sband AS MATERIALIZED (
+  SELECT rep, simhash, b, (simhash >> (b * 8)) & 255 AS bk
+  FROM sr, (SELECT unnest(generate_series(0, 3)) AS b)),
+spair AS MATERIALIZED (
+  SELECT DISTINCT a.rep AS src, c.rep AS dst
+  FROM sband a JOIN sband c ON a.b = c.b AND a.bk = c.bk AND a.simhash < c.simhash
+  WHERE bit_count(xor(a.simhash, c.simhash)) <= 3),
+irep AS MATERIALIZED (SELECT ab.doc_id, ar.rep FROM ab JOIN ar USING (ahash)),
+trep AS MATERIALIZED (SELECT smat.doc_id, sr.rep FROM smat JOIN sr USING (simhash)),
+bridge AS MATERIALIZED (
+  SELECT DISTINCT i.rep AS src, t.rep AS dst
+  FROM irep i JOIN trep t USING (doc_id)),
+e0 AS MATERIALIZED (
+  SELECT src, dst FROM ipair
+  UNION ALL SELECT src, dst FROM spair
+  UNION ALL SELECT src, dst FROM bridge),
+cedges AS MATERIALIZED (
   SELECT src, dst FROM e0 WHERE src <> dst
   UNION
-  SELECT dst, src FROM e0 WHERE src <> dst
-),
+  SELECT dst, src FROM e0 WHERE src <> dst),
+cnodes AS MATERIALIZED (SELECT rep AS node FROM ar UNION SELECT rep FROM sr),
 reach AS (
-  SELECT doc_id, doc_id AS r FROM documents
+  SELECT node, node AS r FROM cnodes
   UNION
-  SELECT re.doc_id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r
+  SELECT re.node, e.dst AS r FROM reach re JOIN cedges e ON e.src = re.r
 ),
-cc AS (SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id),
+clab AS MATERIALIZED (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node),
+docl AS MATERIALIZED (
+  SELECT irep.doc_id, clab.canonical_id
+  FROM irep JOIN clab ON clab.node = irep.rep),
 grp AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_members
-        FROM cc GROUP BY canonical_id)
-SELECT cc.doc_id, cc.canonical_id, grp.n_members
-FROM cc JOIN grp USING (canonical_id)""")),
+        FROM docl GROUP BY canonical_id)
+SELECT docl.doc_id, docl.canonical_id, grp.n_members
+FROM docl JOIN grp USING (canonical_id)""")),
+
+    // HTML → text extraction (round-15 verdict item 3) — the operator
+    // in FRONT of every real corpus build. The fixture text is plain,
+    // so the query synthesizes a deterministic HTML page per doc (the
+    // mm-family synthesizePng treatment) exercising every extraction
+    // hazard — script bodies with comparison operators and a fake
+    // "<p>" string, style rules with '>', comments containing fake
+    // block tags, an attribute value containing '>' (the classic
+    // `<[^>]*>` leak), inline tags inside a block, and entities incl.
+    // the double-escape `&amp;` case — then extracts SEGMENTED BLOCKS
+    // with graft.functions.Html's codegen regexp chain. The oracle
+    // runs the IDENTICAL synthesis and the IDENTICAL extraction
+    // (generated from the same pattern constants), so every decoded
+    // character is hash-certified. Output shape (doc_id, block_idx,
+    // block_text) is exactly what tx11_boilerplate_removal consumes.
+    Q("tx43_html_extract",
+      (s, d) => {
+        import graft.functions.Html
+        val id = col("doc_id").cast("string")
+        val html = concat(lit(Tx43P0), id, lit(Tx43P1),
+          (col("doc_id") % 97).cast("string"), lit(Tx43P2), col("text"),
+          lit(Tx43P3), (col("doc_id") % 7).cast("string"), lit(Tx43P4))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(Html.extractBlocks(html)).as(Seq("block_idx", "block_text")))
+          .select(col("doc_id"), col("block_idx").cast("int").as("block_idx"),
+            col("block_text"))
+      },
+      Some {
+        def esc(x: String) = x.replace("'", "''")
+        s"""WITH syn AS (SELECT doc_id,
+           '${esc(Tx43P0)}' || CAST(doc_id AS VARCHAR) || '${esc(Tx43P1)}' ||
+           CAST(doc_id % 97 AS VARCHAR) || '${esc(Tx43P2)}' || text ||
+           '${esc(Tx43P3)}' || CAST(doc_id % 7 AS VARCHAR) || '${esc(Tx43P4)}' AS html
+         FROM documents),
+ext AS (SELECT doc_id, ${graft.functions.Html.extractTextSql("html")} AS txt FROM syn),
+bl AS (SELECT doc_id,
+              list_filter(list_transform(string_split(txt, chr(10)), x -> trim(x)),
+                          x -> x <> '') AS blocks
+       FROM ext),
+ix AS (SELECT doc_id, blocks, unnest(generate_series(1, len(blocks))) AS i FROM bl)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS block_idx, blocks[i] AS block_text FROM ix"""
+      }),
+
+    // In-engine language identification (round-15 verdict item 4):
+    // multinomial Naive Bayes over hashed char bigrams, trained on the
+    // md5-split 80% with the fixture's `lang` column as labels and
+    // scored over the whole corpus. The fixture text carries no
+    // language signal (same vocabulary for every lang), so the query
+    // first LEXIFIES it deterministically per language
+    // ([[graft.functions.LangId.Lexicon]] — the synthesized
+    // multilingual fixture). All model parameters are exact-integer
+    // micro-nats, so the ORACLE REPRODUCES THE TRAINING (counting +
+    // smoothing + log-rounding) and the scoring as plain CTEs with no
+    // float-summation-order hazard anywhere.
+    Q("tx44_langid",
+      (s, d) => {
+        import graft.functions.{LangId, TextAnalysis}
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          LangId.lexify(col("text"), col("lang")).as("st"))
+        val train = docs.filter(
+          TextAnalysis.deterministicSplit(col("doc_id"), 80, 10) === "train")
+        val model = NearDup.stage(
+          LangId.trainNaiveBayes(train, "doc_id", "st", "lang", 64))
+        docs.select(col("doc_id"), col("lang"))
+          .join(LangId.classify(docs, model, "doc_id", "st", 64), Seq("doc_id"))
+      },
+      Some(s"""WITH $tx44Ctes
+SELECT d.doc_id, d.lang, p.lang_pred FROM documents d JOIN pred p USING (doc_id)""")),
+
+    // The held-out measurement for tx44 — accuracy against the
+    // fixture's lang column on the UNSEEN 10% test split, per true
+    // language (the way ann07 measures recall as an oracle-checked
+    // artifact instead of a claim). LangIdSpec gates the floor.
+    Q("tx44b_langid_accuracy",
+      (s, d) => {
+        import graft.functions.{LangId, TextAnalysis}
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          LangId.lexify(col("text"), col("lang")).as("st"))
+        val split = TextAnalysis.deterministicSplit(col("doc_id"), 80, 10)
+        val train = docs.filter(split === "train")
+        val model = NearDup.stage(
+          LangId.trainNaiveBayes(train, "doc_id", "st", "lang", 64))
+        docs.filter(split === "test").select(col("doc_id"), col("lang"))
+          .join(LangId.classify(docs, model, "doc_id", "st", 64), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L))
+              .as("n_correct"))
+      },
+      Some(s"""WITH $tx44Ctes
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN p.lang_pred = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM documents d JOIN pred p USING (doc_id)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= 90
+GROUP BY d.lang""")),
+
+    // URL canonicalization + registered-domain extraction (round-15
+    // verdict item 6): per-doc synthetic URLs (five deterministic
+    // shapes exercising uppercase scheme/host, default and non-default
+    // ports, fragments, query strings, and multi-label public
+    // suffixes) canonicalized and domain-extracted row by row — the
+    // hash certifies every canonicalization rule individually.
+    Q("tx45_url_canonical",
+      (s, d) => {
+        import graft.functions.Url
+        val url = tx45UrlCol
+        Tables.documents(s, d).select(col("doc_id"), url.as("url"),
+          Url.canonicalize(url).as("url_canon"),
+          Url.registeredDomain(Url.host(url)).as("domain"))
+      },
+      Some(s"""WITH syn AS (SELECT doc_id, $tx45UrlSql AS url FROM documents),
+h AS (SELECT doc_id, url, ${graft.functions.Url.hostSql("url")} AS host FROM syn)
+SELECT doc_id, url, ${graft.functions.Url.canonicalizeSql("url")} AS url_canon,
+       ${graft.functions.Url.registeredDomainSql("host")} AS domain
+FROM h"""),
+    ),
+
+    // Per-DOMAIN governance rollup — tx18's per-source profile
+    // re-keyed by the registered domain (the provenance key real
+    // curation policy is written against): doc counts, source spread,
+    // mean length, and the tx06-quality share, one scan + one hash
+    // agg on the domain.
+    Q("tx45b_domain_rollup",
+      (s, d) => {
+        import graft.functions.{TextAnalysis, Url}
+        val url = tx45UrlCol
+        val m = Tables.documents(s, d).select(
+          (Seq(Url.registeredDomain(Url.host(url)).as("domain"), col("source")) ++
+            TextAnalysis.qualityMetrics(col("text"))): _*)
+        m.groupBy(col("domain")).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          round(avg(col("n_tokens").cast("double")), 6).as("mean_tokens"),
+          sum(when(col("n_tokens").between(20, 2000) && col("ttr") >= 0.3 &&
+            col("mean_token_len").between(2.0, 12.0), 1L).otherwise(0L))
+            .as("n_quality"))
+      },
+      Some(s"""WITH syn AS (SELECT doc_id, source, text, $tx45UrlSql AS url FROM documents),
+h AS (SELECT doc_id, source, text, ${graft.functions.Url.hostSql("url")} AS host FROM syn),
+dm AS (SELECT doc_id, source, ${graft.functions.Url.registeredDomainSql("host")} AS domain,
+              $toksSql AS toks
+       FROM h),
+m AS (SELECT domain, source, len(toks) AS n_tokens,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+             round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mtl
+      FROM dm)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       round(avg(CAST(n_tokens AS DOUBLE)), 6) AS mean_tokens,
+       CAST(sum(CASE WHEN n_tokens BETWEEN 20 AND 2000 AND ttr >= 0.3
+                      AND mtl BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+FROM m GROUP BY domain""")),
   )
+
+  // ---- tx43 synthesized-HTML pieces (ONE definition, both engines) ----
+  private lazy val Tx43P0 = "<!DOCTYPE html><html><head><title>Doc "
+  private lazy val Tx43P1 = "</title>" +
+    "<style media=\"all\">p { margin: 0; } a > b { color: #333; }</style>" +
+    "<script type=\"text/js\">if (1 < 2 && 2 > 1) { var s = \"<p>not a tag</p>\"; }</script>" +
+    "</head><body><h1 class=\"t\" data-x=\"a>b\">Doc "
+  private lazy val Tx43P2 = " &amp; friends</h1>" +
+    "<!-- hidden <b>comment</b> with <p>fake blocks</p> -->" +
+    "<p class=\"main\"><em>"
+  private lazy val Tx43P3 = "</em></p><div id=\"nav\">home &gt; docs &#47; page &lt;"
+  private lazy val Tx43P4 = "&gt;</div></body></html>"
+
+  // ---- tx45 synthesized-URL shapes (ONE definition, both engines) ----
+  private def tx45UrlCol: org.apache.spark.sql.Column = {
+    val v = col("doc_id") % 5
+    when(v === 0, concat(lit("HTTP://WWW."), col("source"), lit("-site.COM:80/docs/"),
+        col("doc_id").cast("string"), lit("?q=1#frag")))
+      .when(v === 1, concat(lit("https://Blog."), col("source"), lit("-site.com:443/post#x")))
+      .when(v === 2, concat(lit("https://API."), col("source"), lit(".CO.UK:8443/v1?k=2")))
+      .when(v === 3, concat(lit("http://"), col("source"), lit(".GitHub.IO/page")))
+      .otherwise(concat(lit("https://cdn."), col("source"), lit(".com.ar/lib.js")))
+  }
+
+  private lazy val tx45UrlSql: String =
+    """CASE doc_id % 5
+      WHEN 0 THEN 'HTTP://WWW.' || source || '-site.COM:80/docs/' || CAST(doc_id AS VARCHAR) || '?q=1#frag'
+      WHEN 1 THEN 'https://Blog.' || source || '-site.com:443/post#x'
+      WHEN 2 THEN 'https://API.' || source || '.CO.UK:8443/v1?k=2'
+      WHEN 3 THEN 'http://' || source || '.GitHub.IO/page'
+      ELSE 'https://cdn.' || source || '.com.ar/lib.js' END"""
+
+  /** tx44's shared oracle chain: lexify → hashed char bigrams → NB
+    * training over the md5-split 80% (counting + Laplace + integer
+    * micro-nat logs — [[graft.functions.LangId]]'s exact arithmetic)
+    * → integer scoring → pinned argmax. Ends with `pred(doc_id,
+    * lang_pred)`. */
+  private lazy val tx44Ctes: String = {
+    val lex = graft.functions.LangId.lexifySql("toks", "lang")
+    s"""t AS MATERIALIZED (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+lx AS MATERIALIZED (SELECT doc_id, lang, ' ' || $lex || ' ' AS p FROM t),
+gi AS (SELECT doc_id, p, unnest(generate_series(1, length(p) - 1)) AS i FROM lx),
+gc AS MATERIALIZED (SELECT doc_id,
+            CAST(('0x' || substr(md5(substr(p, i, 2)), 1, 8)) AS BIGINT) % 64 AS j,
+            CAST(count(*) AS BIGINT) AS c
+      FROM gi GROUP BY 1, 2),
+tr AS MATERIALIZED (SELECT doc_id, lang FROM documents
+       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80),
+cnt AS (SELECT tr.lang, gc.j, sum(gc.c) AS cnt
+        FROM gc JOIN tr USING (doc_id) GROUP BY 1, 2),
+tot AS (SELECT lang, sum(cnt) AS tot FROM cnt GROUP BY 1),
+nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM tr GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+dims AS (SELECT lang, unnest(generate_series(0, 63)) AS j FROM nd),
+mdl AS MATERIALIZED (SELECT d.lang, d.j,
+        CAST(round(ln((coalesce(cnt.cnt, 0) + 1) / CAST(tot.tot + 64 AS DOUBLE)) * 1e6) AS BIGINT) AS ll6,
+        CAST(round(ln(nd.nd / CAST(nn.n AS DOUBLE)) * 1e6) AS BIGINT) AS pr6
+      FROM dims d
+      LEFT JOIN cnt ON cnt.lang = d.lang AND cnt.j = d.j
+      JOIN tot ON tot.lang = d.lang
+      JOIN nd ON nd.lang = d.lang, nn),
+sc AS MATERIALIZED (SELECT gc.doc_id, m.lang AS cand,
+        min(m.pr6) + sum(gc.c * m.ll6) AS score
+      FROM gc JOIN mdl m ON m.j = gc.j
+      GROUP BY 1, 2),
+best AS (SELECT doc_id, max(score) AS ms FROM sc GROUP BY 1),
+pred AS (SELECT sc.doc_id, min(sc.cand) AS lang_pred
+         FROM sc JOIN best ON best.doc_id = sc.doc_id AND sc.score = best.ms
+         GROUP BY 1)"""
+  }
 
   /** One CTE layer per possible waterfill round (α = 0): re-allocate
     * the remaining budget uniformly over the still-open strata and cap
