@@ -135,7 +135,14 @@ object LangId {
 
   /** Score + predict: per doc, `argmax_label prior6 + Σ c·loglik6`
     * (exact integers; tie → MIN label). The model frame is
-    * (labels × dim) rows — the join broadcasts at any corpus scale. */
+    * (labels × dim) rows — the join broadcasts at any corpus scale.
+    * The argmax is ONE doc-keyed window over the (docs × labels)
+    * score frame (row_number on score DESC, label ASC — the pinned
+    * tiebreak), not a max+self-join: the join form evaluates the
+    * whole explode→join→agg score subtree twice (measured 2× on the
+    * bench), while the window costs one doc-keyed shuffle of 5·n
+    * rows. Partitioned by the doc id, so it scales — never a global
+    * window. */
   def classify(docs: DataFrame, model: DataFrame, idCol: String,
                textCol: String, dim: Int): DataFrame = {
     val grams = gramCounts(docs, idCol, textCol, dim)
@@ -144,10 +151,11 @@ object LangId {
       .groupBy(col(idCol), col("label"))
       .agg((first(col("prior6")) + sum(col("c") * col("loglik6")))
         .as("score"))
-    val best = scores.groupBy(col(idCol)).agg(max(col("score")).as("__ms"))
-    scores.join(best, Seq(idCol))
-      .filter(col("score") === col("__ms"))
-      .groupBy(col(idCol))
-      .agg(min(col("label")).as("lang_pred"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label").asc)
+    scores.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("label").as("lang_pred"))
   }
 }

@@ -2215,8 +2215,13 @@ SELECT doc_id, CAST(i - 1 AS INTEGER) AS block_idx, blocks[i] AS block_text FROM
     Q("tx44_langid",
       (s, d) => {
         import graft.functions.{LangId, TextAnalysis}
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-          LangId.lexify(col("text"), col("lang")).as("st"))
+        // lexified corpus staged ONCE: train-side gram counts,
+        // classify-side gram counts, and the final truth join all
+        // read the checkpoint instead of re-running tokenize+lexify
+        // per subtree (the wideExtractStaged lesson, measured ~2×).
+        val docs = NearDup.stage(Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            LangId.lexify(col("text"), col("lang")).as("st")))
         val train = docs.filter(
           TextAnalysis.deterministicSplit(col("doc_id"), 80, 10) === "train")
         val model = NearDup.stage(
@@ -2234,8 +2239,9 @@ SELECT d.doc_id, d.lang, p.lang_pred FROM documents d JOIN pred p USING (doc_id)
     Q("tx44b_langid_accuracy",
       (s, d) => {
         import graft.functions.{LangId, TextAnalysis}
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-          LangId.lexify(col("text"), col("lang")).as("st"))
+        val docs = NearDup.stage(Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            LangId.lexify(col("text"), col("lang")).as("st")))
         val split = TextAnalysis.deterministicSplit(col("doc_id"), 80, 10)
         val train = docs.filter(split === "train")
         val model = NearDup.stage(
