@@ -459,16 +459,41 @@ object Quality {
     val w = Window.partitionBy(col(groupCol)).orderBy(col("day").asc)
     val idx = daily.select(col(groupCol), col("day"), col("x"),
       row_number().over(w).cast("long").as("__t"))
+    // σ from EXACT integer sums (Σx, Σx² in decimal — overflow-safe
+    // and order-independent), then ONE pinned float op sequence:
+    // sqrt(max(0, Σx²/n − (Σx/n)²)). A parallel stddev_pop's float
+    // accumulation order is engine- and schedule-dependent — the same
+    // boundary-flip class as the EWMA sum below.
     val sigma = idx.groupBy(col(groupCol))
-      .agg(stddev_pop(col("x")).as("__sigma"))
-    val hist = idx.select(col(groupCol).as("__g"), col("x").as("__xk"),
-      col("__t").as("__k"))
-    val weight = when(col("__k") === 1L,
-        pow(lit(1 - alpha), col("__t") - 1))
-      .otherwise(lit(alpha) * pow(lit(1 - alpha), col("__t") - col("__k")))
-    idx.join(hist, col(groupCol) === col("__g") && col("__k") <= col("__t"))
-      .groupBy(col(groupCol), col("day"), col("x"), col("__t"))
-      .agg(sum(col("__xk") * weight).as("__ewma"))
+      .agg(sum(col("x").cast("decimal(38,0)")).as("__sx"),
+        sum((col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)")))
+          .as("__sq"),
+        count(lit(1)).cast("double").as("__n"))
+      .select(col(groupCol),
+        sqrt(greatest(lit(0.0),
+          col("__sq").cast("double") / col("__n") -
+            (col("__sx").cast("double") / col("__n")) *
+            (col("__sx").cast("double") / col("__n")))).as("__sigma"))
+    // EWMA via the RECURRENCE as a sequential array fold, not the
+    // closed-form Σ x_k·w(t,k) triangular join: a parallel float sum's
+    // addend order is nondeterministic (partial-agg order here, morsel
+    // scheduling in the oracle engine), and a sum landing within an
+    // ULP of a round-6 boundary then flips between runs/engines — the
+    // round-17 dq10 flake, observed once in a full-registry sweep. A
+    // fold `acc ← α·x + (1−α)·acc` over the per-group DAY-ORDERED
+    // series is one fixed IEEE operation sequence, so engine and
+    // oracle agree bit-for-bit with no rounding luck. Also strictly
+    // cheaper: per-group arrays are calendar-bounded (the collect_list
+    // is the k-means-centroid class, never fact-scale) and the old
+    // agg² join and pow() calls are gone.
+    val series = idx.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("__t"), col("x")))).as("__s"))
+    val xs = transform(col("__s"), s => s.getField("x").cast("double"))
+    idx.join(series, Seq(groupCol))
+      .withColumn("__ewma",
+        aggregate(slice(xs, lit(2), col("__t").cast("int") - 1),
+          element_at(xs, 1),
+          (acc, v) => lit(alpha) * v + lit(1 - alpha) * acc))
       .join(sigma, Seq(groupCol))
       .select(col(groupCol), col("day"), col("x"),
         round(col("__ewma"), 6).as("ewma"),

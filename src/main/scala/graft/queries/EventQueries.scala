@@ -503,11 +503,16 @@ FROM agg""")),
     // EWMA control chart (SPC / NIST §6.3.2.4) over per-type DAILY
     // ingest counts — the volume-drift monitor a pipeline runs on its
     // own feed. One fact-scale shuffle (the daily rollup, map-side
-    // combinable); the EWMA closed form then runs on the calendar-
-    // bounded rollup via a triangular self-join (agg-result², AQE
-    // broadcasts it) — no recursive window, no per-key state. Emits
-    // the smoothed level and the deviation in group-σ units; callers
-    // alarm at their control limit.
+    // combinable); the EWMA then runs as the RECURRENCE — a sequential
+    // fold over the per-group day-ordered series (calendar-bounded
+    // arrays, never fact-scale) — and σ comes from exact integer
+    // Σx/Σx² sums. Round-17 rewrite: the old closed-form triangular
+    // join summed floats in nondeterministic order (and stddev_pop
+    // likewise), which flipped a round-6 boundary once in a
+    // full-registry sweep; a pinned IEEE op sequence on both sides
+    // needs no rounding luck. Emits the smoothed level and the
+    // deviation in group-σ units; callers alarm at their control
+    // limit.
     Q("dq10_ewma_control",
       (s, d) => graft.operators.Quality.ewmaControl(
         Tables.events(s, d), "event_type", "ts", 0.3),
@@ -519,16 +524,24 @@ idx AS (SELECT event_type, day, x,
                CAST(row_number() OVER (PARTITION BY event_type
                  ORDER BY day ASC) AS BIGINT) AS t
         FROM daily),
-sg AS (SELECT event_type, stddev_pop(x) AS sigma FROM idx GROUP BY 1),
-ew AS (SELECT a.event_type, a.day, a.x,
-              sum(b.x * CASE WHEN b.t = 1 THEN pow(0.7, a.t - 1)
-                             ELSE 0.3 * pow(0.7, a.t - b.t) END) AS ewma
-       FROM idx a JOIN idx b ON b.event_type = a.event_type AND b.t <= a.t
-       GROUP BY 1, 2, 3)
+sg AS (SELECT event_type,
+              CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+              CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sq,
+              CAST(count(*) AS DOUBLE) AS n
+       FROM idx GROUP BY 1),
+sig AS (SELECT event_type,
+               sqrt(greatest(0, sq / n - (sx / n) * (sx / n))) AS sigma
+        FROM sg),
+ser AS (SELECT event_type, list(CAST(x AS DOUBLE) ORDER BY t) AS xs
+        FROM idx GROUP BY 1),
+ew AS (SELECT i.event_type, i.day, i.x,
+              list_reduce(list_concat([xs[1]], xs[2:CAST(i.t AS INTEGER)]),
+                          (acc, v) -> 0.3 * v + 0.7 * acc) AS ewma
+       FROM idx i JOIN ser USING (event_type))
 SELECT e.event_type, e.day, e.x AS x, round(e.ewma, 6) AS ewma,
        round(CASE WHEN s.sigma > 0 THEN abs(e.x - e.ewma) / s.sigma
                   ELSE 0 END, 6) AS dev_sigma
-FROM ew e JOIN sg s USING (event_type)""")),
+FROM ew e JOIN sig s USING (event_type)""")),
 
     // ANSI rank-function family: percent_rank / cume_dist / ntile over
     // a pinned per-type total order (value, event_id tiebreak). One
