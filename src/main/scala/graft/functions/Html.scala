@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   *  1. drop `<script>`/`<style>` ELEMENTS whole — their text content
   *     is code, and it may contain literal `"<p>"` strings that must
   *     never segment or survive as text;
-  *  2. drop comments (`<!-- … -->`) whole — they may contain markup;
+  *  2. drop CDATA sections then comments whole — both may contain
+  *     markup; a comment ends at the FIRST `-->` (the HTML spec's
+  *     rule: "nested" comments are not a thing, the tail leaks as
+  *     text — HtmlSpec pins exactly that);
   *  3. turn BLOCK-level boundaries (both tags of p/h1..h6/div/li/
-  *     title/tr plus void br/hr) into newlines — block segmentation;
+  *     title/tr/pre/blockquote plus void br/hr) into newlines — block
+  *     segmentation (NOTE: `<pre>` segments as a block but its inner
+  *     whitespace still collapses — preserving pre-formatting is out
+  *     of contract for a text-corpus extractor);
   *  4. strip every remaining tag. The tag pattern skips over QUOTED
   *     attribute values, so `<h1 data-x="a>b">` is one tag — the
   *     naive `<[^>]*>` truncates at the `>` inside the attribute and
@@ -42,13 +48,21 @@ object Html {
   private[graft] val StyleRe = """(?is)<style\b[^>]*>.*?</style\s*>"""
   private[graft] val CommentRe = """(?s)<!--.*?-->"""
 
+  /** `<![CDATA[ … ]]>` dropped whole (round-17 verdict item 8): in the
+    * HTML syntax a CDATA section outside foreign content is a bogus
+    * comment, and its body may contain fake markup — without this rule
+    * the `<![` prefix matches no tag pattern ([[TagRe]] requires a
+    * letter) and the whole section would LEAK into the text. Non-greedy
+    * to the first `]]>`, mirroring [[CommentRe]]'s first-`-->` rule. */
+  private[graft] val CdataRe = """(?s)<!\[CDATA\[.*?\]\]>"""
+
   /** Block boundary: opening OR closing forms of the block-level tags
     * (attributes tolerated), plus the void br/hr. Attribute values are
     * skipped the same way [[TagRe]] does — a block tag with a quoted
     * '>' in an attribute must segment at the REAL tag end, not leak
     * the attribute tail into the text. */
   private[graft] val BlockTagRe =
-    """(?i)</?(p|h[1-6]|div|li|ul|ol|title|tr|table|br|hr)\b[^>"']*(?:("[^"]*"|'[^']*')[^>"']*)*>"""
+    """(?i)</?(p|h[1-6]|div|li|ul|ol|title|tr|table|pre|blockquote|br|hr)\b[^>"']*(?:("[^"]*"|'[^']*')[^>"']*)*>"""
 
   /** Entity decode table, in APPLICATION ORDER — `&amp;` last. ONE
     * definition feeds the Spark chain and the generated oracle SQL. */
@@ -61,7 +75,8 @@ object Html {
   def extractText(html: Column): Column = {
     val noScript = regexp_replace(html, ScriptRe, "")
     val noStyle = regexp_replace(noScript, StyleRe, "")
-    val noComment = regexp_replace(noStyle, CommentRe, "")
+    val noCdata = regexp_replace(noStyle, CdataRe, "")
+    val noComment = regexp_replace(noCdata, CommentRe, "")
     val segmented = regexp_replace(noComment, BlockTagRe, "\n")
     val noTags = regexp_replace(segmented, TagRe, "")
     // entity tokens contain no regex metacharacters and the
@@ -89,7 +104,8 @@ object Html {
     def esc(s: String): String = s.replace("'", "''")
     val noScript = s"regexp_replace($expr, '${esc(ScriptRe)}', '', 'g')"
     val noStyle = s"regexp_replace($noScript, '${esc(StyleRe)}', '', 'g')"
-    val noComment = s"regexp_replace($noStyle, '${esc(CommentRe)}', '', 'g')"
+    val noCdata = s"regexp_replace($noStyle, '${esc(CdataRe)}', '', 'g')"
+    val noComment = s"regexp_replace($noCdata, '${esc(CommentRe)}', '', 'g')"
     val segmented = s"regexp_replace($noComment, '${esc(BlockTagRe)}', chr(10), 'g')"
     val noTags = s"regexp_replace($segmented, '${esc(TagRe)}', '', 'g')"
     val decoded = Entities.foldLeft(noTags) { case (c, (e, ch)) =>

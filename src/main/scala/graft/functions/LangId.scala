@@ -78,13 +78,17 @@ object LangId {
   }
 
   /** The identical lexifier as DuckDB SQL (`toksExpr` must be the
-    * token-list expression, `langExpr` the lang column). */
+    * token-list expression, `langExpr` the lang column). The coalesce
+    * pins the empty-text edge (round-17 ADVICE): Spark's array_join
+    * over an empty token list yields '', but DuckDB's list_aggregate
+    * yields NULL — unpinned, an empty doc would get a padded-bigram
+    * prediction in the engine and VANISH from the oracle's gram chain. */
   def lexifySql(toksExpr: String, langExpr: String): String = {
     val cases = lexFlat.toSeq.sorted.map { case (k, v) =>
       s"WHEN '${k.replace("'", "''")}' THEN '$v'"
     }.mkString(" ")
-    s"list_aggregate(list_transform($toksExpr, " +
-      s"x -> CASE $langExpr || ':' || x $cases ELSE x END), 'string_agg', ' ')"
+    s"coalesce(list_aggregate(list_transform($toksExpr, " +
+      s"x -> CASE $langExpr || ':' || x $cases ELSE x END), 'string_agg', ' '), '')"
   }
 
   /** Hashed char-bigram rows (id, dim_idx, c): text padded with one
@@ -145,17 +149,50 @@ object LangId {
     * window. */
   def classify(docs: DataFrame, model: DataFrame, idCol: String,
                textCol: String, dim: Int): DataFrame = {
-    val grams = gramCounts(docs, idCol, textCol, dim)
-    val scores = grams
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label").asc)
+    scoreFrame(docs, model, idCol, textCol, dim)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("label").as("lang_pred"))
+  }
+
+  /** Abstention margin in micro-nats (2 nats): a prediction whose
+    * integer score beats the runner-up by less than this routes to
+    * 'und' instead — real pipelines send those docs to a slower
+    * classifier or human review rather than mis-keying them. Pinned
+    * integer, shared with the generated oracle SQL. */
+  val AbstainMargin6: Long = 2000000L
+
+  /** [[classify]] with abstention: top-1 must beat top-2 by
+    * [[AbstainMargin6]] micro-nats or the doc predicts 'und'
+    * (round-17 verdict item 6 — the closed-set classifier gains a
+    * low-confidence route). Same doc-keyed window as classify (lead()
+    * rides the existing sort — no second shuffle); a single-candidate
+    * doc is confident by construction (coalesce pins the margin). */
+  def classifyAbstain(docs: DataFrame, model: DataFrame, idCol: String,
+                      textCol: String, dim: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label").asc)
+    scoreFrame(docs, model, idCol, textCol, dim)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nxt", lead(col("score"), 1).over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol),
+        when(col("score") - coalesce(col("__nxt"),
+          col("score") - AbstainMargin6) >= AbstainMargin6, col("label"))
+          .otherwise(lit("und")).as("lang_pred"))
+  }
+
+  /** Per-(doc, label) integer scores — the shared subtree of
+    * [[classify]] / [[classifyAbstain]]. */
+  private def scoreFrame(docs: DataFrame, model: DataFrame, idCol: String,
+                         textCol: String, dim: Int): DataFrame =
+    gramCounts(docs, idCol, textCol, dim)
       .join(broadcast(model), Seq("dim_idx"))
       .groupBy(col(idCol), col("label"))
       .agg((first(col("prior6")) + sum(col("c") * col("loglik6")))
         .as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("label").asc)
-    scores.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("label").as("lang_pred"))
-  }
 }

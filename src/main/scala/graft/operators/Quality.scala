@@ -126,27 +126,30 @@ object Quality {
   /** Distributed logistic-regression training — the TRAINED quality
     * classifier completing the heuristic tx gates (the fastText-style
     * curation step: label a sample, train, score the corpus). Full-batch
-    * gradient descent, deterministic by the k-means/BPE discipline: each
-    * round is ONE map-side-combining aggregation over the feature frame
-    * (per-feature `round(avg((σ(margin) − y)·x_j), 6)` — the rounding
-    * pins the only float whose summation order engines could disagree
-    * on), then an O(d) driver update `w_j ← w_j − lr·g_j`. After the
-    * round-6 cut every subsequent double op is a pure function of pinned
-    * values, so the whole training trajectory is reproducible in SQL as
-    * unrolled CTEs (tx42's oracle does exactly that). Driver state is d
-    * doubles — the bounded-collect class of k-means centroids, never
+    * gradient descent, deterministic by the dq10/tx44 SCALED-INTEGER
+    * discipline: each round is ONE map-side-combining aggregation over
+    * the feature frame — per feature the EXACT integer sum of
+    * `round((σ(margin) − y)·x_j·1e6)` in decimal(38,0) (commutative,
+    * associative, overflow-safe to ~1e32 rows — no float-summation
+    * order anywhere) — then an O(d) driver update
+    * `w_j ← w_j − lr·(Σ/n/1e6)` whose two IEEE divisions are a pinned
+    * operation sequence any engine reproduces. The round-17 rewrite
+    * replaced `round(avg(err·x), 6)`: an avg's addend order is
+    * partition-layout- and engine-dependent, and an avg within an ULP
+    * of a 1e-6 boundary then flips the whole trajectory (the dq10
+    * boundary flake, observed once in a full-registry sweep; the
+    * repartition-sweep spec in QualitySpec now red-tests this). The
+    * whole trajectory stays reproducible in SQL as unrolled CTEs
+    * (tx42's oracle mirrors the integer sums exactly). Driver state is
+    * d doubles — the bounded-collect class of k-means centroids, never
     * rows. Callers include an explicit all-ones bias column.
     *
-    * Determinism caveat: the round-6 cut pins the gradient only when
-    * avg's UNROUNDED double lands clear of a 1e-6 rounding boundary.
-    * avg itself is summation-order dependent, so a gradient within a
-    * few ULPs of a boundary can round differently across partition
-    * layouts or engines, and the trajectories then diverge from that
-    * round on. The fixtures' gradients sit far from boundaries (the
-    * sf0.01/sf0.1/~sf1 oracle hashes all reproduce bit-for-bit); a
-    * deployment that must GUARANTEE bit-exact cross-engine parity on
-    * adversarial data should aggregate gradients as scaled integers
-    * (sum of round(err·x·1e6) longs) instead of rounding an avg.
+    * Residual cross-engine hazard: the per-row σ comes from libm exp,
+    * so engines differing by an ULP can round a single row's scaled
+    * integer differently — but the flip window is ~1e-11 per row
+    * (integer grid spacing 1 at 1e6 scale) vs the avg form's ~1e-6 per
+    * aggregate, and a one-row ±1 shifts the gradient by 1e-6/n instead
+    * of re-ordering an entire float sum.
     *
     * Fails loudly on an empty feature frame or a null feature/label
     * (the repo's fail-loud doctrine): silently training on garbage —
@@ -172,12 +175,19 @@ object Quality {
     if (nullCols.nonEmpty) throw new IllegalArgumentException(
       s"trainLogistic: null values in ${nullCols.mkString(", ")} — " +
         "impute or filter before training (nulls would poison every gradient)")
+    val n = chk.getLong(0).toDouble
     var w = Array.fill(featureCols.size)(0.0)
     for (_ <- 1 to rounds) {
       val err = logisticP(w, featureCols) - col(labelCol)
-      val aggs = featureCols.map(c => round(avg(err * col(c)), 6))
+      val aggs = featureCols.map(c =>
+        sum(round(err * col(c) * 1e6, 0).cast("decimal(38,0)")))
       val g = feat.agg(aggs.head, aggs.tail: _*).first()
-      w = Array.tabulate(w.length)(i => w(i) - lr * g.getDouble(i))
+      w = Array.tabulate(w.length) { i =>
+        // pinned op sequence (mirrored by the oracle): Σ → double,
+        // ÷n, ÷1e6, ×lr, subtract
+        val gd = g.getDecimal(i).doubleValue() / n / 1e6
+        w(i) - lr * gd
+      }
     }
     w
   }
@@ -432,17 +442,17 @@ object Quality {
     * series with an exponentially weighted moving average and score each
     * period's deviation from the smoothed level in group-σ units.
     *
-    * EWMA via the closed form of the standard recurrence
-    * (ewma_1 = x_1; ewma_t = α·x_t + (1−α)·ewma_{t−1}):
-    *   ewma_t = (1−α)^(t−1)·x_1 + α·Σ_{k=2..t} (1−α)^(t−k)·x_k
-    * computed by a triangular self-join on the ROLLED-UP series rather
-    * than a recursive window — the rollup is (groups × periods)-sized
-    * (bounded by the calendar, not by fact volume), so the triangle is
-    * agg-result² at worst and AQE broadcasts it; the one fact-scale
-    * shuffle is the rollup count itself, map-side combinable. All
-    * weights are ≥ 0 powers of (1−α) on integer counts — magnitudes
-    * stay O(x), so the unordered double sum is safe under the repo's
-    * 6-decimal rounding convention.
+    * EWMA via the standard recurrence (ewma_1 = x_1; ewma_t = α·x_t +
+    * (1−α)·ewma_{t−1}) evaluated as a SEQUENTIAL array fold over each
+    * group's day-ordered series — one fixed IEEE operation sequence,
+    * so engine and oracle agree bit-for-bit (the inline comment below
+    * records why the closed-form triangular-join alternative was
+    * rejected: its unordered parallel float sum can land within an ULP
+    * of a round-6 boundary and flip between runs/engines). The rollup
+    * is (groups × periods)-sized — bounded by the calendar, not by
+    * fact volume — so the per-group collect_list array is the k-means-
+    * centroid class, and the one fact-scale shuffle is the rollup
+    * count itself, map-side combinable.
     *
     * Output: one row per (group, period) — the raw count, the EWMA
     * level, and `dev_sigma` = |x − ewma| / σ_group (population σ of the

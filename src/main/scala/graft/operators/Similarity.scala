@@ -182,13 +182,25 @@ object Similarity {
                           path: String): DataFrame = {
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/$StatsName")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listed = listBucketBytes(spark, path)
-    val manifestBytes =
+    def manifestBytes: Option[Map[Long, Long]] =
       if (!fs.exists(statsPath)) None
       else Some(bucketStats(spark, path)
         .select(col("bucket"), col("n_bytes")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap)
-    if (!manifestBytes.contains(listed)) rebuildStats(spark, path)
+    if (!manifestBytes.contains(listBucketBytes(spark, path))) {
+      rebuildStats(spark, path)
+      // Convergence check (round-17 ADVICE): a rebuild reconciles the
+      // manifest with the listing by construction ([[writeStats]] now
+      // carries listing-only buckets as zero-count rows), so a SECOND
+      // mismatch means something is mutating the index concurrently or
+      // the filesystem listing is unstable — fail loudly instead of
+      // silently re-triggering the full O(corpus) rescan on every call.
+      val after = listBucketBytes(spark, path)
+      if (!manifestBytes.contains(after)) throw new IllegalStateException(
+        s"bucketStatsVerified: manifest at $path/$StatsName still drifts " +
+          s"from the directory listing after an authoritative rebuild — " +
+          s"concurrent writer or unstable listing; listing=$after")
+    }
     bucketStats(spark, path)
   }
 
@@ -222,8 +234,13 @@ object Similarity {
     // instead of a stage + join + write chain (measured ~1 s of fixed
     // job overhead per index write at bench scale).
     val bytes = listBucketBytes(spark, path)
-    val rows = counts.toSeq.sorted.map { case (b, n) =>
-      (b, n, bytes.getOrElse(b, 0L))
+    // Listing-only buckets (a bucket dir whose files hold zero data
+    // rows — e.g. a crashed write's leftovers) are carried as
+    // zero-count rows: byte totals then always reconcile with the
+    // listing, so [[bucketStatsVerified]]'s drift check CONVERGES
+    // after one rebuild instead of rescanning the index forever.
+    val rows = (counts.keySet ++ bytes.keySet).toSeq.sorted.map { b =>
+      (b, counts.getOrElse(b, 0L), bytes.getOrElse(b, 0L))
     }
     spark.createDataFrame(rows)
       .toDF("bucket", "n_vectors", "n_bytes")

@@ -64,13 +64,32 @@ class HtmlSpec extends SparkSpec {
     assert(blocks("<p>5 < 7 holds</p>") == Seq("5 < 7 holds"))
   }
 
+  test("CDATA sections vanish whole, including fake markup and raw ampersands") {
+    assert(blocks("<p>a</p><![CDATA[ <p>ghost</p> & stray ]]><p>b</p>") == Seq("a", "b"))
+    // CDATA inside a comment and vice versa both drop cleanly
+    assert(blocks("<p>a</p><!-- <![CDATA[x]]> --><p>b</p>") == Seq("a", "b"))
+  }
+
+  test("a 'nested' comment ends at the FIRST --> and the tail leaks (HTML spec rule)") {
+    val h = "<p>a</p><!-- outer <!-- inner --><p>tail</p> --><p>b</p>"
+    assert(blocks(h) == Seq("a", "tail", "-->", "b"))
+  }
+
+  test("<pre> and <blockquote> segment as blocks; <br> inside pre still splits") {
+    assert(blocks("<p>a</p><pre>code line</pre><p>b</p>") == Seq("a", "code line", "b"))
+    assert(blocks("<pre>one<br>two</pre>") == Seq("one", "two"))
+    assert(blocks("<blockquote>quoted</blockquote>rest") == Seq("quoted", "rest"))
+    // documented contract: pre-internal whitespace still collapses
+    assert(blocks("<pre>  a    b  </pre>") == Seq("a b"))
+  }
+
   test("oracle mirror produces the identical extraction in DuckDB-compatible SQL") {
     // the SQL mirror is generated from the same constants; pin that the
     // generated string references every stage (a structural guard —
     // value-level parity is the oracle gate's job)
     val sql = Html.extractTextSql("html")
     assert(sql.contains("script") && sql.contains("style"))
-    assert(sql.contains("chr(10)"))
+    assert(sql.contains("CDATA") && sql.contains("chr(10)"))
     Html.Entities.foreach { case (e, _) => assert(sql.contains(e)) }
   }
 }

@@ -55,6 +55,39 @@ class LangIdSpec extends SparkSpec {
     assert(pred1 == pred2, "integer scoring must not depend on partitioning")
   }
 
+  test("planted score tie routes to 'und' (abstention path)") {
+    // two languages with IDENTICAL training text and equal doc counts
+    // have identical likelihoods AND priors — every score ties exactly,
+    // so the integer margin is 0 and abstention MUST fire.
+    val train = Seq(
+      (1L, "foo bar baz", "aa"), (2L, "qux quux", "aa"),
+      (3L, "foo bar baz", "bb"), (4L, "qux quux", "bb"),
+      (5L, "zzz yyy xxx www", "cc"), (6L, "vvv uuu ttt", "cc"))
+      .toDF("doc_id", "text", "lang")
+    val m = LangId.trainNaiveBayes(train, "doc_id", "text", "lang", dim)
+    val probe = Seq((10L, "foo bar")).toDF("doc_id", "text")
+    val out = LangId.classifyAbstain(probe, m, "doc_id", "text", dim)
+      .as[(Long, String)].head()
+    assert(out == (10L, "und"), "an exact aa/bb tie must abstain")
+    // the plain classifier still breaks the tie by the pinned MIN label
+    val hard = LangId.classify(probe, m, "doc_id", "text", dim)
+      .as[(Long, String)].head()
+    assert(hard == (10L, "aa"))
+  }
+
+  test("abstention stays rare on the lexified corpus; empty text still predicts") {
+    val pred = LangId.classifyAbstain(docs, model, "doc_id", "st", dim)
+    val (n, und) = pred.agg(count(lit(1)),
+      sum(when(col("lang_pred") === "und", 1L).otherwise(0L)))
+      .as[(Long, Long)].head()
+    assert(n == docs.count(), "every doc must get a prediction row")
+    assert(und.toDouble / n <= 0.2, s"und rate $und/$n unexpectedly high")
+    // empty-text edge (round-17 ADVICE): one padded bigram still scores
+    val empty = Seq((99L, "")).toDF("doc_id", "st")
+    val rows = LangId.classify(empty, model, "doc_id", "st", dim).collect()
+    assert(rows.length == 1, "an empty doc must not vanish from predictions")
+  }
+
   test("scoring never touches the driver and the model join broadcasts") {
     val plan = LangId.classify(docs, model, "doc_id", "st", dim)
       .queryExecution.explainString(

@@ -294,6 +294,25 @@ class QualitySpec extends SparkSpec {
     intercept[IllegalArgumentException] { Quality.trainLogistic(rows, "y", Nil, 1, 1.0) }
   }
 
+  test("trainLogistic: scaled-integer gradients are layout-invariant (dq10 red-test sweep)") {
+    // The round-17 rewrite's guarantee: gradient aggregation is an
+    // EXACT integer sum, so any partition layout produces bit-identical
+    // trajectories even on boundary-adjacent data. Features are dense
+    // irrational-ish values (the adversarial class for the old
+    // round(avg) form, whose addend order was layout-dependent).
+    val rows = (0 until 500).map { i =>
+      (i.toLong, (i % 2).toDouble,
+        math.rint(math.sin(i.toDouble) * 1e6) / 1e6,
+        math.rint(math.cos(i * 0.7) * 1e6) / 1e6, 1.0)
+    }.toDF("id", "y", "x0", "x1", "xb")
+    val cols = Seq("x0", "x1", "xb")
+    val base = Quality.trainLogistic(rows, "y", cols, rounds = 6, lr = 0.5).toSeq
+    for (p <- Seq(1, 7, 13, 32)) {
+      val wp = Quality.trainLogistic(rows.repartition(p), "y", cols, 6, 0.5).toSeq
+      assert(wp == base, s"weights diverged at $p partitions")
+    }
+  }
+
   test("trainLogistic fails loudly on empty frames and null features/labels") {
     // the round-14 ADVICE finding: an empty frame or a null feature
     // used to surface as an opaque NPE from Row.getDouble mid-training
