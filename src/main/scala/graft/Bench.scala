@@ -52,12 +52,29 @@ object Bench {
     * tables to the same rows as the oracle-checked his_* queries. */
   val JobEntry = "his_job_e2e"
 
-  private def runJobOnce(spark: SparkSession, sfDir: String): (Double, Option[String]) = {
+  /** The staged LLM corpus-build job (round-17 verdict item 1): the
+    * six-stage extract→route→dedup→mix→shard pipeline published
+    * atomically — the LLM-surface sibling of [[JobEntry]].
+    * CorpusJobSpec pins the published shards to the same rows as the
+    * oracle-checked tx46_corpus_e2e manifest. */
+  val LlmJobEntry = "llm_job_e2e"
+
+  private val jobRunners: Map[String, (SparkSession, String, String) => Boolean] = Map(
+    JobEntry -> { (spark, sfDir, out) =>
+      val res = graft.his.TurnosJob.run(spark, sfDir, out, "bench")
+      res.published.nonEmpty && res.counts.values.forall(_ > 0)
+    },
+    LlmJobEntry -> { (spark, sfDir, out) =>
+      val res = graft.llm.CorpusJob.run(spark, sfDir, out, "bench")
+      res.published.nonEmpty && res.counts.values.forall(_ > 0)
+    })
+
+  private def runJobOnce(spark: SparkSession, sfDir: String,
+                         entry: String): (Double, Option[String]) = {
     val out = java.nio.file.Files.createTempDirectory("graft_bench_job").toFile
     val t0 = System.nanoTime()
     try {
-      val res = graft.his.TurnosJob.run(spark, sfDir, out.getAbsolutePath, "bench")
-      require(res.published.nonEmpty && res.counts.values.forall(_ > 0),
+      require(jobRunners(entry)(spark, sfDir, out.getAbsolutePath),
         "bench job published nothing")
       ((System.nanoTime() - t0) / 1e9, None)
     } catch {
@@ -101,7 +118,9 @@ object Bench {
     // ex19_histogram_quantiles, dq05_drift_psi, tx26 — were dropped to
     // keep the printed line inside the driver's 2000-char stdout tail;
     // every entry is always in bench_full.json)
-    "ann04b_ivf_stored", "ann06b_pq_trained", "tx25_hybrid_multiquery")
+    "ann04b_ivf_stored", "ann06b_pq_trained", "tx25_hybrid_multiquery",
+    // round 18: the LLM corpus-build composition
+    "llm_job_e2e", "tx46_corpus_e2e")
 
   /** Per-STAGE timings of the stored-ANN index lifecycle (round-7
     * verdict item 4): the ann03c/ann03d bench entries time
@@ -193,7 +212,7 @@ object Bench {
     // would otherwise triple the wasted wall-clock) and its failed
     // sample is recorded NEGATED so the samples array is
     // self-describing.
-    val names = SparkEntry.queries.keys.toSeq :+ JobEntry
+    val names = SparkEntry.queries.keys.toSeq :+ JobEntry :+ LlmJobEntry
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val samples = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]]()
     names.foreach(n => samples(n) = scala.collection.mutable.ArrayBuffer[Double]())
@@ -212,7 +231,7 @@ object Bench {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (pass <- 1 to 3; name <- names if !errors.contains(name)) {
       val inspect =
-        if (pass == 1 && name != JobEntry)
+        if (pass == 1 && !jobRunners.contains(name))
           Some((df: org.apache.spark.sql.DataFrame) => {
             val n = df.queryExecution.optimizedPlan.collect {
               case w: LWindow if w.partitionSpec.isEmpty => w
@@ -221,7 +240,7 @@ object Bench {
           })
         else None
       val (t, e) =
-        if (name == JobEntry) runJobOnce(spark, sfDir)
+        if (jobRunners.contains(name)) runJobOnce(spark, sfDir, name)
         else runOnce(SparkEntry.queries(name), spark, sfDir, inspect)
       val ms = math.rint(t * 1000) / 1000
       samples(name) += (if (e.isDefined) -ms else ms)

@@ -2175,11 +2175,7 @@ FROM docl JOIN grp USING (canonical_id)""")),
     Q("tx43_html_extract",
       (s, d) => {
         import graft.functions.Html
-        val id = col("doc_id").cast("string")
-        val html = concat(lit(Tx43P0), id, lit(Tx43P1),
-          (col("doc_id") % 97).cast("string"), lit(Tx43P2), col("text"),
-          lit(Tx43P3), (col("doc_id") % 7).cast("string"), lit(Tx43P4),
-          id, lit(Tx43P5))
+        val html = fixtureHtmlCol
         Tables.documents(s, d)
           .select(col("doc_id"),
             posexplode(Html.extractBlocks(html)).as(Seq("block_idx", "block_text")))
@@ -2187,12 +2183,7 @@ FROM docl JOIN grp USING (canonical_id)""")),
             col("block_text"))
       },
       Some {
-        def esc(x: String) = x.replace("'", "''")
-        s"""WITH syn AS (SELECT doc_id,
-           '${esc(Tx43P0)}' || CAST(doc_id AS VARCHAR) || '${esc(Tx43P1)}' ||
-           CAST(doc_id % 97 AS VARCHAR) || '${esc(Tx43P2)}' || text ||
-           '${esc(Tx43P3)}' || CAST(doc_id % 7 AS VARCHAR) || '${esc(Tx43P4)}' ||
-           CAST(doc_id AS VARCHAR) || '${esc(Tx43P5)}' AS html
+        s"""WITH syn AS (SELECT doc_id, $fixtureHtmlSql AS html
          FROM documents),
 ext AS (SELECT doc_id, ${graft.functions.Html.extractTextSql("html")} AS txt FROM syn),
 bl AS (SELECT doc_id,
@@ -2347,9 +2338,164 @@ SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN n_tokens BETWEEN 20 AND 2000 AND ttr >= 0.3
                       AND mtl BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
 FROM m GROUP BY domain""")),
+
+    // The END-TO-END LLM corpus build (round-17 verdict item 1): HTML
+    // extract (tx43) → registered-domain provenance (tx45) → trained
+    // langid with 'und' routing (tx44/tx44c) → quality gate (tx06) →
+    // exact-shrink + LSH-CC dedup keeping canonical reps (dd10) →
+    // duplicated-span strip (dd15) → per-DOMAIN token-budget mix
+    // (tx31) → deterministic shard assignment (tx41) — ONE chain, the
+    // composition [[graft.llm.CorpusJob]] publishes atomically
+    // (CorpusJobSpec pins published rows to this frame). The result is
+    // the per-shard manifest (docs, token mass, membership digest), so
+    // a drift ANYWHERE in the six stages — an extraction rule, an
+    // abstention margin, a dedup edge, a mix rate — changes shard
+    // membership and fails the hash. The oracle composes the proven
+    // CTE generators of each stage end to end.
+    Q("tx46_corpus_e2e",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "lang", "source", "text")
+        graft.llm.CorpusJob.manifest(graft.llm.CorpusJob
+          .curatedAssignments(docs, fixtureHtmlCol, fixtureUrlCol))
+      },
+      Some(tx46Sql)),
   )
 
+  /** tx46's oracle: the whole corpus-build chain as generated CTEs —
+    * synthesis + extraction (tx43's mirrors), lexify, domain (tx45's),
+    * NB langid + abstention ([[nbLangidCtes]]), tx06 gate, dd10's
+    * exact-shrink + minhash + recursive CC, dd15's span strip, tx31's
+    * budget mix keyed by domain, tx41's shard assignment. */
+  private lazy val tx46Sql: String = {
+    val lex = graft.functions.LangId.lexifySql("toks", "lang")
+    s"""WITH RECURSIVE
+syn46 AS (SELECT doc_id, lang, source, $fixtureHtmlSql AS html FROM documents),
+ext46 AS MATERIALIZED (SELECT doc_id, lang, source,
+         ${graft.functions.Html.extractTextSql("html")} AS txt FROM syn46),
+bl46 AS (SELECT doc_id, lang, source,
+         array_to_string(list_filter(list_transform(string_split(txt, chr(10)),
+           x -> trim(x)), x -> x <> ''), ' ') AS text
+         FROM ext46),
+lxt46 AS (SELECT doc_id, lang, $toksSql AS toks FROM bl46),
+lx46 AS MATERIALIZED (SELECT doc_id, lang, $lex AS text FROM lxt46),
+url46 AS (SELECT doc_id, $tx45UrlSql AS url FROM documents),
+hh46 AS (SELECT doc_id, ${graft.functions.Url.hostSql("url")} AS host FROM url46),
+dom46 AS MATERIALIZED (SELECT doc_id,
+         ${graft.functions.Url.registeredDomainSql("host")} AS domain FROM hh46),
+lxp46 AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM lx46),
+${nbLangidCtes("46", "lxp46")},
+rt46 AS MATERIALIZED (
+  SELECT l.doc_id, l.text, d.domain
+  FROM lx46 l JOIN predu46 p USING (doc_id) JOIN dom46 d USING (doc_id)
+  WHERE p.lang_pred <> 'und'),
+kept46 AS MATERIALIZED (
+  SELECT doc_id, text, domain
+  FROM (SELECT doc_id, text, domain, $toksSql AS toks FROM rt46) kq
+  WHERE len(toks) BETWEEN 20 AND 2000
+    AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.3
+    AND round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) BETWEEN 2.0 AND 12.0),
+em46 AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS exact_canon
+       FROM (SELECT doc_id, $fingerprintSql AS fp FROM kept46) x),
+reps46 AS MATERIALIZED (SELECT k.doc_id, k.text FROM kept46 k
+         JOIN em46 e ON e.doc_id = k.doc_id AND e.exact_canon = k.doc_id),
+${minhashCtesFrom("reps46", "46", mat = true)},
+${bandsCteSfx("46", mat = true)},
+${jaccardCtesSfx("46", mat = true)},
+edges46 AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM jac46 WHERE jaccard >= 0.5
+  UNION ALL
+  SELECT id_b, id_a FROM jac46 WHERE jaccard >= 0.5),
+reach46 AS (
+  SELECT doc_id, doc_id AS r FROM reps46
+  UNION
+  SELECT re.doc_id, e.dst AS r FROM reach46 re JOIN edges46 e ON e.src = re.r),
+cc46 AS (SELECT doc_id, min(r) AS canonical_id FROM reach46 GROUP BY doc_id),
+surv46 AS MATERIALIZED (
+  SELECT r.doc_id, r.text FROM reps46 r
+  JOIN cc46 c ON c.doc_id = r.doc_id AND c.canonical_id = r.doc_id),
+st46 AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM surv46),
+sbase46 AS (SELECT doc_id, len(toks) AS nt FROM st46),
+stok46 AS (SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos
+           FROM st46),
+sgrams46 AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS s,
+         md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4]) AS gh
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-4)) AS i
+        FROM st46 WHERE len(toks) >= 5) x),
+swin46 AS (SELECT gh, min(doc_id) AS w FROM sgrams46
+        GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+scut46 AS (SELECT DISTINCT g.doc_id, g.s + oo.o AS pos
+        FROM sgrams46 g JOIN swin46 w ON w.gh = g.gh AND g.doc_id > w.w,
+             (SELECT unnest(generate_series(0, 4)) AS o) oo),
+snk46 AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept
+         FROM stok46 t LEFT JOIN scut46 c
+           ON c.doc_id = t.doc_id AND c.pos = t.pos
+         WHERE c.pos IS NULL GROUP BY t.doc_id),
+sper46 AS MATERIALIZED (
+  SELECT b.doc_id, coalesce(k.n_kept, 0) AS nkept
+  FROM sbase46 b LEFT JOIN snk46 k USING (doc_id)),
+mtk46 AS MATERIALIZED (
+  SELECT p.doc_id, r.domain, p.nkept
+  FROM sper46 p JOIN rt46 r USING (doc_id)),
+mper46 AS (SELECT domain, CAST(sum(nkept) AS DOUBLE) AS tok_s
+           FROM mtk46 GROUP BY 1),
+mtot46 AS (SELECT sum(tok_s) AS tok_tot, sum(pow(tok_s, 0.5)) AS pw FROM mper46),
+mr46 AS (SELECT domain,
+         round(least(1.0, 0.6 * tot.tok_tot * pow(per.tok_s, -0.5) / tot.pw), 6) AS rate
+         FROM mper46 per, mtot46 tot),
+sel46 AS (SELECT t.doc_id, t.nkept
+          FROM mtk46 t JOIN mr46 r USING (domain)
+          WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                < round(r.rate * 10000)),
+sht46 AS (SELECT doc_id, CAST(nkept AS BIGINT) AS ntk,
+                 md5('$ShardSeed46:' || CAST(doc_id AS VARCHAR)) AS rk
+          FROM sel46),
+shtot46 AS (SELECT CAST(sum(ntk) AS BIGINT) AS total FROM sht46),
+sho46 AS (SELECT doc_id, ntk,
+                 CAST(sum(ntk) OVER (ORDER BY rk, doc_id) - ntk AS BIGINT) AS o_off
+          FROM sht46),
+sha46 AS (SELECT doc_id, ntk,
+                 CAST(least(7, (o_off * 8) // total) AS INTEGER) AS shard
+          FROM sho46, shtot46)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntk) AS BIGINT) AS tokens,
+       bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)) AS digest
+FROM sha46 GROUP BY shard"""
+  }
+
+  // def, not val: tx46Sql is forced during object construction (the
+  // registry Seq), which would read a later-declared val as null
+  private def ShardSeed46 = "tx46"
+
   // ---- tx43 synthesized-HTML pieces (ONE definition, both engines) ----
+
+  /** The synthesized hostile page as a Column over a documents-shaped
+    * frame — shared by tx43, tx46, and [[graft.llm.CorpusJob.run]]
+    * (the fixture-synthesis seam: production passes a real page
+    * column instead). */
+  private[graft] def fixtureHtmlCol: org.apache.spark.sql.Column = {
+    val id = col("doc_id").cast("string")
+    concat(lit(Tx43P0), id, lit(Tx43P1),
+      (col("doc_id") % 97).cast("string"), lit(Tx43P2), col("text"),
+      lit(Tx43P3), (col("doc_id") % 7).cast("string"), lit(Tx43P4),
+      id, lit(Tx43P5))
+  }
+
+  /** [[fixtureHtmlCol]]'s generated-SQL twin over `documents`. */
+  private def fixtureHtmlSql: String = {
+    def esc(x: String) = x.replace("'", "''")
+    s"'${esc(Tx43P0)}' || CAST(doc_id AS VARCHAR) || '${esc(Tx43P1)}' || " +
+      s"CAST(doc_id % 97 AS VARCHAR) || '${esc(Tx43P2)}' || text || " +
+      s"'${esc(Tx43P3)}' || CAST(doc_id % 7 AS VARCHAR) || '${esc(Tx43P4)}' || " +
+      s"CAST(doc_id AS VARCHAR) || '${esc(Tx43P5)}'"
+  }
+
+  /** The synthesized per-doc URL (tx45's five+ shapes) — shared with
+    * tx46 and [[graft.llm.CorpusJob.run]]. */
+  private[graft] def fixtureUrlCol: org.apache.spark.sql.Column = tx45UrlCol
+
   private lazy val Tx43P0 = "<!DOCTYPE html><html><head><title>Doc "
   private lazy val Tx43P1 = "</title>" +
     "<style media=\"all\">p { margin: 0; } a > b { color: #333; }</style>" +
@@ -2408,47 +2554,56 @@ FROM m GROUP BY domain""")),
     val lex = graft.functions.LangId.lexifySql("toks", "lang")
     s"""t AS MATERIALIZED (SELECT doc_id, lang, $toksSql AS toks FROM documents),
 lx AS MATERIALIZED (SELECT doc_id, lang, ' ' || $lex || ' ' AS p FROM t),
-gi AS (SELECT doc_id, p, unnest(generate_series(1, length(p) - 1)) AS i FROM lx),
-gc AS MATERIALIZED (SELECT doc_id,
+${nbLangidCtes("", "lx")}"""
+  }
+
+  /** The NB-langid train→score→predict chain (tx44's arithmetic) as
+    * generated CTEs over any `src` CTE exposing (doc_id, lang, p)
+    * where p is the space-padded scoring text. `sfx` suffixes every
+    * CTE name so tx46 can run the chain beside tx44's. Ends with
+    * `pred$sfx` (pinned argmax) and `predu$sfx` (margin abstention). */
+  private def nbLangidCtes(sfx: String, src: String): String = {
+    val abstain6 = graft.functions.LangId.AbstainMargin6
+    s"""gi$sfx AS (SELECT doc_id, p, unnest(generate_series(1, length(p) - 1)) AS i FROM $src),
+gc$sfx AS MATERIALIZED (SELECT doc_id,
             CAST(('0x' || substr(md5(substr(p, i, 2)), 1, 8)) AS BIGINT) % 64 AS j,
             CAST(count(*) AS BIGINT) AS c
-      FROM gi GROUP BY 1, 2),
-tr AS MATERIALIZED (SELECT doc_id, lang FROM documents
+      FROM gi$sfx GROUP BY 1, 2),
+tr$sfx AS MATERIALIZED (SELECT doc_id, lang FROM $src
        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80),
-cnt AS (SELECT tr.lang, gc.j, sum(gc.c) AS cnt
-        FROM gc JOIN tr USING (doc_id) GROUP BY 1, 2),
-tot AS (SELECT lang, sum(cnt) AS tot FROM cnt GROUP BY 1),
-nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM tr GROUP BY 1),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
-dims AS (SELECT lang, unnest(generate_series(0, 63)) AS j FROM nd),
-mdl AS MATERIALIZED (SELECT d.lang, d.j,
+cnt$sfx AS (SELECT tr.lang, gc.j, sum(gc.c) AS cnt
+        FROM gc$sfx gc JOIN tr$sfx tr USING (doc_id) GROUP BY 1, 2),
+tot$sfx AS (SELECT lang, sum(cnt) AS tot FROM cnt$sfx GROUP BY 1),
+nd$sfx AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM tr$sfx GROUP BY 1),
+nn$sfx AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr$sfx),
+dims$sfx AS (SELECT lang, unnest(generate_series(0, 63)) AS j FROM nd$sfx),
+mdl$sfx AS MATERIALIZED (SELECT d.lang, d.j,
         CAST(round(ln((coalesce(cnt.cnt, 0) + 1) / CAST(tot.tot + 64 AS DOUBLE)) * 1e6) AS BIGINT) AS ll6,
         CAST(round(ln(nd.nd / CAST(nn.n AS DOUBLE)) * 1e6) AS BIGINT) AS pr6
-      FROM dims d
-      LEFT JOIN cnt ON cnt.lang = d.lang AND cnt.j = d.j
-      JOIN tot ON tot.lang = d.lang
-      JOIN nd ON nd.lang = d.lang, nn),
-sc AS MATERIALIZED (SELECT gc.doc_id, m.lang AS cand,
+      FROM dims$sfx d
+      LEFT JOIN cnt$sfx cnt ON cnt.lang = d.lang AND cnt.j = d.j
+      JOIN tot$sfx tot ON tot.lang = d.lang
+      JOIN nd$sfx nd ON nd.lang = d.lang, nn$sfx nn),
+sc$sfx AS MATERIALIZED (SELECT gc.doc_id, m.lang AS cand,
         min(m.pr6) + sum(gc.c * m.ll6) AS score
-      FROM gc JOIN mdl m ON m.j = gc.j
+      FROM gc$sfx gc JOIN mdl$sfx m ON m.j = gc.j
       GROUP BY 1, 2),
-best AS (SELECT doc_id, max(score) AS ms FROM sc GROUP BY 1),
-pred AS (SELECT sc.doc_id, min(sc.cand) AS lang_pred
-         FROM sc JOIN best ON best.doc_id = sc.doc_id AND sc.score = best.ms
+best$sfx AS (SELECT doc_id, max(score) AS ms FROM sc$sfx GROUP BY 1),
+pred$sfx AS (SELECT sc.doc_id, min(sc.cand) AS lang_pred
+         FROM sc$sfx sc JOIN best$sfx best
+           ON best.doc_id = sc.doc_id AND sc.score = best.ms
          GROUP BY 1),
-rku AS (SELECT doc_id, cand, score,
+rku$sfx AS (SELECT doc_id, cand, score,
                row_number() OVER (PARTITION BY doc_id
                  ORDER BY score DESC, cand ASC) AS rn,
                lead(score) OVER (PARTITION BY doc_id
                  ORDER BY score DESC, cand ASC) AS nxt
-        FROM sc),
-predu AS (SELECT doc_id,
+        FROM sc$sfx),
+predu$sfx AS (SELECT doc_id,
                  CASE WHEN score - coalesce(nxt, score - $abstain6) >= $abstain6
                       THEN cand ELSE 'und' END AS lang_pred
-          FROM rku WHERE rn = 1)"""
+          FROM rku$sfx WHERE rn = 1)"""
   }
-
-  private def abstain6: Long = graft.functions.LangId.AbstainMargin6
 
   /** One CTE layer per possible waterfill round (α = 0): re-allocate
     * the remaining budget uniformly over the still-open strata and cap

@@ -16,6 +16,9 @@ object TimeQuery {
       if (n == "his_job_e2e") {
         val out = java.nio.file.Files.createTempDirectory("graft_time_job").toFile
         graft.his.TurnosJob.run(spark, sfDir, out.getAbsolutePath, "t")
+      } else if (n == "llm_job_e2e") {
+        val out = java.nio.file.Files.createTempDirectory("graft_time_job").toFile
+        graft.llm.CorpusJob.run(spark, sfDir, out.getAbsolutePath, "t")
       } else {
         graft.SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
