@@ -1043,6 +1043,90 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** STORED kNN-graph index (round-17 verdict item 7 — the ann03b
+    * treatment for graph-ANN): the [[knnGraph]] adjacency is written
+    * ONCE, partitioned by the source node's LSH bucket, with the
+    * [[bucketSeeds]] entry points as an underscore sidecar. Beam
+    * search then expands each round's frontier by reading ONLY the
+    * frontier nodes' bucket directories (broadcast join on the
+    * partition column → dynamic partition pruning, PlanSpec-gated) —
+    * at 100 TB the graph build's Σ bucket² self-join is paid at index
+    * time, and each query round touches O(frontier) partitions, never
+    * the full adjacency. */
+  def writeGraphIndex(corpus: DataFrame, path: String, k: Int,
+                      numPlanes: Int = 8, dim: Int = 64,
+                      maxBucketSize: Option[Int] = None): Unit = {
+    val edges = knnGraph(corpus, k, numPlanes, dim, maxBucketSize)
+    edges.join(corpus.select(col("vec_id"),
+        lshBucket(col("embedding"), numPlanes, dim).as("bucket")), Seq("vec_id"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    bucketSeeds(corpus, numPlanes, dim, maxBucketSize)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_seeds")
+  }
+
+  /** [[beamSearchTopK]] against a [[writeGraphIndex]] layout: same
+    * rounds, same pinned tiebreaks, same results (ann14b shares
+    * ann14's oracle; SimilaritySpec pins stored ≡ in-flight), but each
+    * round's neighbor expansion joins the broadcast frontier against
+    * the STORED adjacency on (bucket, vec_id) — the partition-column
+    * key DPP-prunes the scan to the frontier's buckets. Scoring stays
+    * the exact-cosine corpus probe of the in-flight form. */
+  def beamSearchTopKStored(spark: org.apache.spark.sql.SparkSession,
+                           path: String, corpus: DataFrame,
+                           queries: DataFrame, k: Int, beamWidth: Int,
+                           rounds: Int, numPlanes: Int = 8,
+                           dim: Int = 64): DataFrame = {
+    require(k >= 1 && beamWidth >= 1 && rounds >= 0,
+      s"bad beam params k=$k beamWidth=$beamWidth rounds=$rounds")
+    val stored = spark.read.parquet(path)
+    val bucketType = stored.schema("bucket").dataType
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val corp = corpus.select(col("vec_id"), col("embedding"))
+    def score(cands: DataFrame): DataFrame =
+      broadcast(cands).join(corp, Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    def top(scored: DataFrame, n: Int): DataFrame =
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+    val seeds = spark.read.parquet(s"$path/_seeds")
+    val s0 = NearDup.stage(score(
+      q.select(col("query_id")).crossJoin(broadcast(seeds.select(col("vec_id"))))))
+    var beam = top(s0, beamWidth).select("query_id", "vec_id")
+    var visited = s0
+    for (_ <- 1 to rounds) {
+      // frontier buckets from the corpus embeddings (tiny broadcast
+      // side, partition-typed key so the DPP subquery needs no cast)
+      val frontier = broadcast(beam).join(corp, Seq("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          lshBucket(col("embedding"), numPlanes, dim).cast(bucketType)
+            .as("bucket"))
+      val expand = graphFrontierExpansion(spark, path, frontier)
+      val scored = NearDup.stage(score(beam.union(expand).distinct()))
+      visited = visited.union(scored).distinct()
+      beam = top(scored, beamWidth).select("query_id", "vec_id")
+    }
+    top(visited, k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** One beam round's neighbor expansion against the stored adjacency:
+    * broadcast frontier (query_id, vec_id, bucket — bucket already in
+    * the partition-column type) joined on (bucket, vec_id), so the
+    * bucket equi-pair DPP-prunes the scan to the frontier's bucket
+    * directories. Factored out of [[beamSearchTopKStored]]'s round
+    * loop because the loop's per-round staging (eager checkpoint)
+    * hides the adjacency scans from the FINAL plan — the PlanSpec DPP
+    * gate inspects this building block directly. */
+  def graphFrontierExpansion(spark: org.apache.spark.sql.SparkSession,
+                             path: String, frontier: DataFrame): DataFrame =
+    spark.read.parquet(path).join(broadcast(frontier), Seq("bucket", "vec_id"))
+      .select(col("query_id"), col("nbr_id").as("vec_id"))
+
   /** Entry points for [[beamSearchTopK]] over a bucket-blocked graph:
     * the min-id vector of every (capped) LSH bucket — one deterministic
     * seed per graph component, ≤ 2^numPlanes rows. */

@@ -421,6 +421,20 @@ SELECT query_id, vec_id, cos_sim, rk FROM (
   FROM r_scored) t
 WHERE rk <= 10"""
 
+  /** ann14's oracle — shared verbatim by ann14b_graph_beam_stored (the
+    * stored layout is an execution detail; results are identical). */
+  private def ann14OracleSql: String = s"""WITH $knnEdgesCtes,
+sds AS (SELECT min(vec_id) AS vec_id FROM bk GROUP BY bucket),
+qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
+c0 AS (SELECT q.query_id, s.vec_id FROM qs q CROSS JOIN sds s),
+${beamRoundCtes(rounds = 3, beamWidth = 8)}
+SELECT query_id, vec_id, cos_sim, rk FROM (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+  FROM vis) t
+WHERE rk <= 10"""
+
   /** Unrolled beam-search rounds for ann14, mirroring
     * [[Similarity.beamSearchTopK]]: expects CTEs `edges`, `flat`,
     * `norms`, `c0` (seed candidates per query); emits `s0/b0 …
@@ -1329,17 +1343,26 @@ SELECT vec_id, nbr_id, cos_sim, rk FROM edges""")),
           Similarity.bucketSeeds(emb, maxBucketSize = Some(200)),
           k = 10, beamWidth = 8, rounds = 3)
       },
-      Some(s"""WITH $knnEdgesCtes,
-sds AS (SELECT min(vec_id) AS vec_id FROM bk GROUP BY bucket),
-qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
-c0 AS (SELECT q.query_id, s.vec_id FROM qs q CROSS JOIN sds s),
-${beamRoundCtes(rounds = 3, beamWidth = 8)}
-SELECT query_id, vec_id, cos_sim, rk FROM (
-  SELECT query_id, vec_id, cos_sim,
-         CAST(row_number() OVER (PARTITION BY query_id
-           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
-  FROM vis) t
-WHERE rk <= 10""")),
+      Some(ann14OracleSql)),
+
+    // The STORED form of ann14 (round-17 verdict item 7 — the ann03b
+    // treatment for graph-ANN): the kNN adjacency is built ONCE and
+    // written partitioned by the source node's LSH bucket (+ a _seeds
+    // sidecar); each beam round's expansion joins the broadcast
+    // frontier on (bucket, vec_id), so the scan DPP-prunes to the
+    // frontier's bucket directories (PlanSpec-gated) instead of
+    // rebuilding or rescanning the whole graph. SAME oracle as ann14 —
+    // the layout is an execution detail, not a semantic one.
+    Q("ann14b_graph_beam_stored",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val path = graft.Scratch.dir("gidx14", d)
+        graft.Scratch.delete(path) // pid-suffixed + fresh build each run
+        Similarity.writeGraphIndex(emb, path, 5, maxBucketSize = Some(200))
+        Similarity.beamSearchTopKStored(s, path, emb,
+          emb.filter(col("vec_id") < 5), k = 10, beamWidth = 8, rounds = 3)
+      },
+      Some(ann14OracleSql)),
 
     // PageRank over the ann12 kNN graph — centrality in embedding
     // space, the graph-based data-selection score (representative docs

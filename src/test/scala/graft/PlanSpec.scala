@@ -100,6 +100,31 @@ class PlanSpec extends SparkSpec {
       s"the bucket join must dynamically prune the scan to the query buckets: ${pf.get}")
   }
 
+  test("ann14b stored-graph frontier expansion DPP-prunes to the frontier buckets") {
+    // The round loop stages each expansion eagerly (the checkpoint
+    // hides the scans from the final plan), so the gate targets the
+    // expansion building block the loop calls each round.
+    import graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("graft_gidx_plan")
+      .toFile.getAbsolutePath
+    Similarity.writeGraphIndex(emb, path, 5, maxBucketSize = Some(200))
+    val bucketType = spark.read.parquet(path).schema("bucket").dataType
+    val frontier = emb.filter(col("vec_id") < 8)
+      .select(lit(0L).as("query_id"), col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 8, 64).cast(bucketType)
+          .as("bucket"))
+    val df = Similarity.graphFrontierExpansion(spark, path, frontier)
+    df.collect() // finalize the adaptive plan (DPP subquery included)
+    val plan = formatted(df)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .filter(_.contains("bucket")).toSeq
+    assert(pf.nonEmpty, s"stored adjacency must scan with a bucket partition filter:\n$plan")
+    assert(pf.exists(_.toLowerCase.contains("dynamicpruning")),
+      s"the frontier join must dynamically prune the adjacency scan: $pf")
+    graft.Scratch.delete(path)
+  }
+
   test("ann09 filtered ANN composes DPP with parquet predicate pushdown") {
     // The metadata-filtered search must prune BOTH ways in one scan:
     // dynamically to the probed buckets' directories, and by pushed

@@ -767,6 +767,22 @@ class SimilaritySpec extends SparkSpec {
     assert(all == Seq(5L, 4L, 3L, 2L, 1L, 0L), s"visited ranking: $all")
   }
 
+  test("stored graph index: beam search over the stored adjacency ≡ in-flight") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q5 = emb.filter($"vec_id" < 5)
+    val inFlight = Similarity.beamSearchTopK(
+      Similarity.knnGraph(emb, 5, maxBucketSize = Some(200)),
+      emb, q5, Similarity.bucketSeeds(emb, maxBucketSize = Some(200)),
+      10, 8, 3).collect().map(_.toSeq).toSet
+    val path = java.nio.file.Files.createTempDirectory("graft_gidx").toFile.getAbsolutePath
+    Similarity.writeGraphIndex(emb, path, 5, maxBucketSize = Some(200))
+    val stored = Similarity.beamSearchTopKStored(spark, path, emb, q5, 10, 8, 3)
+      .collect().map(_.toSeq).toSet
+    assert(stored == inFlight,
+      "the stored layout must not change beam-search results")
+    graft.Scratch.delete(new java.io.File(path))
+  }
+
   test("the graph_beam floor has teeth: seeds-only search (rounds 0) trips it") {
     // Plant the regression the 0.45 floor catches: zero expansion
     // rounds collapse the search to scoring the ~2^planes bucket seeds
