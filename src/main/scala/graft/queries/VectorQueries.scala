@@ -1622,15 +1622,25 @@ WHERE cos_sim > 0.1""")),
     // random; real embeddings cluster far tighter.
     Q("dd12_semdedup",
       (s, d) => Similarity.semDedup(Tables.embeddings(s, d), 0.3, 16, 2),
+      // Oracle shape (round-18, the ~sf1 single-pass-stamp item): the
+      // old within-cluster dots joined the ELEMENT-FLATTENED corpus
+      // twice — Σ cluster² pairs × dim rows through a join+hash-agg
+      // (~1.6e9 intermediate rows at the 10× replica; 711 s solo, past
+      // the jobs=4 stamp envelope). list_inner_product over the
+      // double-cast embedding arrays computes the same per-element
+      // double products SEQUENTIALLY (closer to the engine's ArrayDot
+      // fold than the old unordered SQL sum) at pairs-scale: measured
+      // 164 s at the 10× replica under the stamp's 24 GB / 8-thread
+      // child settings. Identical hashes at sf0.01/sf0.1/x10.
       Some(s"""WITH ${flatCte()},
 ${kmeansCtes(16, 2)},
+eemb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM as2 a JOIN as2 b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
-dots AS (SELECT p.id_a, p.id_b, sum(f1.v * f2.v) AS dp
+dots AS (SELECT p.id_a, p.id_b, list_inner_product(ea.emb, eb.emb) AS dp
          FROM prs p
-         JOIN flat f1 ON f1.vec_id = p.id_a
-         JOIN flat f2 ON f2.vec_id = p.id_b AND f1.i = f2.i
-         GROUP BY 1, 2),
+         JOIN eemb ea ON ea.vec_id = p.id_a
+         JOIN eemb eb ON eb.vec_id = p.id_b),
 dropped AS (SELECT DISTINCT d.id_b AS vec_id
             FROM dots d
             JOIN norms n1 ON n1.vec_id = d.id_a
