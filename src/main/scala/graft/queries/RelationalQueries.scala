@@ -564,6 +564,13 @@ object RelationalQueries {
         graft.operators.Dedup.sortedNeighborhood(dirty, "p_partkey", "sucio", 4, 2)
           .withColumnRenamed("id_a", "pk_a").withColumnRenamed("id_b", "pk_b")
       },
+      // The window pair join is an EQUI-join on rn = rn + offset
+      // (round-18): the old `b.rn > a.rn AND b.rn - a.rn < 4` band
+      // predicate is not recognized as a band join by the oracle
+      // engine — it planned the single-inequality join (n²/2 pairs
+      // with the band as a post-filter), which at the ~sf1 replica is
+      // 2e10 intermediate pairs (the op46 stamp OOM). Same pair set by
+      // construction: offset ∈ {1,2,3} ⇔ 0 < b.rn − a.rn < 4.
       Some("""WITH dirty AS (
         SELECT p_partkey,
                CASE WHEN p_partkey % 2 = 1 THEN
@@ -571,13 +578,14 @@ object RelationalQueries {
                  || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
                ELSE p_name END AS sucio
         FROM part),
-      rk AS (SELECT p_partkey, sucio,
+      rk AS MATERIALIZED (SELECT p_partkey, sucio,
                     row_number() OVER (ORDER BY sucio, p_partkey) AS rn
              FROM dirty WHERE sucio IS NOT NULL),
+      offs AS (SELECT unnest(generate_series(1, 3)) AS o),
       prs AS (SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
                      a.sucio AS key_a, b.sucio AS key_b,
                      CAST(levenshtein(a.sucio, b.sucio) AS BIGINT) AS dist
-              FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn - a.rn < 4)
+              FROM rk a CROSS JOIN offs JOIN rk b ON b.rn = a.rn + offs.o)
       SELECT pk_a, pk_b, key_a, key_b, dist FROM prs WHERE dist <= 2""")),
 
     // Market-basket co-purchase pairs with lift: parts ordered
@@ -667,37 +675,29 @@ object RelationalQueries {
         members.join(golden, Seq("canonical_id"))
           .select(col("p_partkey"), col("canonical_id"), col("golden_name"))
       },
-      Some("""WITH RECURSIVE dirty AS MATERIALIZED (
-        SELECT p_partkey,
-               CASE WHEN p_partkey % 2 = 1 THEN
-                 substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
-                 || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
-               ELSE p_name END AS sucio
-        FROM part),
-      rk AS MATERIALIZED (SELECT p_partkey, sucio,
-                    row_number() OVER (ORDER BY sucio, p_partkey) AS rn
-             FROM dirty WHERE sucio IS NOT NULL),
-      -- MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
-      -- recursive reach would re-run the levenshtein join every round
-      -- (the round-13 kmeans-chain finding; >900 s at the ~sf1 stamp).
-      prs AS MATERIALIZED (SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b
-              FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn - a.rn < 4
-              WHERE levenshtein(a.sucio, b.sucio) <= 2),
-      edges AS MATERIALIZED (SELECT pk_a AS src, pk_b AS dst FROM prs
-                UNION ALL SELECT pk_b, pk_a FROM prs),
-      reach AS (SELECT p_partkey, p_partkey AS r FROM dirty
-                UNION
-                SELECT re.p_partkey, e.dst FROM reach re JOIN edges e ON e.src = re.r),
-      lbl AS (SELECT p_partkey, min(r) AS canonical_id FROM reach GROUP BY 1),
-      mem AS (SELECT l.p_partkey, l.canonical_id, dd.sucio
-              FROM lbl l JOIN dirty dd USING (p_partkey)),
-      gold AS (SELECT canonical_id, sucio AS golden_name FROM (
-        SELECT canonical_id, sucio,
-               row_number() OVER (PARTITION BY canonical_id
-                 ORDER BY length(sucio) DESC, sucio ASC, p_partkey ASC) AS g
-        FROM mem) t WHERE g = 1)
-      SELECT m.p_partkey, m.canonical_id, g.golden_name
-      FROM mem m JOIN gold g USING (canonical_id)""")),
+      // Oracle shape (round-18, the ~sf1 single-pass-stamp item). Two
+      // scale defects fixed, measured 1.4 s / hash-identical at the
+      // 10× replica under the stamp child's 24 GB (was OOM at 24 GB /
+      // 1302 s solo at 100 GB):
+      //  1. the window pair join used `b.rn > a.rn AND b.rn - a.rn <
+      //     4`, which the oracle engine plans as the single-inequality
+      //     join — n²/2 ≈ 2e10 intermediate pairs at the replica
+      //     (reproduced OOM). The offset EQUI-join generates the
+      //     identical pair set through 3 hash probes of the rank
+      //     table.
+      //  2. the reach recursion from every part accumulated Σ comp²
+      //     (node, reachable) pairs — the replica's near-dup chains
+      //     run ~2,400 nodes with >400 diameter, ≈ 2.2e8 rows of
+      //     recursive state. POINTER DOUBLING first: parent = min(self
+      //     ∪ neighbors), then the map composed with itself 12 times
+      //     (covers depth 2^12; ascending-id chains defeat plain
+      //     min-label contraction, which peels ONE node per round).
+      //     The recursive fixpoint then runs on the CONTRACTED
+      //     local-min graph — still exact at ANY diameter (doubling
+      //     only relocates nodes within their component, and the
+      //     component min is a fixpoint of the parent map, so the
+      //     contracted min IS the component min).
+      Some(op46OracleSql)),
 
     // ORC round-trip: lineitem → ORC files → back → aggregate. Proves
     // the second columnar lake format end to end (type mapping,
@@ -1880,4 +1880,63 @@ object RelationalQueries {
               FROM orders JOIN lineitem ON l_orderkey = o_orderkey
               GROUP BY 1""")),
   )
+
+  /** op46's generated oracle (see the registration comment): offset
+    * equi-join candidates → pointer-doubling contraction → exact
+    * recursive fixpoint on the contracted graph. `def`, not lazy val —
+    * the registry Seq forces oracles at object construction. */
+  private def op46OracleSql: String = {
+    val doublingRounds = 12 // covers chain depth 2^12; the fixpoint
+                            // below stays exact beyond it
+    val rounds = (1 to doublingRounds).map { k =>
+      s"""m$k AS MATERIALIZED (
+  SELECT a.node, b.par FROM m${k - 1} a JOIN m${k - 1} b ON b.node = a.par)"""
+    }.mkString(",\n")
+    val mR = s"m$doublingRounds"
+    s"""WITH RECURSIVE dirty AS MATERIALIZED (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 2 = 1 THEN
+                 substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
+                 || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+               ELSE p_name END AS sucio
+        FROM part),
+      rk AS MATERIALIZED (SELECT p_partkey, sucio,
+                    row_number() OVER (ORDER BY sucio, p_partkey) AS rn
+             FROM dirty WHERE sucio IS NOT NULL),
+      offs AS (SELECT unnest(generate_series(1, 3)) AS o),
+      prs AS MATERIALIZED (SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b
+              FROM rk a CROSS JOIN offs JOIN rk b ON b.rn = a.rn + offs.o
+              WHERE levenshtein(a.sucio, b.sucio) <= 2),
+      ed0 AS MATERIALIZED (SELECT pk_a AS src, pk_b AS dst FROM prs
+                UNION ALL SELECT pk_b, pk_a FROM prs),
+      nd0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed0),
+      m0 AS MATERIALIZED (
+        SELECT n.node, least(n.node, coalesce(min(e.dst), n.node)) AS par
+        FROM nd0 n LEFT JOIN ed0 e ON e.src = n.node
+        GROUP BY n.node),
+      $rounds,
+      cnodes AS MATERIALIZED (SELECT DISTINCT par AS node FROM $mR),
+      cedges AS MATERIALIZED (
+        SELECT DISTINCT ma.par AS src, mb.par AS dst
+        FROM ed0 e JOIN $mR ma ON ma.node = e.src JOIN $mR mb ON mb.node = e.dst
+        WHERE ma.par <> mb.par),
+      reach AS (SELECT node, node AS r FROM cnodes
+                UNION
+                SELECT re.node, e.dst FROM reach re JOIN cedges e ON e.src = re.r),
+      clab AS MATERIALIZED (SELECT node, min(r) AS canonical_id
+              FROM reach GROUP BY 1),
+      mem AS MATERIALIZED (SELECT d.p_partkey,
+                     coalesce(c.canonical_id, m.par, d.p_partkey) AS canonical_id,
+                     d.sucio
+              FROM dirty d
+              LEFT JOIN $mR m ON m.node = d.p_partkey
+              LEFT JOIN clab c ON c.node = m.par),
+      gold AS (SELECT canonical_id, sucio AS golden_name FROM (
+        SELECT canonical_id, sucio,
+               row_number() OVER (PARTITION BY canonical_id
+                 ORDER BY length(sucio) DESC, sucio ASC, p_partkey ASC) AS g
+        FROM mem) t WHERE g = 1)
+      SELECT m.p_partkey, m.canonical_id, g.golden_name
+      FROM mem m JOIN gold g USING (canonical_id)"""
+  }
 }
