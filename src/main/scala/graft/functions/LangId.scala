@@ -168,9 +168,12 @@ object LangId {
   /** [[classify]] with abstention: top-1 must beat top-2 by
     * [[AbstainMargin6]] micro-nats or the doc predicts 'und'
     * (round-17 verdict item 6 — the closed-set classifier gains a
-    * low-confidence route). Same doc-keyed window as classify (lead()
-    * rides the existing sort — no second shuffle); a single-candidate
-    * doc is confident by construction (coalesce pins the margin). */
+    * low-confidence route). The window carries ONLY row_number (a
+    * lead() in the same window would block Spark's
+    * InferWindowGroupLimit — the PlanSpec sweep), so the top-2 cut
+    * runs as a per-partition bounded heap; the margin rule is then one
+    * doc-keyed pivot agg over ≤ 2 rows per doc. A single-candidate doc
+    * is confident by construction (coalesce pins the margin). */
   def classifyAbstain(docs: DataFrame, model: DataFrame, idCol: String,
                       textCol: String, dim: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -178,11 +181,14 @@ object LangId {
       .orderBy(col("score").desc, col("label").asc)
     scoreFrame(docs, model, idCol, textCol, dim)
       .withColumn("__rn", row_number().over(w))
-      .withColumn("__nxt", lead(col("score"), 1).over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= 2)
+      .groupBy(col(idCol))
+      .agg(max(when(col("__rn") === 1, col("label"))).as("__l1"),
+        max(when(col("__rn") === 1, col("score"))).as("__s1"),
+        max(when(col("__rn") === 2, col("score"))).as("__s2"))
       .select(col(idCol),
-        when(col("score") - coalesce(col("__nxt"),
-          col("score") - AbstainMargin6) >= AbstainMargin6, col("label"))
+        when(col("__s1") - coalesce(col("__s2"),
+          col("__s1") - AbstainMargin6) >= AbstainMargin6, col("__l1"))
           .otherwise(lit("und")).as("lang_pred"))
   }
 
