@@ -97,9 +97,21 @@ object LangId {
   def gramCounts(docs: DataFrame, idCol: String, textCol: String,
                  dim: Int): DataFrame = {
     val padded = concat(lit(" "), col(textCol), lit(" "))
-    val grams = transform(sequence(lit(1), length(padded) - 1),
-      i => padded.substr(i, lit(2)))
-    docs.select(col(idCol), explode(grams).as("g"))
+    // Bigrams via two aligned code-point slices zipped — O(len) per
+    // doc. The previous `transform(sequence(1, len-1), i =>
+    // padded.substr(i, 2))` form re-evaluated `padded` (a concat
+    // allocating len+2 chars) inside the lambda for EVERY character
+    // position — O(len²) bytes copied per doc, the dominant cost of
+    // the tx44 family at bench scale. regexp_extract_all with (?s).
+    // splits into CODE POINTS, matching substr()'s code-point
+    // semantics exactly.
+    val chars = regexp_extract_all(padded, lit("(?s)."), lit(0))
+    val n = greatest(size(chars) - 1, lit(0))
+    val grams = transform(
+      arrays_zip(slice(chars, lit(1), n).as("a"), slice(chars, lit(2), n).as("b")),
+      x => concat(x.getField("a"), x.getField("b")))
+    graft.operators.NearDup.fanOut(docs)
+      .select(col(idCol), explode(grams).as("g"))
       .select(col(idCol),
         (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % dim)
           .as("dim_idx"))
@@ -112,8 +124,20 @@ object LangId {
     * and the label's `prior6` = round(ln(nDocs_l/N)·1e6). Every label
     * carries ALL `dim` rows (unseen dims get the smoothing floor). */
   def trainNaiveBayes(train: DataFrame, idCol: String, textCol: String,
-                      labelCol: String, dim: Int): DataFrame = {
-    val grams = gramCounts(train, idCol, textCol, dim)
+                      labelCol: String, dim: Int): DataFrame =
+    trainNaiveBayesFromGrams(gramCounts(train, idCol, textCol, dim),
+      train, idCol, labelCol, dim)
+
+  /** [[trainNaiveBayes]] over PRECOMPUTED gram counts
+    * (`gramCounts(train, idCol, textCol, dim)` — or a staged all-docs
+    * gram frame filtered to the training split, which is the same
+    * rows). Lets a query that both trains and classifies stage the
+    * gram explosion ONCE instead of running the O(chars) explode+md5
+    * pass twice (the round-18 tx44-family optimization). */
+  def trainNaiveBayesFromGrams(trainGrams: DataFrame, train: DataFrame,
+                               idCol: String, labelCol: String,
+                               dim: Int): DataFrame = {
+    val grams = trainGrams
       .join(train.select(col(idCol), col(labelCol).as("label")), Seq(idCol))
     val cnt = grams.groupBy(col("label"), col("dim_idx"))
       .agg(sum(col("c")).as("cnt"))
@@ -148,11 +172,17 @@ object LangId {
     * rows. Partitioned by the doc id, so it scales — never a global
     * window. */
   def classify(docs: DataFrame, model: DataFrame, idCol: String,
-               textCol: String, dim: Int): DataFrame = {
+               textCol: String, dim: Int): DataFrame =
+    classifyFromGrams(gramCounts(docs, idCol, textCol, dim), model, idCol)
+
+  /** [[classify]] over precomputed gram counts (see
+    * [[trainNaiveBayesFromGrams]]). */
+  def classifyFromGrams(grams: DataFrame, model: DataFrame,
+                        idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("label").asc)
-    scoreFrame(docs, model, idCol, textCol, dim)
+    scoreFrame(grams, model, idCol)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col("label").as("lang_pred"))
@@ -175,11 +205,18 @@ object LangId {
     * doc-keyed pivot agg over ≤ 2 rows per doc. A single-candidate doc
     * is confident by construction (coalesce pins the margin). */
   def classifyAbstain(docs: DataFrame, model: DataFrame, idCol: String,
-                      textCol: String, dim: Int): DataFrame = {
+                      textCol: String, dim: Int): DataFrame =
+    classifyAbstainFromGrams(gramCounts(docs, idCol, textCol, dim),
+      model, idCol)
+
+  /** [[classifyAbstain]] over precomputed gram counts (see
+    * [[trainNaiveBayesFromGrams]]). */
+  def classifyAbstainFromGrams(grams: DataFrame, model: DataFrame,
+                               idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("label").asc)
-    scoreFrame(docs, model, idCol, textCol, dim)
+    scoreFrame(grams, model, idCol)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= 2)
       .groupBy(col(idCol))
@@ -193,10 +230,10 @@ object LangId {
   }
 
   /** Per-(doc, label) integer scores — the shared subtree of
-    * [[classify]] / [[classifyAbstain]]. */
-  private def scoreFrame(docs: DataFrame, model: DataFrame, idCol: String,
-                         textCol: String, dim: Int): DataFrame =
-    gramCounts(docs, idCol, textCol, dim)
+    * [[classify]] / [[classifyAbstain]], over a gram-count frame. */
+  private def scoreFrame(grams: DataFrame, model: DataFrame,
+                         idCol: String): DataFrame =
+    grams
       .join(broadcast(model), Seq("dim_idx"))
       .groupBy(col(idCol), col("label"))
       .agg((first(col("prior6")) + sum(col("c") * col("loglik6")))

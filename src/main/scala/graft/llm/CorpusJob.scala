@@ -79,13 +79,17 @@ object CorpusJob {
     val lex = NearDup.stage(extracted.select(col("doc_id"), col("lang"),
       col("domain"), LangId.lexify(col("text"), col("lang")).as("text")))
     // 3: train on the deterministic 80% split, classify with
-    // abstention, route 'und' out of the corpus.
-    val train = lex.filter(
-      TextAnalysis.deterministicSplit(col("doc_id"), 80, 10) === "train")
-    val model = NearDup.stage(
-      LangId.trainNaiveBayes(train, "doc_id", "text", "lang", Dim))
+    // abstention, route 'und' out of the corpus. The gram counts are
+    // staged ONCE and shared by training (filtered to the split —
+    // identical rows to gramCounts(train)) and classification, so the
+    // O(chars) explode+md5 pass runs once (round-18 optimization).
+    val split = TextAnalysis.deterministicSplit(col("doc_id"), 80, 10)
+    val gc = NearDup.stage(LangId.gramCounts(lex, "doc_id", "text", Dim))
+    val train = lex.filter(split === "train")
+    val model = NearDup.stage(LangId.trainNaiveBayesFromGrams(
+      gc.filter(split === "train"), train, "doc_id", "lang", Dim))
     val routed = lex
-      .join(LangId.classifyAbstain(lex, model, "doc_id", "text", Dim),
+      .join(LangId.classifyAbstainFromGrams(gc, model, "doc_id"),
         Seq("doc_id"))
       .filter(col("lang_pred") =!= "und")
     // 4a: quality gate (tx06's thresholds).

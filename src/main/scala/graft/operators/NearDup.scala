@@ -16,14 +16,19 @@ import graft.functions.TextAnalysis
   * arithmetic in Spark, DuckDB, and even doubles). MinHash = min of the
   * seeded values per document.
   *
-  * Shape (the 100 TB design): tokenize ONCE per document behind a
-  * Generate (explode) boundary, build n-grams with `lead()` over the
-  * token stream, hash each shingle once, then ONE hash shuffle on doc_id
-  * with map-side partial min aggregation. The naive alternative — nested
-  * higher-order-function array expressions — is quadratic per document:
-  * Catalyst inlines the tokenization into every lambda element access and
-  * HOFs don't codegen, so each of k seeds re-splits the text per shingle
-  * element (measured 147 s vs ~2 s at sf0.1 on this very pipeline).
+  * Shape (the 100 TB design): shingles are built as ONE array
+  * projection per document ([[shingleArray]] — aligned slices zipped,
+  * no window, no shuffle), each shingle md5-hashed once, and the k
+  * seeded minimums fold in a single array aggregate with a struct
+  * accumulator — the whole MinHash signature is a per-row projection
+  * with ZERO exchanges. The HOF discipline that keeps this linear:
+  * a lambda body may only reference its bound variables — an outer
+  * column inside a lambda is re-evaluated per ELEMENT (Catalyst
+  * inlines it into every element access; measured 147 s vs ~2 s at
+  * sf0.1 on this very pipeline when tokenization leaked into a
+  * lambda). Until round 17 this used explode → lead() window → one
+  * doc-keyed hash shuffle; the projection form removes that full
+  * token-stream exchange (guide §2.4).
   *
   * Bucket skew: a hot LSH bucket (boilerplate docs) produces quadratic
   * candidate pairs; [[minhashCandidates]] takes `maxBucketSize` to drop
@@ -41,6 +46,24 @@ object NearDup {
   def seededHash(seed: Int, base: Column): Column =
     (lit(hashA(seed)) * base + lit(hashB(seed))) % lit(HashP)
 
+  /** Scale-adaptive parallelism floor for CPU-heavy per-row work
+    * (md5-per-shingle chains): when the input plans FEWER partitions
+    * than the session's parallelism — the one-small-unsplittable-file
+    * shape (guide §2.5), which is exactly the bench fixture (one
+    * single-row-group parquet per table) — fan out with one
+    * round-robin repartition so the hash work uses every core. At
+    * production scale a corpus scan has orders of magnitude more
+    * splits than cores, the condition is false, and NO shuffle is
+    * added — this is a floor, not a tuned constant. (The pre-round-18
+    * operators paid an unconditional full token-stream window shuffle
+    * that incidentally provided this parallelism; the projection
+    * rewrites removed that shuffle, so the floor keeps small-input
+    * parallelism without reintroducing it.) */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Exact dedup by normalized-content fingerprint: canonical doc =
     * min(doc_id) per fingerprint group (deterministic). `caseFold =
     * false` keys on the case-PRESERVING fingerprint instead — required
@@ -51,23 +74,39 @@ object NearDup {
     docs.groupBy(TextAnalysis.fingerprint(col(textCol), caseFold).as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** One row per (doc, pos, shingle): tokenize once per document
-    * (explode), n-grams via lead() over token position. The window
-    * shuffle is on `idCol` — the same key every downstream aggregation
-    * needs, so the partitioning is reused. `pos` is the 0-based shingle
-    * start position (consumers needing order — e.g. winnowing — use it;
-    * set-oriented consumers ignore it). */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
-                  shingleSize: Int): DataFrame = {
-    val toks = docs.select(col(idCol),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val parts = col("tok") +: (1 until shingleSize).map(k => lead(col("tok"), k).over(w))
-    toks
-      .select(col(idCol), col("pos"), concat_ws(" ", parts: _*).as("shingle"),
-        lead(col("tok"), shingleSize - 1).over(w).isNotNull.as("__full"))
-      .filter(col("__full")).drop("__full")
+  /** Array of all complete `shingleSize`-token shingles of a token
+    * ARRAY column: shingle i = toks[i..i+s-1] joined by " ", built from
+    * `s` aligned `slice`s zipped together. Every subexpression here is
+    * evaluated O(s) times per ROW and never inside a lambda body — an
+    * outer column referenced inside a HOF lambda is re-evaluated per
+    * ELEMENT, the quadratic trap measured at 147 s vs ~2 s on this
+    * pipeline. The zip result is the only HOF input, so the transform
+    * touches each element once. */
+  def shingleArray(toks: Column, shingleSize: Int): Column = {
+    val len = greatest(size(toks) - (shingleSize - 1), lit(0))
+    val zipped = arrays_zip(
+      (0 until shingleSize).map(k => slice(toks, lit(k + 1), len).as(s"t$k")): _*)
+    transform(zipped, x =>
+      concat_ws(" ", (0 until shingleSize).map(k => x.getField(s"t$k")): _*))
   }
+
+  /** One row per (doc, pos, shingle): the [[shingleArray]] projection
+    * exploded with its index. `pos` is the 0-based shingle start
+    * position (consumers needing order — e.g. winnowing — use it;
+    * set-oriented consumers ignore it).
+    *
+    * This replaced the round-2 lead()-window form (explode tokens →
+    * per-doc window) in round 18: identical rows, but the window
+    * shuffled and SORTED the entire token stream before the first
+    * aggregation could run — one full exchange of O(corpus tokens)
+    * that the array projection simply does not have (guide §2.4:
+    * remove shuffles outright). Downstream aggregations keyed on
+    * `idCol` now own the only doc-keyed exchange. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int): DataFrame =
+    docs.select(col(idCol),
+      posexplode(shingleArray(TextAnalysis.tokens(col(textCol)), shingleSize))
+        .as(Seq("pos", "shingle")))
 
   /** 32-bit base hash of a shingle: first 8 hex chars of its md5. */
   def baseHash(shingle: Column): Column =
@@ -87,8 +126,9 @@ object NearDup {
     * token); the dup-gram filter is a map-side-combinable count
     * distinct ≤ 2 (capped via the >1 test), and everything downstream
     * is hit-sized, not corpus-sized. */
-  def duplicatedSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+  def duplicatedSpanCoverage(docs0: DataFrame, idCol: String, textCol: String,
                              n: Int): DataFrame = {
+    val docs = fanOut(docs0)
     val base = docs.select(col(idCol),
       size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
     val grams = shingleRows(docs, idCol, textCol, n)
@@ -135,8 +175,9 @@ object NearDup {
     * The anti-join is on (doc, pos) equality — never a range join —
     * and reassembly groups by doc_id, so every shuffle is keyed by the
     * same high-cardinality id. */
-  def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+  def stripDuplicatedSpans(docs0: DataFrame, idCol: String, textCol: String,
                            n: Int): DataFrame = {
+    val docs = fanOut(docs0)
     val base = docs.select(col(idCol),
       size(TextAnalysis.tokens(col(textCol))).as("__nt"))
     val toks = docs.select(col(idCol),
@@ -224,11 +265,31 @@ object NearDup {
     * `shingleSize` are kept with null signatures (left join). */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        numHashes: Int, shingleSize: Int): DataFrame = {
-    val hb = shingleRows(docs, idCol, textCol, shingleSize)
-      .select(col(idCol), baseHash(col("shingle")).as("hbase"))
-    val aggs = (0 until numHashes).map(s => min(seededHash(s, col("hbase"))).as(s"mh$s"))
-    val mins = hb.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    docs.select(col(idCol)).join(mins, Seq(idCol), "left")
+    // PURE PROJECTION (round 18): one md5 per shingle via a transform
+    // over [[shingleArray]], then ONE array fold carrying all
+    // `numHashes` running minimums in a struct accumulator — the
+    // affine hashes read the fold's bound variable, so the md5 is
+    // never re-evaluated per seed. The previous form (explode →
+    // groupBy(id) with 16 min aggs) shuffled one row per shingle;
+    // this computes the signature where the document already is —
+    // zero exchanges at any corpus scale. Rows are identical: docs
+    // with no complete shingle fold over an empty array and keep the
+    // null signature the old left join gave them (least() skips the
+    // null init fields).
+    val bases = transform(
+      shingleArray(TextAnalysis.tokens(col(textCol)), shingleSize),
+      sh => baseHash(sh))
+    val init = struct((0 until numHashes).map(i =>
+      lit(null).cast("long").as(s"mh$i")): _*)
+    val folded = aggregate(bases, init, (acc, b) =>
+      struct((0 until numHashes).map(i =>
+        least(acc.getField(s"mh$i"), seededHash(i, b)).as(s"mh$i")): _*))
+    // Two selects: `folded` is referenced once here, then its fields
+    // are fanned out — CollapseProject keeps the expensive producer
+    // un-inlined (SPARK-36718), so the fold runs once per row.
+    docs.select(col(idCol), folded.as("__mh"))
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        col("__mh").getField(s"mh$i").as(s"mh$i")): _*)
   }
 
   /** LSH banding: split the signature into bands of `rowsPerBand`
@@ -257,7 +318,16 @@ object NearDup {
                         numHashes: Int = 16, shingleSize: Int = 3,
                         rowsPerBand: Int = 2,
                         maxBucketSize: Option[Int] = None): DataFrame = {
-    val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleSize)
+    // The signature is STAGED before banding (round 18): as a pure
+    // projection it carries no exchange, so without staging (a) the
+    // bucket self-join below would recompute the whole md5+fold chain
+    // on BOTH join sides (ReuseExchange has nothing to reuse), and
+    // (b) lshBands' null filter would be pushed below the projection
+    // and evaluate the fold a second time per row in the filter
+    // condition. The staged frame is doc-scale (id + numHashes longs
+    // — ~130 B/doc at the defaults), orders of magnitude smaller than
+    // the text it summarizes.
+    val sig = stage(minhashSignature(fanOut(docs), idCol, textCol, numHashes, shingleSize))
     val banded0 = lshBands(sig, idCol, numHashes, rowsPerBand)
     val banded = maxBucketSize.fold(banded0) { cap =>
       val sizes = banded0.groupBy(col("band"), col("band_key"))
@@ -323,7 +393,8 @@ object NearDup {
     val ids = p.select(col("id_a").as(idCol))
       .unionAll(p.select(col("id_b").as(idCol))).distinct()
     val shd = stage(
-      shingleRows(docs.join(ids, Seq(idCol), "left_semi"), idCol, textCol, shingleSize)
+      shingleRows(fanOut(docs.join(ids, Seq(idCol), "left_semi")),
+        idCol, textCol, shingleSize)
         .select(col(idCol).as("jid"), col("shingle")).distinct())
     val sizes = shd.groupBy(col("jid")).agg(count(lit(1)).as("ns"))
     val withA = p

@@ -2215,12 +2215,17 @@ SELECT doc_id, CAST(i - 1 AS INTEGER) AS block_idx, blocks[i] AS block_text FROM
         val docs = NearDup.stage(Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             LangId.lexify(col("text"), col("lang")).as("st")))
-        val train = docs.filter(
-          TextAnalysis.deterministicSplit(col("doc_id"), 80, 10) === "train")
-        val model = NearDup.stage(
-          LangId.trainNaiveBayes(train, "doc_id", "st", "lang", 64))
+        // gram counts staged ONCE and shared by training (filtered to
+        // the split — same rows as gramCounts(train)) and
+        // classification: the O(chars) explode+md5 pass runs once per
+        // query instead of twice (round-18 optimization).
+        val split = TextAnalysis.deterministicSplit(col("doc_id"), 80, 10)
+        val gc = NearDup.stage(LangId.gramCounts(docs, "doc_id", "st", 64))
+        val train = docs.filter(split === "train")
+        val model = NearDup.stage(LangId.trainNaiveBayesFromGrams(
+          gc.filter(split === "train"), train, "doc_id", "lang", 64))
         docs.select(col("doc_id"), col("lang"))
-          .join(LangId.classify(docs, model, "doc_id", "st", 64), Seq("doc_id"))
+          .join(LangId.classifyFromGrams(gc, model, "doc_id"), Seq("doc_id"))
       },
       Some(s"""WITH $tx44Ctes
 SELECT d.doc_id, d.lang, p.lang_pred FROM documents d JOIN pred p USING (doc_id)""")),
@@ -2236,11 +2241,16 @@ SELECT d.doc_id, d.lang, p.lang_pred FROM documents d JOIN pred p USING (doc_id)
           .select(col("doc_id"), col("lang"),
             LangId.lexify(col("text"), col("lang")).as("st")))
         val split = TextAnalysis.deterministicSplit(col("doc_id"), 80, 10)
+        val gc = NearDup.stage(LangId.gramCounts(docs, "doc_id", "st", 64))
         val train = docs.filter(split === "train")
-        val model = NearDup.stage(
-          LangId.trainNaiveBayes(train, "doc_id", "st", "lang", 64))
+        val model = NearDup.stage(LangId.trainNaiveBayesFromGrams(
+          gc.filter(split === "train"), train, "doc_id", "lang", 64))
+        // classification restricted to the test split — the inner join
+        // below discards every other doc's prediction anyway, so
+        // scoring them is pure waste (identical result rows).
         docs.filter(split === "test").select(col("doc_id"), col("lang"))
-          .join(LangId.classify(docs, model, "doc_id", "st", 64), Seq("doc_id"))
+          .join(LangId.classifyFromGrams(gc.filter(split === "test"),
+            model, "doc_id"), Seq("doc_id"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L))
@@ -2267,11 +2277,13 @@ GROUP BY d.lang""")),
           .select(col("doc_id"), col("lang"),
             LangId.lexify(col("text"), col("lang")).as("st")))
         val split = TextAnalysis.deterministicSplit(col("doc_id"), 80, 10)
+        val gc = NearDup.stage(LangId.gramCounts(docs, "doc_id", "st", 64))
         val train = docs.filter(split === "train")
-        val model = NearDup.stage(
-          LangId.trainNaiveBayes(train, "doc_id", "st", "lang", 64))
+        val model = NearDup.stage(LangId.trainNaiveBayesFromGrams(
+          gc.filter(split === "train"), train, "doc_id", "lang", 64))
         docs.filter(split === "test").select(col("doc_id"), col("lang"))
-          .join(LangId.classifyAbstain(docs, model, "doc_id", "st", 64),
+          .join(LangId.classifyAbstainFromGrams(
+            gc.filter(split === "test"), model, "doc_id"),
             Seq("doc_id"))
           .groupBy(col("lang"), col("lang_pred"))
           .agg(count(lit(1)).as("n_docs"))
