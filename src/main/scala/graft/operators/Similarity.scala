@@ -142,7 +142,13 @@ object Similarity {
       // task writes a file into every bucket directory (tasks × 2^planes
       // small files); with it each bucket's rows land in one task → one
       // file per bucket per write — the layout a 100 TB reader wants.
-      .repartition(col("bucket"))
+      // The partition count is pinned to the bucket count (one task per
+      // bucket): an N-less repartition is AQE-coalescible, and on a
+      // small input AQE folds the whole write into ONE task that then
+      // creates all 2^planes files serially (measured 3.5 s vs 1.4 s
+      // for this write at sf0.1 — guide §2.4/§6 small-file commit
+      // overhead is per-file and serial within a task).
+      .repartition(1 << numPlanes, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     writeStats(corpus.sparkSession, path, collectCounts(
       corpus.select(lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
@@ -295,7 +301,9 @@ object Similarity {
                             numPlanes: Int = 8, dim: Int = 64): Unit = {
     newVectors.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
-      .repartition(col("bucket"))
+      // bucket-count partitions, not AQE-coalesced — see
+      // [[writeBucketedCorpus]]'s write comment.
+      .repartition(1 << numPlanes, col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
     // Stats maintenance is O(batch ∪ buckets), never O(corpus): the
     // batch's counts (ONE agg job, bounded collect) merge into the
@@ -342,7 +350,9 @@ object Similarity {
     vectors.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
       .withColumn("ingest_batch", lit(batchId))
-      .repartition(col("bucket"))
+      // bucket-count partitions, not AQE-coalesced — see
+      // [[writeBucketedCorpus]]'s write comment.
+      .repartition(1 << numPlanes, col("bucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket", "ingest_batch").parquet(path)
@@ -357,10 +367,13 @@ object Similarity {
     * readers). Results are layout-invariant: ann03d hash-matches the
     * same oracle as ann03/ann03b/ann03c. */
   def compactStoredBuckets(spark: org.apache.spark.sql.SparkSession,
-                           src: String, dest: String): Unit = {
+                           src: String, dest: String,
+                           numBuckets: Int = 256): Unit = {
     spark.read.parquet(src)
       .select(col("vec_id"), col("embedding"), col("bucket"))
-      .repartition(col("bucket"))
+      // bucket-count partitions, not AQE-coalesced — see
+      // [[writeBucketedCorpus]]'s write comment.
+      .repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dest)
     writeStats(spark, dest, collectCounts(
       spark.read.parquet(dest).groupBy(col("bucket").cast("long").as("bucket"))
@@ -1059,7 +1072,9 @@ object Similarity {
     val edges = knnGraph(corpus, k, numPlanes, dim, maxBucketSize)
     edges.join(corpus.select(col("vec_id"),
         lshBucket(col("embedding"), numPlanes, dim).as("bucket")), Seq("vec_id"))
-      .repartition(col("bucket"))
+      // bucket-count partitions, not AQE-coalesced — see
+      // [[writeBucketedCorpus]]'s write comment.
+      .repartition(1 << numPlanes, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     bucketSeeds(corpus, numPlanes, dim, maxBucketSize)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_seeds")
