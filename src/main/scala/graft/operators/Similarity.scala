@@ -35,6 +35,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Scale-adaptive parallelism floor for CPU-heavy vector scoring
+    * over a corpus whose scan plans fewer partitions than the session
+    * parallelism (one small unsplittable file — the fixture shape).
+    * No-op at production scan widths; see [[NearDup.fanOut]]. */
+  private def fanOut(df: DataFrame): DataFrame = NearDup.fanOut(df)
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k by cosine for each query vector (brute force — the
@@ -42,7 +48,7 @@ object Similarity {
     * the corpus, per-query top-k via window). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = corpus.crossJoin(broadcast(q))
+    val scored = fanOut(corpus).crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
@@ -84,7 +90,7 @@ object Similarity {
     * of the stored corpus, so a query touches one bucket's files). */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                    numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
+    val cb = fanOut(corpus).withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
     val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("bucket", lshBucket(col("q_emb"), numPlanes, dim))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
@@ -136,7 +142,7 @@ object Similarity {
   def writeBucketedCorpus(corpus: DataFrame, path: String,
                           numPlanes: Int = 8, dim: Int = 64,
                           metaCols: Seq[String] = Nil): Unit = {
-    corpus.select((Seq("vec_id", "embedding") ++ metaCols).map(col): _*)
+    fanOut(corpus.select((Seq("vec_id", "embedding") ++ metaCols).map(col): _*))
       .withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
       // Cluster by bucket before the partitioned write: without it every
       // task writes a file into every bucket directory (tasks × 2^planes
@@ -435,7 +441,7 @@ object Similarity {
   def bucketedTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
                              numPlanes: Int = 8, dim: Int = 64,
                              nprobe: Int = 4): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
+    val cb = fanOut(corpus).withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
     val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("bucket",
         explode(lshProbeBuckets(col("q_emb"), numPlanes, dim, nprobe)))
@@ -538,7 +544,7 @@ object Similarity {
     // Corpus lists stay disjoint (nprobe applies to the QUERY side
     // only), so a probed corpus vector is scored exactly once even
     // when a query probes several lists.
-    val ca = ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
+    val ca = ivfAssign(fanOut(corpus.select(col("vec_id"), col("embedding"))), cents)
     val qa = ivfAssignN(queries.select(col("vec_id"), col("embedding")), cents, nprobe)
       .select(col("vec_id").as("query_id"), col("centroid_id"),
         col("embedding").as("q_emb"))
@@ -562,7 +568,7 @@ object Similarity {
                      numCentroids: Int = 16, kmeansIters: Int = 2): Unit = {
     val cents = kmeansCentroids(corpus, numCentroids, kmeansIters)
     cents.write.mode("overwrite").parquet(s"$path/_centroids")
-    ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
+    ivfAssign(fanOut(corpus.select(col("vec_id"), col("embedding"))), cents)
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists")
   }
@@ -579,7 +585,7 @@ object Similarity {
   def appendToIvfCorpus(spark: org.apache.spark.sql.SparkSession,
                         newVectors: DataFrame, path: String): Unit = {
     val cents = spark.read.parquet(s"$path/_centroids")
-    ivfAssign(newVectors.select(col("vec_id"), col("embedding")), cents)
+    ivfAssign(fanOut(newVectors.select(col("vec_id"), col("embedding"))), cents)
       .repartition(col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id").parquet(s"$path/lists")
   }
@@ -688,7 +694,8 @@ object Similarity {
     * encode the full corpus with the frozen codebook. */
   def pqCodebookTrained(corpus: DataFrame, m: Int, subDim: Int,
                         codebookSize: Int, iters: Int): DataFrame = {
-    val sv = subspaces(corpus.select(col("vec_id"), col("embedding")), "vec_id", m, subDim)
+    val sv = subspaces(fanOut(corpus.select(col("vec_id"), col("embedding"))),
+      "vec_id", m, subDim)
     var cb = pqCodebook(corpus, m, subDim, codebookSize)
     for (_ <- 0 until iters) {
       val assigned = pqAssignL2(sv, cb)
@@ -719,7 +726,7 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
              subDim: Int = 16, codebookSize: Int = 16): DataFrame = {
     val cb = pqCodebook(corpus, m, subDim, codebookSize)
-    val codes = pqEncode(corpus.select(col("vec_id"), col("embedding")), cb, m, subDim)
+    val codes = pqEncode(fanOut(corpus.select(col("vec_id"), col("embedding"))), cb, m, subDim)
     pqAdc(codes, cb, queries, k, m, subDim)
   }
 
@@ -744,7 +751,8 @@ object Similarity {
                     iters: Int = 2,
                     cbOpt: Option[DataFrame] = None): DataFrame = {
     val cb = cbOpt.getOrElse(pqCodebookTrained(corpus, m, subDim, codebookSize, iters))
-    val sv = subspaces(corpus.select(col("vec_id"), col("embedding")), "vec_id", m, subDim)
+    val sv = subspaces(fanOut(corpus.select(col("vec_id"), col("embedding"))),
+      "vec_id", m, subDim)
     val codes = pqAssignL2(sv, cb).select(col("vec_id"), col("sub"), col("centroid_id"))
     pqAdc(codes, cb, queries, k, m, subDim)
   }
@@ -785,7 +793,7 @@ object Similarity {
     * reassembly shuffle — index-build cost, O(corpus), no all-pairs
     * anywhere. Output: (query_id, vec_id, sq_sim, rk). */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val fl = corpus.select(col("vec_id"),
+    val fl = fanOut(corpus).select(col("vec_id"),
       posexplode(toDouble(col("embedding"))).as(Seq("d", "v")))
     val rng = fl.groupBy(col("d"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
@@ -821,7 +829,7 @@ object Similarity {
                 centsOpt: Option[DataFrame] = None,
                 cbOpt: Option[DataFrame] = None): DataFrame = {
     val cents = centsOpt.getOrElse(kmeansCentroids(corpus, numCentroids, kmIters))
-    val lists = ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
+    val lists = ivfAssign(fanOut(corpus.select(col("vec_id"), col("embedding"))), cents)
       .select(col("vec_id"), col("centroid_id"))
     val probes = ivfAssignN(
         queries.select(col("vec_id"), col("embedding")), cents, nprobe)
@@ -831,7 +839,8 @@ object Similarity {
     val pairs = probes.join(lists, Seq("centroid_id"))
       .select(col("query_id"), col("vec_id"))
     val cb = cbOpt.getOrElse(pqCodebookTrained(corpus, m, subDim, codebookSize, pqIters))
-    val sv = subspaces(corpus.select(col("vec_id"), col("embedding")), "vec_id", m, subDim)
+    val sv = subspaces(fanOut(corpus.select(col("vec_id"), col("embedding"))),
+      "vec_id", m, subDim)
     val codes = pqAssignL2(sv, cb).select(col("vec_id"), col("sub"), col("centroid_id"))
     pqAdc(codes, cb, queries, k, m, subDim, pairs = Some(pairs))
   }
@@ -851,9 +860,10 @@ object Similarity {
     val cb = pqCodebookTrained(corpus, m, subDim, codebookSize, pqIters)
     cents.write.mode("overwrite").parquet(s"$path/_centroids")
     cb.write.mode("overwrite").parquet(s"$path/_codebook")
-    val lists = ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
+    val lists = ivfAssign(fanOut(corpus.select(col("vec_id"), col("embedding"))), cents)
       .select(col("vec_id"), col("centroid_id").as("list_id"))
-    val sv = subspaces(corpus.select(col("vec_id"), col("embedding")), "vec_id", m, subDim)
+    val sv = subspaces(fanOut(corpus.select(col("vec_id"), col("embedding"))),
+      "vec_id", m, subDim)
     pqAssignL2(sv, cb).select(col("vec_id"), col("sub"), col("centroid_id").as("code"))
       .join(lists, Seq("vec_id"))
       .repartition(col("list_id"))
