@@ -71,7 +71,8 @@ object CorpusJob {
                          urlCol: Column): DataFrame = {
     // 1+2: extract text from HTML; registered-domain provenance key.
     // One projection pass — both are codegen expression chains.
-    val extracted = docs.select(col("doc_id"), col("lang"), col("source"),
+    val extracted = NearDup.fanOut(docs)
+      .select(col("doc_id"), col("lang"), col("source"),
       array_join(Html.extractBlocks(htmlCol), " ").as("text"),
       Url.registeredDomain(Url.host(urlCol)).as("domain"))
     // Lexified corpus staged ONCE (tx44's doctrine): it feeds NB

@@ -978,10 +978,11 @@ object NearDup {
     * data is never staged (the fingerprint chain is a linear scan);
     * only pair/label-scale intermediates are ([[jaccardOnPairs]] /
     * [[neardupComponents]] internals). */
-  def canonicalize(docs: DataFrame, idCol: String, textCol: String,
+  def canonicalize(docs0: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 16, shingleSize: Int = 3,
                    rowsPerBand: Int = 2, threshold: Double = 0.5,
                    maxBucketSize: Option[Int] = None): DataFrame = {
+    val docs = fanOut(docs0)
     // Exact-dup mapping in ONE corpus pass: min(id) over a window
     // partitioned by fingerprint (the groupBy+self-join alternative
     // scans+hashes the corpus twice), then STAGED — the mapping is
@@ -1033,7 +1034,7 @@ object NearDup {
     val reps = existing.filter(col(idCol) === col("canonical_id"))
       .select(col(idCol), col(textCol))
     val inc = incoming.select(col(idCol), col(textCol))
-    val all = reps.unionByName(inc)
+    val all = fanOut(reps.unionByName(inc))
     val pairs = minhashCandidates(all, idCol, textCol, numHashes, shingleSize, rowsPerBand)
     val strong = jaccardOnPairs(all, pairs, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)

@@ -2212,7 +2212,7 @@ SELECT doc_id, CAST(i - 1 AS INTEGER) AS block_idx, blocks[i] AS block_text FROM
         // classify-side gram counts, and the final truth join all
         // read the checkpoint instead of re-running tokenize+lexify
         // per subtree (the wideExtractStaged lesson, measured ~2×).
-        val docs = NearDup.stage(Tables.documents(s, d)
+        val docs = NearDup.stage(NearDup.fanOut(Tables.documents(s, d))
           .select(col("doc_id"), col("lang"),
             LangId.lexify(col("text"), col("lang")).as("st")))
         // gram counts staged ONCE and shared by training (filtered to
@@ -2237,7 +2237,7 @@ SELECT d.doc_id, d.lang, p.lang_pred FROM documents d JOIN pred p USING (doc_id)
     Q("tx44b_langid_accuracy",
       (s, d) => {
         import graft.functions.{LangId, TextAnalysis}
-        val docs = NearDup.stage(Tables.documents(s, d)
+        val docs = NearDup.stage(NearDup.fanOut(Tables.documents(s, d))
           .select(col("doc_id"), col("lang"),
             LangId.lexify(col("text"), col("lang")).as("st")))
         val split = TextAnalysis.deterministicSplit(col("doc_id"), 80, 10)
@@ -2273,7 +2273,7 @@ GROUP BY d.lang""")),
     Q("tx44c_langid_confusion",
       (s, d) => {
         import graft.functions.{LangId, TextAnalysis}
-        val docs = NearDup.stage(Tables.documents(s, d)
+        val docs = NearDup.stage(NearDup.fanOut(Tables.documents(s, d))
           .select(col("doc_id"), col("lang"),
             LangId.lexify(col("text"), col("lang")).as("st")))
         val split = TextAnalysis.deterministicSplit(col("doc_id"), 80, 10)

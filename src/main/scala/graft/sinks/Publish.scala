@@ -39,7 +39,16 @@ object Publish {
     val vdir = new Path(root, s"v-$version")
     try {
       tables.foreach { case (name, df) =>
-        val w = df.write.mode("overwrite")
+        // Cluster partitioned tables by their partition columns before
+        // the write: without it every upstream task opens a file in
+        // every partition directory (tasks × values small files — the
+        // writeBucketedCorpus lesson), bloating both the write and
+        // every subsequent listing. One hash exchange of the published
+        // rows; AQE sizes the partitions, so at 100 TB the same write
+        // produces advisory-sized files per directory.
+        val clustered = partitioning.get(name).filter(_.nonEmpty)
+          .fold(df)(cols => df.repartition(cols.map(org.apache.spark.sql.functions.col): _*))
+        val w = clustered.write.mode("overwrite")
         partitioning.get(name).filter(_.nonEmpty).fold(w)(cols => w.partitionBy(cols: _*))
           .parquet(new Path(vdir, name).toString)
       }
