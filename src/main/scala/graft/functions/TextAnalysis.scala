@@ -121,7 +121,8 @@ object TextAnalysis {
     * dense long-form output; every shuffle keyed by the doc id. */
   def hashedTf(docs: org.apache.spark.sql.DataFrame, idCol: String,
                textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val toks = graft.operators.NearDup.fanOut(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val hashed = toks.select(col(idCol),
       (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % dim).as("dim_idx"),
       when(conv(substring(md5(col("tok")), 9, 1), 16, 10).cast("long") % 2 === 0, 1L)

@@ -65,7 +65,7 @@ object Multimodal {
     * real-decode operators below. */
   def synthesizePng(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    graft.operators.NearDup.fanOut(docs.select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val w = (id % 16 + 4).toInt
@@ -293,7 +293,7 @@ object Multimodal {
     * GIF palette lesson, lossy edition). */
   def synthesizeJpeg(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    graft.operators.NearDup.fanOut(docs.select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val img = new java.awt.image.BufferedImage(
@@ -397,7 +397,7 @@ object Multimodal {
     * fixture for the frame-decode operator below. */
   def synthesizeGif(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    graft.operators.NearDup.fanOut(docs.select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions { it =>
         val writer = {
           val ws = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
@@ -517,7 +517,7 @@ object Multimodal {
     * fixture for the real audio decode operators below. */
   def synthesizeWav(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    graft.operators.NearDup.fanOut(docs.select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val rate = wavRate(id)

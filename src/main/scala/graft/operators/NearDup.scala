@@ -104,7 +104,9 @@ object NearDup {
     * `idCol` now own the only doc-keyed exchange. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String,
                   shingleSize: Int): DataFrame =
-    docs.select(col(idCol),
+    // fanOut: the shingle+md5 work runs where the docs are — on a
+    // narrow small-file scan that is one serial task (see [[fanOut]]).
+    fanOut(docs).select(col(idCol),
       posexplode(shingleArray(TextAnalysis.tokens(col(textCol)), shingleSize))
         .as(Seq("pos", "shingle")))
 
@@ -393,7 +395,7 @@ object NearDup {
     val ids = p.select(col("id_a").as(idCol))
       .unionAll(p.select(col("id_b").as(idCol))).distinct()
     val shd = stage(
-      shingleRows(fanOut(docs.join(ids, Seq(idCol), "left_semi")),
+      shingleRows(docs.join(ids, Seq(idCol), "left_semi"),
         idCol, textCol, shingleSize)
         .select(col(idCol).as("jid"), col("shingle")).distinct())
     val sizes = shd.groupBy(col("jid")).agg(count(lit(1)).as("ns"))
@@ -1070,7 +1072,7 @@ object NearDup {
     * token hashes (bit set when strictly more weighted-ones than zeros).
     * Computed via explode + 32 conditional sums — one shuffle. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
+    val toks = fanOut(docs).select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
     val withH = toks.withColumn("h", h)
