@@ -97,10 +97,13 @@ object CorpusJob {
     val metrics = routed.select(
       (Seq(col("doc_id"), col("lang"), col("lang_pred"), col("domain"),
         col("text")) ++ TextAnalysis.qualityMetrics(col("text"))): _*)
-    val kept = metrics.filter(
+    // staged: feeds canonicalize (which reads it ~4 times), the
+    // survivor semi-join, and the strip below — unstaged each re-ran
+    // the classify-join + metrics chain (round 18).
+    val kept = NearDup.stage(metrics.filter(
       col("n_tokens").between(20, 2000) && col("ttr") >= 0.3 &&
         col("mean_token_len").between(2.0, 12.0))
-      .select("doc_id", "lang", "lang_pred", "domain", "text")
+      .select("doc_id", "lang", "lang_pred", "domain", "text"))
     // 4b: exact shrink + LSH CC; keep each component's canonical rep.
     val labels = NearDup.canonicalize(kept, "doc_id", "text")
     val survivors = NearDup.stage(kept.join(

@@ -67,6 +67,7 @@ object Multimodal {
     import spark.implicits._
     graft.operators.NearDup.fanOut(docs.select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions { it =>
+        val writer = imageWriter("png")
         it.map { id =>
           val w = (id % 16 + 4).toInt
           val h = ((id / 16) % 8 + 4).toInt
@@ -82,9 +83,7 @@ object Multimodal {
             }
             y += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          MediaRecord(id, "image/png", bos.toByteArray)
+          MediaRecord(id, "image/png", writeImage(writer, img))
         }
       }
   }
@@ -179,6 +178,7 @@ object Multimodal {
     media.select("media_id", "media_type", "payload").as[MediaRecord]
       .mapPartitions { it =>
         val reader = pngReader()
+        val writer = imageWriter("png")
         it.map { r =>
           val img = readPng(reader, r.payload, r.media_id)
           val (w, h) = (img.getWidth, img.getHeight)
@@ -196,9 +196,7 @@ object Multimodal {
             }
             y += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
-          val reread = readPng(reader, bos.toByteArray, r.media_id)
+          val reread = readPng(reader, writeImage(writer, out), r.media_id)
           var sum = 0L
           y = 0
           while (y < reread.getHeight) {
@@ -237,6 +235,7 @@ object Multimodal {
     media.select("media_id", "media_type", "payload").as[MediaRecord]
       .mapPartitions { it =>
         val reader = pngReader()
+        val writer = imageWriter("png")
         it.map { r =>
           val img = readPng(reader, r.payload, r.media_id)
           val (w, h) = (img.getWidth, img.getHeight)
@@ -295,6 +294,7 @@ object Multimodal {
     import spark.implicits._
     graft.operators.NearDup.fanOut(docs.select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions { it =>
+        val writer = imageWriter("jpg")
         it.map { id =>
           val img = new java.awt.image.BufferedImage(
             64, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -309,9 +309,7 @@ object Multimodal {
             }
             y += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", bos)
-          MediaRecord(id, "image/jpeg", bos.toByteArray)
+          MediaRecord(id, "image/jpeg", writeImage(writer, img))
         }
       }
   }
@@ -339,7 +337,7 @@ object Multimodal {
           rs.next()
         }
         it.map { r =>
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(r.payload))
           val img =
             try {
@@ -412,7 +410,7 @@ object Multimodal {
           val (w, h) = gifDims(id)
           val nf = gifFrameCount(id)
           val bos = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
           // MODE_DISABLED: the JDK GIF writer interlaces by default, and
@@ -468,7 +466,7 @@ object Multimodal {
           rs.next()
         }
         it.flatMap { r =>
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(r.payload))
           reader.setInput(iis)
           val nf = reader.getNumImages(true)
@@ -687,6 +685,32 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** One `ImageWriter` per partition — the write-side twin of
+    * [[pngReader]]: `ImageIO.write` per row re-scans the synchronized
+    * plugin registry AND (useCache=true default) spools every image
+    * through a TEMP FILE ImageOutputStream; with a fanned-out codec
+    * stage all tasks then serialize on the registry lock and /tmp
+    * (observed as 1.6 s vs 7.7 s bimodal samples at sf0.1). Resolving
+    * the writer once and writing through an explicit
+    * MemoryCacheImageOutputStream produces byte-identical output
+    * (same plugin, same default params) with no shared state. */
+  private def imageWriter(format: String): javax.imageio.ImageWriter = {
+    val ws = javax.imageio.ImageIO.getImageWritersByFormatName(format)
+    require(ws.hasNext, s"JVM has no $format ImageWriter plugin")
+    ws.next()
+  }
+
+  private def writeImage(writer: javax.imageio.ImageWriter,
+                         img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally { ios.close(); writer.reset() }
+    bos.toByteArray
+  }
+
   /** One PNG `ImageReader` per partition (stateful: callers must use it
     * single-threaded within the task, which mapPartitions guarantees). */
   private def pngReader(): javax.imageio.ImageReader = {
@@ -697,7 +721,7 @@ object Multimodal {
 
   private def readPng(reader: javax.imageio.ImageReader, payload: Array[Byte],
                       mediaId: Long): java.awt.image.BufferedImage = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
       reader.setInput(iis)

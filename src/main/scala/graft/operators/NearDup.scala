@@ -867,21 +867,26 @@ object NearDup {
                      maxIter: Int = 50,
                      localEdgeLimit: Long = 2000000L): (DataFrame, Int) = {
     // Canonical orientation big→small: src > dst, deduped.
-    var edges = stage(
-      edges0.filter(col("src") =!= col("dst"))
-        .select(greatest(col("src"), col("dst")).as("src"),
-          least(col("src"), col("dst")).as("dst"))
-        .distinct())
+    val edgesNorm = edges0.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+    // Bounded probe for the driver fast path in ONE job: collect at
+    // most limit+1 rows — if the limit spills, the subset is discarded
+    // and the distributed rounds run on the full (staged) edge set, so
+    // limit()'s arbitrary row choice never reaches a result. This
+    // replaces the old stage→count→collect sequence (three jobs) on
+    // the common pair-scale path. An empty edge set flows through the
+    // union-find trivially (no components → every node labels itself).
+    val probe = edgesNorm.limit(localEdgeLimit.toInt + 1).collect()
     var rounds = 0
-    var edgeCount = edges.count()
-    var converged = edgeCount == 0
-    if (!converged && edgeCount <= localEdgeLimit) {
+    if (probe.length <= localEdgeLimit) {
       // Driver union-find on node INDICES (endpoint values stay opaque —
       // they may be structs); the component MINIMUM is then computed by
       // Spark's own min aggregation, so value ordering is identical to
       // the distributed path's.
       val spark = nodes.sparkSession
-      val collected = edges.collect()
+      val collected = probe
       val index = new java.util.HashMap[Any, Integer](collected.length * 2)
       val parent = new scala.collection.mutable.ArrayBuffer[Int]()
       def idxOf(v: Any): Int = {
@@ -901,7 +906,7 @@ object NearDup {
         val b = find(idxOf(row.get(1)))
         if (a != b) parent(math.max(a, b)) = math.min(a, b)
       }
-      val nodeType = edges.schema("src").dataType
+      val nodeType = edgesNorm.schema("src").dataType
       val compRows: java.util.List[org.apache.spark.sql.Row] = {
         val out = new java.util.ArrayList[org.apache.spark.sql.Row](index.size)
         index.forEach { (v, i) =>
@@ -922,6 +927,9 @@ object NearDup {
         .select(col(idCol), coalesce(col("__m"), col(idCol)).as("canonical_id"))
       return (labels, 0)
     }
+    var edges = stage(edgesNorm)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     while (!converged && rounds < maxIter) {
       // Large-star over the symmetrized adjacency: m = min(N(u) ∪ {u}),
       // emit (v, m) for v > u. Output stays big→small (v > u ≥ m).

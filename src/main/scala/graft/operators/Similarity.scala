@@ -1191,7 +1191,7 @@ object Similarity {
   def knnGraph(corpus: DataFrame, k: Int,
                numPlanes: Int = 8, dim: Int = 64,
                maxBucketSize: Option[Int] = None): DataFrame = {
-    val b0 = corpus.select(col("vec_id"), col("embedding"),
+    val b0 = fanOut(corpus).select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), numPlanes, dim).as("__bk"))
     val b = maxBucketSize match {
       case Some(cap) =>
@@ -1231,7 +1231,7 @@ object Similarity {
   def semDedup(corpus: DataFrame, threshold: Double,
                numCentroids: Int = 16, kmeansIters: Int = 2): DataFrame = {
     val cents = kmeansCentroids(corpus, numCentroids, kmeansIters)
-    val assigned = ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
+    val assigned = ivfAssign(fanOut(corpus.select(col("vec_id"), col("embedding"))), cents)
     val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"),

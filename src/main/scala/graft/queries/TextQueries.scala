@@ -596,10 +596,13 @@ SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id""")),
         val docs = Tables.documents(s, d)
         val m = docs.select(
           (Seq(col("doc_id"), col("text")) ++ TextAnalysis.qualityMetrics(col("text"))): _*)
-        val kept = m.filter(
+        // staged: canonicalize consumes the gated corpus ~4 times
+        // (fingerprint pass, reps semi-join, signatures, verify) — each
+        // would re-run the scan + qualityMetrics chain (round 18).
+        val kept = NearDup.stage(m.filter(
           col("n_tokens").between(20, 2000) &&
           col("ttr") >= 0.3 &&
-          col("mean_token_len").between(2.0, 12.0)).select("doc_id", "text")
+          col("mean_token_len").between(2.0, 12.0)).select("doc_id", "text"))
         NearDup.canonicalize(kept, "doc_id", "text", NumHashes, 3, RowsPerBand, 0.5)
       },
       Some(s"""WITH RECURSIVE
@@ -643,9 +646,12 @@ SELECT e.doc_id, cc.canonical_id FROM em e JOIN cc ON cc.doc_id = e.exact_canon"
         val isB1 = TextAnalysis.deterministicSplit(col("doc_id"), 90, 5) === "train"
         val batch1 = docs.filter(isB1).select(col("doc_id"), col("text"))
         val batch2 = docs.filter(!isB1).select(col("doc_id"), col("text"))
-        val existing = NearDup
+        // staged: canonicalizeIncremental reads `existing` twice (rep
+        // filter + final union) — unstaged, the whole batch-1
+        // canonicalize chain ran once per consumer (round 18).
+        val existing = NearDup.stage(NearDup
           .canonicalize(batch1, "doc_id", "text", NumHashes, 3, RowsPerBand, 0.5)
-          .join(batch1, Seq("doc_id")) // re-attach text: incremental re-shingles reps
+          .join(batch1, Seq("doc_id"))) // re-attach text: incremental re-shingles reps
         NearDup.canonicalizeIncremental(existing, batch2, "doc_id", "text",
           NumHashes, 3, RowsPerBand, 0.5)
       },
