@@ -351,8 +351,9 @@ object NearDup {
     * |A∩B| via a shingle-equality join, |A∪B| = |A|+|B|−|A∩B| — so no
     * per-row array materialization; similarity rounded to 6 decimals. */
   def jaccardOnPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
-                     textCol: String, shingleSize: Int): DataFrame =
-    pairOverlapCounts(docs, pairs, idCol, textCol, shingleSize)
+                     textCol: String, shingleSize: Int,
+                     shinglesOpt: Option[DataFrame] = None): DataFrame =
+    pairOverlapCounts(docs, pairs, idCol, textCol, shingleSize, shinglesOpt)
       .select(col("id_a"), col("id_b"),
         round(col("ni").cast("double") /
               (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
@@ -381,7 +382,8 @@ object NearDup {
     * Jaccard and containment scorers are one projection over this. */
   private def pairOverlapCounts(docs: DataFrame, pairs: DataFrame,
                                 idCol: String, textCol: String,
-                                shingleSize: Int): DataFrame = {
+                                shingleSize: Int,
+                                shinglesOpt: Option[DataFrame] = None): DataFrame = {
     // `pairs` is consumed four times below (id restriction, A-side,
     // B-side sizes, final assembly) and is typically the output of a
     // multi-stage LSH chain — stage it so that chain runs once.
@@ -394,10 +396,18 @@ object NearDup {
     // subtree — measured as the dd04/dd07 recompute pathology).
     val ids = p.select(col("id_a").as(idCol))
       .unionAll(p.select(col("id_b").as(idCol))).distinct()
-    val shd = stage(
-      shingleRows(docs.join(ids, Seq(idCol), "left_semi"),
-        idCol, textCol, shingleSize)
-        .select(col(idCol).as("jid"), col("shingle")).distinct())
+    // shinglesOpt: an already-staged DISTINCT (idCol, shingle) frame
+    // covering at least the candidate docs (prefixFilterJoin builds
+    // exactly this for its prefix stage) — reusing it skips a second
+    // tokenize+shingle pass over the candidates.
+    val shd = shinglesOpt match {
+      case Some(sh) => stage(sh.join(ids, Seq(idCol), "left_semi")
+        .select(col(idCol).as("jid"), col("shingle")))
+      case None => stage(
+        shingleRows(docs.join(ids, Seq(idCol), "left_semi"),
+          idCol, textCol, shingleSize)
+          .select(col(idCol).as("jid"), col("shingle")).distinct())
+    }
     val sizes = shd.groupBy(col("jid")).agg(count(lit(1)).as("ns"))
     val withA = p
       .join(shd.select(col("jid").as("id_a"), col("shingle")), Seq("id_a"))
@@ -511,7 +521,8 @@ object NearDup {
         col("nb").cast("double") >= lit(minJaccard) * col("na") - lit(eps) &&
         col("na").cast("double") >= lit(minJaccard) * col("nb") - lit(eps))
       .select(col("id_a"), col("id_b")).distinct()
-    jaccardOnPairs(docs, cand, idCol, textCol, shingleSize)
+    jaccardOnPairs(docs, cand, idCol, textCol, shingleSize,
+        shinglesOpt = Some(shd))
       .filter(col("jaccard") >= minJaccard)
   }
 

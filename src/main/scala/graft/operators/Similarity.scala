@@ -242,9 +242,7 @@ object Similarity {
                          path: String, counts: Map[Long, Long]): Unit = {
     // The manifest is bucket-count bounded (≤ 2^planes rows), so the
     // byte-listing merge happens DRIVER-SIDE — the guarded-collect
-    // class of k-means centroids — and the write is one tiny job
-    // instead of a stage + join + write chain (measured ~1 s of fixed
-    // job overhead per index write at bench scale).
+    // class of k-means centroids.
     val bytes = listBucketBytes(spark, path)
     // Listing-only buckets (a bucket dir whose files hold zero data
     // rows — e.g. a crashed write's leftovers) are carried as
@@ -254,10 +252,32 @@ object Similarity {
     val rows = (counts.keySet ++ bytes.keySet).toSeq.sorted.map { b =>
       (b, counts.getOrElse(b, 0L), bytes.getOrElse(b, 0L))
     }
-    spark.createDataFrame(rows)
-      .toDF("bucket", "n_vectors", "n_bytes")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/$StatsName")
+    // Written DIRECTLY with the parquet-hadoop writer on the driver
+    // (round 18): the rows are already a driver-side map, and routing
+    // them through a one-partition Spark write paid a full job +
+    // commit protocol per index write (~0.3-0.5 s of fixed overhead ×
+    // build/append/compact). spark.read.parquet reads the file
+    // identically (same schema: three required INT64s).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$StatsName")
+    val fs = dir.getFileSystem(conf)
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message stats { required int64 bucket; required int64 n_vectors; " +
+        "required int64 n_bytes; }")
+    val gconf = new org.apache.hadoop.conf.Configuration(conf)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, gconf)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(new org.apache.hadoop.fs.Path(dir, "part-00000.parquet"), gconf))
+      .withConf(gconf)
+      .build()
+    val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    try rows.foreach { case (b, n, nb) =>
+      w.write(factory.newGroup()
+        .append("bucket", b).append("n_vectors", n).append("n_bytes", nb))
+    } finally w.close()
   }
 
   /** Bounded collect of per-bucket counts: ≤ 2^numPlanes rows. */
