@@ -559,8 +559,9 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "media_type", "payload").as[MediaRecord]
       .mapPartitions { it =>
+        val readers = wavReaders()
         it.map { r =>
-          val (fmt, pcm) = readWav(r.payload, r.media_id)
+          val (fmt, pcm) = readWav(readers, r.payload, r.media_id)
           val n = pcm.length
           var sum = 0L; var abs = 0L
           var i = 0
@@ -589,8 +590,9 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "media_type", "payload").as[MediaRecord]
       .mapPartitions { it =>
+        val readers = wavReaders()
         it.flatMap { r =>
-          val (_, pcm) = readWav(r.payload, r.media_id)
+          val (_, pcm) = readWav(readers, r.payload, r.media_id)
           pcm.grouped(windowSize).zipWithIndex.map { case (w, k) =>
             var sq = 0L; var peak = 0
             var i = 0
@@ -629,8 +631,9 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "media_type", "payload").as[MediaRecord]
       .mapPartitions { it =>
+        val readers = wavReaders()
         it.map { r =>
-          val (_, pcm) = readWav(r.payload, r.media_id)
+          val (_, pcm) = readWav(readers, r.payload, r.media_id)
           val n = pcm.length
           val windows = 17
           val sums = new Array[Long](windows)
@@ -658,14 +661,44 @@ object Multimodal {
       }
   }
 
-  /** Parse a WAV payload through the real JVM audio stack: AudioSystem
-    * resolves the RIFF reader, the AudioFormat carries the header
-    * fields, and the PCM frames decode honoring the format's declared
-    * byte order and sign — no hand-rolled header offsets. */
-  private def readWav(payload: Array[Byte], mediaId: Long):
+  /** The provider list `AudioSystem.getAudioInputStream` consults,
+    * resolved ONCE PER PARTITION — the audio twin of [[imageWriter]]:
+    * AudioSystem re-walks the synchronized service registry on every
+    * call, so a fanned-out decode stage serializes 32 tasks on the
+    * registry lock (the exact per-row-ImageIO pathology fixed in §5a
+    * of this round). Same providers tried in registry order ⇒
+    * identical reader, identical decode. */
+  private def wavReaders(): Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+
+  /** Parse a WAV payload through the real JVM audio stack: the
+    * partition's resolved [[wavReaders]] take the place of
+    * AudioSystem's per-call registry walk (first provider that accepts
+    * the payload wins — AudioSystem's own contract), the AudioFormat
+    * carries the header fields, and the PCM frames decode honoring the
+    * format's declared byte order and sign — no hand-rolled header
+    * offsets. */
+  private def readWav(readers: Seq[javax.sound.sampled.spi.AudioFileReader],
+                      payload: Array[Byte], mediaId: Long):
       (javax.sound.sampled.AudioFormat, Array[Short]) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    var ais: javax.sound.sampled.AudioInputStream = null
+    val rit = readers.iterator
+    while (ais == null && rit.hasNext) {
+      val r = rit.next()
+      try ais = r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+    }
+    if (ais == null)
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        s"media $mediaId: no AudioFileReader accepts the payload")
     try {
       val fmt = ais.getFormat
       require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&

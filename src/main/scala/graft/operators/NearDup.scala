@@ -172,37 +172,36 @@ object NearDup {
     * of partially-duplicated docs — the boilerplate/quote case.
     *
     * Shape: gram table (one row per token) → winner-per-gram hash agg
-    * → foreign-hit spans (hit-sized) exploded to cut positions →
-    * anti-join against the token stream → ordered reassembly per doc.
-    * The anti-join is on (doc, pos) equality — never a range join —
-    * and reassembly groups by doc_id, so every shuffle is keyed by the
-    * same high-cardinality id. */
+    * → foreign-hit spans (hit-sized) exploded to per-doc CUT-POSITION
+    * SETS (one hit-keyed agg) → joined back to the docs and applied as
+    * an in-row indexed `filter` over the token array. The round-18
+    * form anti-joined the FULL token stream on (doc, pos) and
+    * reassembled per doc (collect_list + array_sort) — two
+    * token-stream-sized exchanges; now the only doc-keyed exchanges
+    * carry the hit-sized cut sets (guide §2.3/§2.4: shuffle keys and
+    * positions, not payloads — the survivors never leave their rows). */
   def stripDuplicatedSpans(docs0: DataFrame, idCol: String, textCol: String,
                            n: Int): DataFrame = {
     val docs = fanOut(docs0)
-    val base = docs.select(col(idCol),
-      size(TextAnalysis.tokens(col(textCol))).as("__nt"))
-    val toks = docs.select(col(idCol),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
     val grams = shingleRows(docs, idCol, textCol, n)
       .select(col(idCol), col("pos"), md5(col("shingle")).as("gh"))
     val winners = grams.groupBy(col("gh"))
       .agg(count_distinct(col(idCol)).as("__nd"), min(col(idCol)).as("__win"))
       .filter(col("__nd") > 1).select(col("gh"), col("__win"))
-    val cut = grams.join(winners, Seq("gh"))
+    val cuts = grams.join(winners, Seq("gh"))
       .filter(col(idCol) > col("__win"))
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + n - 1)).as("pos"))
-      .distinct()
-    val kept = toks.join(cut, Seq(idCol, "pos"), "left_anti")
-    val rebuilt = kept.groupBy(col(idCol)).agg(
-      array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-        s => s.getField("tok")), " ").as("text_dedup"),
-      count(lit(1)).as("n_kept"))
-    base.join(rebuilt, Seq(idCol), "left")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("__cuts"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    val cutsA = coalesce(col("__cuts"), typedlit(Seq.empty[Int]))
+    val kept = filter(toks, (_, i) => !array_contains(cutsA, i))
+    docs.join(cuts, Seq(idCol), "left")
+      .select(col(idCol), kept.as("__kept"), size(toks).as("__nt"))
       .select(col(idCol),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__nt") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        array_join(col("__kept"), " ").as("text_dedup"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__nt") - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
   /** Content-defined chunking + chunk-level dedup stats — the STORAGE

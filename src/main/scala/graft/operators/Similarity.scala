@@ -474,39 +474,78 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
   }
 
+  /** Driver-side materialization of a bounded MODEL table — k centroids
+    * or one codebook's K entries, (id, embedding) rows — for the fused
+    * literal-model assignment below. Bounded by construction (model
+    * tables are k- or m·K-sized, never corpus-sized: the same bound the
+    * broadcast variant relied on). Sorted by id for a deterministic
+    * expression tree. */
+  private def toDoubles(xs: Seq[Any]): Seq[Double] = xs.map {
+    case d: Double => d
+    case f: Float => f.toDouble // exact — the widening ArrayDot applies
+    case other => throw new IllegalArgumentException(
+      s"model embeddings must be non-null float/double, got: $other")
+  }
+
+  private def modelRows(model: DataFrame, idCol: String,
+                        embCol: String): Seq[(Long, Seq[Double])] =
+    model.select(col(idCol).cast("long"), col(embCol)).collect()
+      .map(r => (r.getLong(0), toDoubles(r.getSeq[Any](1))))
+      .sortBy(_._1).toSeq
+
+  /** Fused nprobe=1 assignment expression: argmax over the LITERAL
+    * centroid set of round(cosine, 6) with the centroid-id tiebreak —
+    * the native [[graft.plans.NearestModelEntry]] expression, one
+    * compiled loop per row over the model carried as a boxed literal.
+    * Value-identical to the old crossJoin(broadcast) → max_by form
+    * (same arithmetic, same nan-safe/null struct ordering — see the
+    * expression's scaladoc) but a PURE PROJECTION: no k-way row blowup
+    * and no corpus-sized reassembly exchange (guide §2.4). NOT written
+    * as k unrolled literal structs or a HOF fold: the former costs a
+    * multi-second Janino compile per distinct centroid set, the latter
+    * interprets per element — both measured dominating bench-scale
+    * inputs. */
+  private def nearestCentroid(model: Seq[(Long, Seq[Double])],
+                              emb: Column): Column =
+    call_function("graft_nearest_cosine", emb, typedlit(model))
+
   /** IVF assignment to the `n` nearest centroids by cosine (rounded to
-    * 6 decimals, centroid-id tiebreak — deterministic). Centroids are
-    * broadcast; the ranking is ONE hash aggregation — no window, so no
-    * corpus-sized `vec_id` exchange (k-means runs this every
-    * iteration; a sort shuffle per round is the avoidable cost).
-    * nprobe=1 is a plain max_by over a (sim, −id) sort struct (the
-    * [[pqEncode]] pattern); nprobe>1 collects the per-vector candidate
-    * list — bounded by the CENTROID count, never the corpus — and
-    * array_sorts it, which is total-ordered (centroid_id is unique) and
-    * hence deterministic. Both combine map-side. Carries the embedding
-    * through for the probe join. One output row per
-    * (vector, probed centroid). */
+    * 6 decimals, centroid-id tiebreak — deterministic). The centroid
+    * table is collected (k-sized — the broadcast bound) and inlined as
+    * literals, so assignment is a PURE PROJECTION over the vectors: the
+    * old crossJoin(broadcast) → hash-agg form shuffled the whole corpus
+    * (embeddings included) through the `vec_id` reassembly exchange on
+    * every call — k-means paid it per iteration, every index build and
+    * append paid it once more (guide §2.4). nprobe=1 ranks via
+    * [[nearestCentroid]]; nprobe>1 array_sorts the centroid-bounded
+    * (−sim, id) struct list per row — total-ordered (centroid_id is
+    * unique), hence deterministic, and value-identical to the old
+    * collect_list form. One output row per (vector, probed centroid). */
   def ivfAssignN(vectors: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        round(cosine(col("embedding"), col("c_emb")), 6).as("__sim"))
+    val model = modelRows(centroids, "centroid_id", "c_emb")
+    if (model.isEmpty)
+      // empty centroid table: the old inner crossJoin produced no rows
+      return vectors.select(col("vec_id"),
+        lit(null).cast("long").as("centroid_id"), col("embedding"))
+        .where(lit(false))
     if (n == 1)
-      scored.groupBy(col("vec_id"))
-        .agg(max_by(struct(col("centroid_id"), col("embedding")),
-          struct(col("__sim"), -col("centroid_id"))).as("__b"))
-        .select(col("vec_id"), col("__b.centroid_id").as("centroid_id"),
-          col("__b.embedding").as("embedding"))
-    else
-      scored.groupBy(col("vec_id"))
-        // min_by picks the embedding deterministically; it is constant
-        // per vec_id (every candidate row carries the vector's own
-        // embedding), so any pick is THE value.
-        .agg(min_by(col("embedding"), col("centroid_id")).as("embedding"),
-          slice(array_sort(collect_list(
-            struct((-col("__sim")).as("s"), col("centroid_id")))), 1, n)
-            .as("__top"))
-        .select(col("vec_id"), explode(col("__top.centroid_id")).as("centroid_id"),
-          col("embedding"))
+      vectors.select(col("vec_id"),
+        nearestCentroid(model, col("embedding")).as("centroid_id"),
+        col("embedding"))
+    else {
+      // n>1 is query-side only (probe sets): a transform over the ONE
+      // model literal keeps the generated source model-independent; the
+      // per-element interpreted cost is paid on |queries| rows, never
+      // the corpus. Element (−round(sim, 6), id) ≡ the old collect_list
+      // sort struct.
+      val scoredArr = transform(typedlit(model), c =>
+        struct((-round(cosine(col("embedding"), c.getField("_2")), 6)).as("s"),
+          c.getField("_1").as("centroid_id")))
+      val top = slice(array_sort(scoredArr), 1, n)
+      vectors.select(col("vec_id"),
+        explode(top.getField("centroid_id")).as("centroid_id"),
+        col("embedding"))
+    }
   }
 
   /** Nearest-centroid assignment (nprobe=1 special case). */
@@ -520,30 +559,40 @@ object Similarity {
     * centroids, making the trained index oracle-checkable.
     *
     * Each iteration: assign every vector to its nearest centroid by
-    * rounded cosine ([[ivfAssign]] — centroid-id tiebreak), then take
-    * the per-dimension mean of each cluster (explode → one hash agg —
-    * the corpus-scale shape; no driver-side math). Empty clusters keep
-    * their previous centroid. The (k·dim)-sized centroid table is
-    * eagerly staged per iteration so the plan doesn't double with each
-    * round. */
+    * rounded cosine ([[nearestCentroid]] — centroid-id tiebreak, a pure
+    * projection over the literal current centroids), then take the
+    * per-dimension mean of each cluster (explode → ONE hash agg, with
+    * the 6-decimal round applied in-engine — `round(avg(v), 6)`, the
+    * same expression the old plan evaluated after reassembly). The
+    * k·dim rounded means are collected (model-sized — the staging bound
+    * the old per-iteration localCheckpoint relied on) and merged into
+    * the driver-side model; empty clusters keep their previous
+    * centroid. Per iteration this runs ONE job over the corpus instead
+    * of the old crossJoin → vec_id reassembly exchange → explode → two
+    * aggs → join → checkpoint chain (guide §2.4/§1.2). */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = NearDup.stage(corpus.filter(col("vec_id") < k)
-      .select(col("vec_id").as("centroid_id"),
-        transform(col("embedding"), x => round(x.cast("double"), 6)).as("c_emb")))
-    for (_ <- 0 until iters) {
-      val assigned = ivfAssign(corpus.select(col("vec_id"), col("embedding")), cents)
-      val means = assigned
-        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+    val spark = corpus.sparkSession
+    var model: Seq[(Long, Seq[Double])] =
+      corpus.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("long").as("centroid_id"),
+          transform(col("embedding"), x => round(x.cast("double"), 6)).as("c_emb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+    for (_ <- 0 until iters if model.nonEmpty) {
+      val means = corpus
+        .select(nearestCentroid(model, col("embedding")).as("centroid_id"),
+          posexplode(col("embedding")).as(Seq("d", "v")))
         .groupBy(col("centroid_id"), col("d"))
-        .agg(avg(col("v").cast("double")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .select(col("centroid_id"),
-          transform(col("dm"), s => round(s.getField("m"), 6)).as("c_new"))
-      cents = NearDup.stage(cents.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"), coalesce(col("c_new"), col("c_emb")).as("c_emb")))
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cid, rs) => cid -> rs.sortBy(_._2).map(_._3).toSeq }
+      model = model.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
-    cents
+    import spark.implicits._
+    model.toDF("centroid_id", "c_emb")
   }
 
   /** IVF-style ANN top-k: the corpus is partitioned into inverted lists
@@ -657,39 +706,62 @@ object Similarity {
       .select(col("sub"), col("vec_id").as("centroid_id"),
         transform(col("sub_emb"), x => round(x.cast("double"), 6)).as("c_emb")))
 
-  /** PQ encoding: each vector → m codes, code of subspace s = argmax
-    * rounded cosine against s's codebook (centroid-id tiebreak). ONE
-    * hash aggregation via max_by over a (sim, −id) sort struct — no
-    * per-group sort, map-side partials absorb the m-way fan-out. At
-    * serving scale this is the corpus compression: dim floats → m
-    * small codes per vector. */
-  def pqEncode(vectors: DataFrame, codebook: DataFrame, m: Int, subDim: Int): DataFrame =
-    subspaces(vectors, "vec_id", m, subDim)
-      .join(broadcast(codebook), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("centroid_id"),
-        round(cosine(col("sub_emb"), col("c_emb")), 6).as("__sim"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id")))
-        .as("centroid_id"))
+  /** Per-subspace codebook entries collected driver-side (m·K-sized —
+    * the broadcast bound), sorted by centroid id. */
+  private def codebookRows(cb: DataFrame): Map[Int, Seq[(Long, Seq[Double])]] =
+    cb.select(col("sub").cast("int"), col("centroid_id").cast("long"),
+        col("c_emb")).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), toDoubles(r.getSeq[Any](2)))))
+      .groupBy(_._1)
+      .map { case (s, rs) => s -> rs.map(_._2).sortBy(_._1).toSeq }
 
-  /** One L2 assignment round: each (vector, subspace) row takes the
+  /** PQ encoding: each vector → m codes, code of subspace s = argmax
+    * rounded cosine against s's codebook (centroid-id tiebreak). The
+    * codebook is inlined as literals ([[nearestCentroid]] per
+    * subspace), so the encode is ONE PROJECTION + posexplode — the old
+    * subspace-explode → broadcast join (K-way row fan-out) →
+    * (vec_id, sub) reassembly exchange is gone (guide §2.4); values
+    * are identical (same expressions, same struct-ordering tiebreak).
+    * At serving scale this is the corpus compression: dim floats → m
+    * small codes per vector. */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val cb = codebookRows(codebook)
+    val codes = (0 until m).map { s =>
+      call_function("graft_nearest_cosine",
+        slice(col("embedding"), s * subDim + 1, subDim), typedlit(cb(s)))
+    }
+    vectors.select(col("vec_id"),
+      posexplode(array(codes: _*)).as(Seq("sub", "centroid_id")))
+  }
+
+  /** One fused L2 assignment pass: each vector's subspace s takes the
     * codebook entry minimizing round(‖v‖² − 2·v·c + ‖c‖², 6) — the
     * three-dot form, mirrored term-for-term by the oracle so the
     * rounded value is bit-stable across engines (a fused
-    * Σ(v−c)² associates differently in float). ONE hash aggregation
-    * via min_by over a (d2, centroid_id) sort struct — map-side
-    * partials absorb the K-way fan-out; no window, no sort. */
-  private def pqAssignL2(sv: DataFrame, cb: DataFrame): DataFrame =
-    sv.join(broadcast(cb), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("centroid_id"), col("sub_emb"),
-        round(dot(col("sub_emb"), col("sub_emb"))
-          - lit(2) * dot(col("sub_emb"), col("c_emb"))
-          + dot(col("c_emb"), col("c_emb")), 6).as("__d2"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(struct(col("centroid_id"), col("sub_emb")),
-        struct(col("__d2"), col("centroid_id"))).as("__b"))
-      .select(col("vec_id"), col("sub"), col("__b.centroid_id").as("centroid_id"),
-        col("__b.sub_emb").as("sub_emb"))
+    * Σ(v−c)² associates differently in float). The argmin is the
+    * native [[graft.plans.NearestModelEntry]] in L2 mode — exactly the
+    * old min_by (d2, centroid_id) sort-struct ordering, one compiled
+    * loop per (row, subspace) over the codebook literal.
+    * Pure projection + posexplode — no K-way fan-out, no reassembly
+    * exchange. Output: every non-embedding input column, then
+    * (sub, centroid_id, sub_emb) — for the plain (vec_id, embedding)
+    * input that is (vec_id, sub, centroid_id, sub_emb). */
+  private def pqAssignL2(vectors: DataFrame,
+                         cb: Map[Int, Seq[(Long, Seq[Double])]],
+                         m: Int, subDim: Int): DataFrame = {
+    val perSub = (0 until m).map { s =>
+      val sube = slice(col("embedding"), s * subDim + 1, subDim)
+      struct(call_function("graft_nearest_l2", sube, typedlit(cb(s)))
+          .as("centroid_id"),
+        sube.as("sub_emb"))
+    }
+    val keep = vectors.columns.filterNot(_ == "embedding").map(col).toSeq
+    vectors.select(keep :+
+        posexplode(array(perSub: _*)).as(Seq("sub", "__sv")): _*)
+      .select(keep ++ Seq(col("sub"),
+        col("__sv.centroid_id").as("centroid_id"),
+        col("__sv.sub_emb").as("sub_emb")): _*)
+  }
 
   /** K-MEANS-TRAINED PQ codebooks: per-subspace Lloyd's with L2
     * assignment — the textbook PQ objective (minimize quantization
@@ -709,29 +781,41 @@ object Similarity {
     * 0.38→0.40; the big recall lever on i.i.d. fixtures is the shape
     * (see [[pqTopKTrained]]'s measured sweep).
     *
-    * All iterations are one broadcast join + two hash aggs over the
-    * (n·m)-row long form; at 100 TB you train on a bounded sample and
-    * encode the full corpus with the frozen codebook. */
+    * Each iteration is ONE job over the corpus: the fused
+    * [[pqAssignL2]] projection feeds the per-(sub, centroid, dim) mean
+    * agg directly (round applied in-engine — `round(avg(v), 6)`, the
+    * same composition the old plan evaluated), and the m·K·subDim
+    * rounded means are collected and merged driver-side (model-sized —
+    * the bound the old per-iteration localCheckpoint relied on); empty
+    * clusters keep their previous entry. At 100 TB you train on a
+    * bounded sample and encode the full corpus with the frozen
+    * codebook. */
   def pqCodebookTrained(corpus: DataFrame, m: Int, subDim: Int,
                         codebookSize: Int, iters: Int): DataFrame = {
-    val sv = subspaces(fanOut(corpus.select(col("vec_id"), col("embedding"))),
-      "vec_id", m, subDim)
-    var cb = pqCodebook(corpus, m, subDim, codebookSize)
-    for (_ <- 0 until iters) {
-      val assigned = pqAssignL2(sv, cb)
-      val means = assigned
-        .select(col("sub"), col("centroid_id"), posexplode(col("sub_emb")).as(Seq("d", "v")))
+    val spark = corpus.sparkSession
+    val vecs = fanOut(corpus.select(col("vec_id"), col("embedding")))
+    var model: Map[Int, Seq[(Long, Seq[Double])]] =
+      codebookRows(pqCodebook(corpus, m, subDim, codebookSize))
+    for (_ <- 0 until iters if model.nonEmpty) {
+      val means = pqAssignL2(vecs, model, m, subDim)
+        .select(col("sub"), col("centroid_id"),
+          posexplode(col("sub_emb")).as(Seq("d", "v")))
         .groupBy(col("sub"), col("centroid_id"), col("d"))
-        .agg(avg(col("v").cast("double")).as("m"))
-        .groupBy(col("sub"), col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .select(col("sub"), col("centroid_id"),
-          transform(col("dm"), s => round(s.getField("m"), 6)).as("c_new"))
-      cb = NearDup.stage(cb.join(means, Seq("sub", "centroid_id"), "left")
-        .select(col("sub"), col("centroid_id"),
-          coalesce(col("c_new"), col("c_emb")).as("c_emb")))
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1)
+        .map { case (k, rs) => k -> rs.map(_._2).sortBy(_._1).map(_._2).toSeq }
+      model = model.map { case (s, entries) =>
+        s -> entries.map { case (cid, old) =>
+          (cid, means.getOrElse((s, cid), old))
+        }
+      }
     }
-    cb
+    import spark.implicits._
+    model.toSeq.sortBy(_._1)
+      .flatMap { case (s, entries) => entries.map { case (cid, ce) => (s, cid, ce) } }
+      .toDF("sub", "centroid_id", "c_emb")
   }
 
   /** PQ ANN top-k by asymmetric distance computation (ADC): queries
@@ -771,9 +855,9 @@ object Similarity {
                     iters: Int = 2,
                     cbOpt: Option[DataFrame] = None): DataFrame = {
     val cb = cbOpt.getOrElse(pqCodebookTrained(corpus, m, subDim, codebookSize, iters))
-    val sv = subspaces(fanOut(corpus.select(col("vec_id"), col("embedding"))),
-      "vec_id", m, subDim)
-    val codes = pqAssignL2(sv, cb).select(col("vec_id"), col("sub"), col("centroid_id"))
+    val codes = pqAssignL2(fanOut(corpus.select(col("vec_id"), col("embedding"))),
+        codebookRows(cb), m, subDim)
+      .select(col("vec_id"), col("sub"), col("centroid_id"))
     pqAdc(codes, cb, queries, k, m, subDim)
   }
 
@@ -813,22 +897,33 @@ object Similarity {
     * reassembly shuffle — index-build cost, O(corpus), no all-pairs
     * anywhere. Output: (query_id, vec_id, sq_sim, rk). */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val fl = fanOut(corpus).select(col("vec_id"),
-      posexplode(toDouble(col("embedding"))).as(Seq("d", "v")))
-    val rng = fl.groupBy(col("d"))
+    val cf = fanOut(corpus)
+    // Per-dimension ranges: exact min/max (order-independent), one
+    // map-side-combinable agg, collected driver-side (dim-sized — the
+    // broadcast bound).
+    val rng = cf.select(col("vec_id"),
+        posexplode(toDouble(col("embedding"))).as(Seq("d", "v")))
+      .groupBy(col("d"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-    val rec = fl.join(broadcast(rng), Seq("d"))
-      .select(col("vec_id"), col("d"),
-        (col("lo") +
-          (when(col("hi") === col("lo"), lit(0L))
-            .otherwise(least(lit(255L),
-              floor((col("v") - col("lo")) / (col("hi") - col("lo")) * lit(256))))
-            .cast("double") + lit(0.5)) *
-          (col("hi") - col("lo")) / lit(256)).as("rv"))
-    val ra = rec.groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("d"), col("rv")))).as("__dm"))
-      .select(col("vec_id"),
-        transform(col("__dm"), s => s.getField("rv")).as("r_emb"))
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2))))
+      .sortBy(_._1)
+    require(rng.map(_._1).toSeq == rng.indices.toSeq,
+      "sq8: non-contiguous dimension ids")
+    // Encode + dequantize FUSED per row against the literal range
+    // table (identical element expression, lo/hi as literals — the
+    // quantized level and midpoint are single correctly-rounded IEEE
+    // expressions either way): the old explode → broadcast range join
+    // → vec_id reassembly exchange (corpus-sized collect_list) is a
+    // pure projection now (guide §2.4).
+    val lohi = typedlit(rng.map(_._2).toSeq)
+    val ra = cf.select(col("vec_id"),
+      zip_with(toDouble(col("embedding")), lohi, (v, lh) => {
+        val lo = lh.getField("_1"); val hi = lh.getField("_2")
+        lo + (when(hi === lo, lit(0L))
+          .otherwise(least(lit(255L),
+            floor((v - lo) / (hi - lo) * lit(256))))
+          .cast("double") + lit(0.5)) * (hi - lo) / lit(256)
+      }).as("r_emb"))
     val q = queries.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("q_emb"))
     val scored = ra.crossJoin(broadcast(q))
@@ -859,9 +954,9 @@ object Similarity {
     val pairs = probes.join(lists, Seq("centroid_id"))
       .select(col("query_id"), col("vec_id"))
     val cb = cbOpt.getOrElse(pqCodebookTrained(corpus, m, subDim, codebookSize, pqIters))
-    val sv = subspaces(fanOut(corpus.select(col("vec_id"), col("embedding"))),
-      "vec_id", m, subDim)
-    val codes = pqAssignL2(sv, cb).select(col("vec_id"), col("sub"), col("centroid_id"))
+    val codes = pqAssignL2(fanOut(corpus.select(col("vec_id"), col("embedding"))),
+        codebookRows(cb), m, subDim)
+      .select(col("vec_id"), col("sub"), col("centroid_id"))
     pqAdc(codes, cb, queries, k, m, subDim, pairs = Some(pairs))
   }
 
@@ -880,12 +975,16 @@ object Similarity {
     val cb = pqCodebookTrained(corpus, m, subDim, codebookSize, pqIters)
     cents.write.mode("overwrite").parquet(s"$path/_centroids")
     cb.write.mode("overwrite").parquet(s"$path/_codebook")
-    val lists = ivfAssign(fanOut(corpus.select(col("vec_id"), col("embedding"))), cents)
-      .select(col("vec_id"), col("centroid_id").as("list_id"))
-    val sv = subspaces(fanOut(corpus.select(col("vec_id"), col("embedding"))),
-      "vec_id", m, subDim)
-    pqAssignL2(sv, cb).select(col("vec_id"), col("sub"), col("centroid_id").as("code"))
-      .join(lists, Seq("vec_id"))
+    // codes AND coarse list in ONE fused projection over one corpus
+    // scan: both are per-row functions of the literal models, so the
+    // old two-branch build (codes ⋈ lists on vec_id — a corpus-sized
+    // join) collapses into the clustered-write shuffle alone.
+    val centModel = modelRows(cents, "centroid_id", "c_emb")
+    pqAssignL2(fanOut(corpus.select(col("vec_id"), col("embedding")))
+        .withColumn("__list", nearestCentroid(centModel, col("embedding"))),
+        codebookRows(cb), m, subDim)
+      .select(col("vec_id"), col("sub"), col("centroid_id").as("code"),
+        col("__list").as("list_id"))
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
   }
@@ -902,12 +1001,12 @@ object Similarity {
                           m: Int = 16, subDim: Int = 4): Unit = {
     val cents = spark.read.parquet(s"$path/_centroids")
     val cb = spark.read.parquet(s"$path/_codebook")
-    val lists = ivfAssign(newVectors.select(col("vec_id"), col("embedding")), cents)
-      .select(col("vec_id"), col("centroid_id").as("list_id"))
-    val sv = subspaces(newVectors.select(col("vec_id"), col("embedding")),
-      "vec_id", m, subDim)
-    pqAssignL2(sv, cb).select(col("vec_id"), col("sub"), col("centroid_id").as("code"))
-      .join(lists, Seq("vec_id"))
+    val centModel = modelRows(cents, "centroid_id", "c_emb")
+    pqAssignL2(newVectors.select(col("vec_id"), col("embedding"))
+        .withColumn("__list", nearestCentroid(centModel, col("embedding"))),
+        codebookRows(cb), m, subDim)
+      .select(col("vec_id"), col("sub"), col("centroid_id").as("code"),
+        col("__list").as("list_id"))
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
   }

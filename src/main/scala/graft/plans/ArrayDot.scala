@@ -111,5 +111,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_array_count_leq"),
       new ExpressionInfo(classOf[ArrayCountLeq].getName, "graft_array_count_leq"),
       (children: Seq[Expression]) => ArrayCountLeq(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nearest_cosine"),
+      new ExpressionInfo(classOf[NearestModelEntry].getName, "graft_nearest_cosine"),
+      (children: Seq[Expression]) =>
+        NearestModelEntry(children.head, children(1), l2 = false)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nearest_l2"),
+      new ExpressionInfo(classOf[NearestModelEntry].getName, "graft_nearest_l2"),
+      (children: Seq[Expression]) =>
+        NearestModelEntry(children.head, children(1), l2 = true)))
   }
 }

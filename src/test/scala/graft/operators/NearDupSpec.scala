@@ -328,6 +328,45 @@ class NearDupSpec extends SparkSpec {
     assert(out(5L) == (("r1", 1, 4)))           // merged span 0-3 stripped
   }
 
+  test("stripDuplicatedSpans (in-row cut filter) ≡ the anti-join reference") {
+    // The round-16 rewrite replaces the (doc, pos) anti-join + per-doc
+    // reassembly with hit-sized cut sets applied as an indexed array
+    // filter; this is the executable spec of the replaced form —
+    // row-for-row equality on the sf0.001 documents.
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextAnalysis
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val n = 5
+    val base = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).as("__nt"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    val grams = NearDup.shingleRows(docs, "doc_id", "text", n)
+      .select(col("doc_id"), col("pos"), md5(col("shingle")).as("gh"))
+    val winners = grams.groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("__nd"), min(col("doc_id")).as("__win"))
+      .filter(col("__nd") > 1).select(col("gh"), col("__win"))
+    val cut = grams.join(winners, Seq("gh"))
+      .filter(col("doc_id") > col("__win"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("pos"))
+      .distinct()
+    val kept = toks.join(cut, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("text_dedup"),
+      count(lit(1)).as("n_kept"))
+    val want = base.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__nt") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .as[(Long, String, Long, Long)].collect().sorted.toSeq
+    val got = NearDup.stripDuplicatedSpans(docs, "doc_id", "text", n)
+      .as[(Long, String, Long, Long)].collect().sorted.toSeq
+    assert(got == want, "fused strip diverged from the anti-join reference")
+  }
+
   test("prefixFilterJoin ≡ jaccardGroundTruth at several thresholds") {
     // A corpus with exact dups, near dups, boilerplate-heavy docs (the
     // hot-shingle case the prefix order must exclude), and disjoint

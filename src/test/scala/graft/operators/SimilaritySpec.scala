@@ -143,6 +143,40 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.orderBy("centroid_id").collect().map(_.toSeq).toSeq == again.toSeq)
   }
 
+  test("fused literal-model ivfAssignN ≡ the broadcast crossJoin reference") {
+    // The round-16 fusion inlines the centroid table as literals and
+    // assigns via a pure projection; this is the executable spec of the
+    // replaced crossJoin(broadcast) → max_by / collect_list form —
+    // row-for-row equality on the sf0.001 embeddings, n = 1 and 2,
+    // including the 6-decimal-round + centroid-id tiebreak ordering.
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.kmeansCentroids(emb, 8, 1)
+    def reference(n: Int) = {
+      val scored = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("centroid_id"),
+          round(Similarity.cosine(col("embedding"), col("c_emb")), 6).as("__sim"))
+      if (n == 1)
+        scored.groupBy(col("vec_id"))
+          .agg(max_by(struct(col("centroid_id"), col("embedding")),
+            struct(col("__sim"), -col("centroid_id"))).as("__b"))
+          .select(col("vec_id"), col("__b.centroid_id").as("centroid_id"))
+      else
+        scored.groupBy(col("vec_id"))
+          .agg(slice(array_sort(collect_list(
+            struct((-col("__sim")).as("s"), col("centroid_id")))), 1, n)
+            .as("__top"))
+          .select(col("vec_id"), explode(col("__top.centroid_id")).as("centroid_id"))
+    }
+    for (n <- Seq(1, 2)) {
+      val got = Similarity.ivfAssignN(emb, cents, n)
+        .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().sorted.toSeq
+      val want = reference(n)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"n=$n: fused assign diverged from the reference")
+    }
+  }
+
   test("PQ: codebook vectors self-code and rank themselves first under ADC") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val cb = Similarity.pqCodebook(emb, 4, 16, 16)
